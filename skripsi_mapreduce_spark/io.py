@@ -1,0 +1,84 @@
+"""Dataset catalog / IO helpers.
+
+The reference pipes Avro container files between jobs through hard-coded
+HDFS paths (SURVEY.md §1.1; JobExtractTransform.java:67-71,
+JobExtractFeature.java:164-174). The engine replaces that with a tiny
+catalog: named parquet tables under a scale-factor directory, loaded
+lazily. Parquet is the native format (columnar, predicate pushdown,
+column pruning); Avro read/write is kept for parity IO where the
+spark-avro package is available.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one catalog table as a DataFrame (columnar parquet scan).
+
+    ``events.ts`` is written as a parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as a long and convert with integer
+    division (``div`` — a double division would lose sub-microsecond bits at
+    ~1.7e18 magnitudes) down to a microsecond timestamp, matching DuckDB's
+    own ns→us truncation.
+    """
+    if name == "events":
+        # Must be set on whichever session calls us (incl. the driver's own):
+        # without it the scan fails outright on the NANOS column.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the whole catalog; plans select from these lazily, so Catalyst
+    prunes columns and pushes predicates into the parquet scans."""
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every catalog table as a temp view for the SQL surface."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Overwrite-mode parquet sink (replaces the reference's delete-then-write
+    output-dir handling, JobExtractTransform.java:55-57 — O39)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    """Avro+snappy sink for reference-parity IO (JobExtractTransform.java:66-71
+    — O13). Requires the spark-avro package on the classpath; raises a clear
+    error if absent."""
+    try:
+        df.write.mode("overwrite").format("avro").option("compression", "snappy").save(path)
+    except Exception as exc:  # pragma: no cover - environment dependent
+        raise RuntimeError(
+            "spark-avro not on classpath; add org.apache.spark:spark-avro to use Avro IO"
+        ) from exc

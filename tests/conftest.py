@@ -1,0 +1,88 @@
+"""Shared pytest fixtures: one SparkSession per test run, a DuckDB
+connection with the catalog tables registered as views, and a comparator
+that mirrors the driver's correctness gate (row-count + column-name-sorted,
+order-insensitive value comparison)."""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import os
+
+import duckdb
+import pytest
+
+from skripsi_mapreduce_spark.io import TABLES
+from skripsi_mapreduce_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR_T2 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _canon_value(v):
+    if v is None:
+        return "␀"
+    if isinstance(v, decimal.Decimal):
+        return format(v.normalize(), "f")
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return format(v, ".10g")
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, (datetime.datetime,)):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon_value(v[k])}" for k in sorted(v)) + "}"
+    return str(v)
+
+
+def canon_result(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    """Sort columns by name (as the driver does), canonicalize values,
+    return a sorted multiset of row tuples."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon_value(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def compare_spark_duckdb(spark_df, ddb_con, sql: str, name: str = "query"):
+    """Assert the Spark DataFrame and the DuckDB oracle SQL agree on
+    column names and order-insensitive canonicalized values."""
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = [c.lower() for c in spark_df.columns]
+    res = ddb_con.execute(sql)
+    d_cols = [c[0].lower() for c in res.description]
+    d_rows = [tuple(r) for r in res.fetchall()]
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"{name}: column names differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count differs: spark={len(s_rows)} duckdb={len(d_rows)}"
+    )
+    cs = canon_result(s_cols, s_rows)
+    cd = canon_result(d_cols, d_rows)
+    if cs != cd:
+        diffs = [(a, b) for a, b in zip(cs, cd) if a != b][:5]
+        raise AssertionError(f"{name}: values differ; first diffs: {diffs}")
