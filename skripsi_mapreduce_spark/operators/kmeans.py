@@ -1,0 +1,225 @@
+"""Iterative K-Means over sparse long-form feature vectors (SURVEY.md §2.3,
+reference ``-a 3``).
+
+Semantics contract (cited to /root/reference/):
+- Init: k document ids drawn uniformly without replacement; their vectors
+  are centroids 0..k-1 (JobExtractFeature.java:143-158 O26 — the reference
+  is UNSEEDED and can draw the nonexistent id 0, §8 Q5; the engine seeds
+  the draw over 1..N and documents the deviation).
+- Assign: nearest centroid by Euclidean distance (MapperKMean.java:83-108
+  O31/O32); ties -> lowest cluster index (the reference's HashMap iteration
+  order is nondeterministic; we define it).
+- Update: centroid = elementwise mean of member vectors, rounded HALF_UP to
+  10dp (ReducerKMean.java:31-59 O33); per-cluster SSE = sum of squared
+  distances (O34).
+- Converge: exact equality of rounded centroid maps
+  (JobClustering.java:210,227-232 O37), or m-1 iterations — the reference
+  loop runs AT MOST m-1 times (App.java:122-145, §8 Q4), reproduced here.
+- Empty clusters silently vanish (k shrinks), as in the reference (§2.3).
+
+Scale design: one Spark job per iteration (vs the reference's five
+materialization boundaries per iteration, §3.4). Centroids are k x |active
+vocab| — small — so they move driver->executors as a BROADCAST table
+(replacing the per-task distributed-cache load, MapperKMean.java:55-80
+O30); documents never leave their partitions except for the one
+groupBy(cluster, word) shuffle of the update step, which Catalyst
+partial-aggregates map-side. Distance uses the sparse-safe expansion
+||x||^2 + ||c||^2 - 2x.c (the reference's dense nested loop,
+MapperKMean.java:88-92, NPEs on missing keys — §8 Q10). Per-iteration
+lineage is cut with localCheckpoint so plan depth stays O(1), not O(m).
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class KMeansResult:
+    assignments: DataFrame  # (doc_id, cluster, dist2)
+    centroids: dict[int, dict[str, float]]
+    sse: dict[int, float]
+    iterations: int
+    converged: bool
+    history: list[dict[int, float]] = field(default_factory=list)
+
+
+def init_centroid_ids(n_docs: int, k: int, seed: int = 42) -> dict[int, int]:
+    """Seeded draw of k distinct doc ids from 1..N -> {doc_id: cluster_idx}.
+
+    Replaces the unseeded ``Random.longs(0, N+1)`` (JobExtractFeature.java:
+    148-150) whose range includes the never-assigned id 0 (§8 Q5).
+    """
+    rng = random.Random(seed)
+    ids = rng.sample(range(1, n_docs + 1), k)
+    return {doc_id: idx for idx, doc_id in enumerate(ids)}
+
+
+def _round10(x: float) -> float:
+    """HALF_UP to 10dp, matching BigDecimal.setScale(10, HALF_UP)
+    (ReducerKMean.java:50-52)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(decimal.Decimal("1e-10"), rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def kmeans(
+    spark: SparkSession,
+    features: DataFrame,
+    k: int,
+    max_iter: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    word_col: str = "word",
+    weight_col: str = "weight",
+    parity_max_iter_off_by_one: bool = True,
+) -> KMeansResult:
+    """Lloyd's algorithm on a sparse ``(doc_id, word, weight)`` table.
+
+    ``parity_max_iter_off_by_one=True`` reproduces the reference's
+    at-most-(m-1)-iterations loop (App.java:122-125; honest ``max_iter``
+    when False).
+    """
+    feats = features.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(word_col).alias("word"),
+        F.col(weight_col).cast("double").alias("weight"),
+    )
+    feats = feats.localCheckpoint(eager=True)  # reused every iteration
+
+    # ||x||^2 per document, computed once.
+    doc_norms = feats.groupBy("doc_id").agg(
+        F.sum(F.col("weight") * F.col("weight")).alias("x2")
+    ).localCheckpoint(eager=True)
+
+    n_docs = doc_norms.count()
+    id2cluster = init_centroid_ids(n_docs, k, seed)
+    seed_ids = spark.createDataFrame(
+        [(d, c) for d, c in id2cluster.items()], "doc_id long, cluster int"
+    )
+    centroids_df = feats.join(F.broadcast(seed_ids), "doc_id").select(
+        "cluster", "word", F.col("weight").alias("cweight")
+    )
+    centroids = _collect_centroids(centroids_df)
+
+    limit = max_iter - 1 if parity_max_iter_off_by_one else max_iter
+    history: list[dict[int, float]] = []
+    converged = False
+    iterations = 0
+    assignments = None
+
+    for _ in range(max(limit, 0)):
+        iterations += 1
+        # localCheckpoint: assignments feed three aggregations + the next
+        # iteration; pin them once instead of recomputing the join, and cut
+        # lineage so plan depth stays O(1) across iterations.
+        assignments = _assign(spark, feats, doc_norms, centroids).localCheckpoint(eager=True)
+        new_rows = (
+            feats.join(assignments.select("doc_id", "cluster"), "doc_id")
+            .groupBy("cluster", "word")
+            .agg(F.sum("weight").alias("wsum"))
+        )
+        sizes = {
+            r["cluster"]: r["n"]
+            for r in assignments.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+        }
+        sse = {
+            r["cluster"]: r["sse"]
+            for r in assignments.groupBy("cluster")
+            .agg(F.sum("dist2").alias("sse"))
+            .collect()
+        }
+        history.append(sse)
+        new_centroids: dict[int, dict[str, float]] = {}
+        for row in new_rows.collect():
+            c = row["cluster"]
+            new_centroids.setdefault(c, {})[row["word"]] = _round10(
+                row["wsum"] / sizes[c]
+            )
+        # O37 convergence: exact equality of rounded maps; only clusters
+        # present in the OLD map are checked (JobClustering.java:229-231),
+        # and empty clusters disappear.
+        if _converged(centroids, new_centroids):
+            centroids = new_centroids
+            converged = True
+            break
+        centroids = new_centroids
+
+    if assignments is None:  # max_iter <= 1: parity loop never runs
+        assignments = _assign(spark, feats, doc_norms, centroids)
+        sse = {
+            r["cluster"]: r["sse"]
+            for r in assignments.groupBy("cluster").agg(F.sum("dist2").alias("sse")).collect()
+        }
+    else:
+        sse = history[-1]
+    return KMeansResult(
+        assignments=assignments,
+        centroids=centroids,
+        sse=sse,
+        iterations=iterations,
+        converged=converged,
+        history=history,
+    )
+
+
+def _collect_centroids(centroids_df: DataFrame) -> dict[int, dict[str, float]]:
+    out: dict[int, dict[str, float]] = {}
+    for row in centroids_df.collect():
+        out.setdefault(row["cluster"], {})[row["word"]] = row["cweight"]
+    return out
+
+
+def _converged(old: dict[int, dict[str, float]], new: dict[int, dict[str, float]]) -> bool:
+    return all(new.get(c) == old[c] for c in old)
+
+
+def _assign(
+    spark: SparkSession,
+    feats: DataFrame,
+    doc_norms: DataFrame,
+    centroids: dict[int, dict[str, float]],
+) -> DataFrame:
+    """One assignment pass: (doc_id, cluster, dist2) for every document.
+
+    dist2(x, c) = ||x||^2 + ||c||^2 - 2 x.c over sparse rows: the dot
+    product only needs words the document actually has (join on word with
+    the broadcast centroid table); documents sharing no word with a
+    centroid still get a row via the doc_norms x centroid_norms cross
+    (k rows broadcast — BroadcastNestedLoopJoin, no shuffle of the docs).
+    """
+    c_rows = [
+        (c, w, wt) for c, vec in centroids.items() for w, wt in vec.items()
+    ]
+    c_df = spark.createDataFrame(c_rows, "cluster int, word string, cweight double")
+    c_norms = spark.createDataFrame(
+        [(c, sum(v * v for v in vec.values())) for c, vec in centroids.items()],
+        "cluster int, c2 double",
+    )
+    dots = (
+        feats.join(F.broadcast(c_df), "word")
+        .groupBy("doc_id", "cluster")
+        .agg(F.sum(F.col("weight") * F.col("cweight")).alias("dot"))
+    )
+    all_pairs = doc_norms.crossJoin(F.broadcast(c_norms))
+    dist = (
+        all_pairs.join(dots, ["doc_id", "cluster"], "left")
+        .withColumn("dot", F.coalesce(F.col("dot"), F.lit(0.0)))
+        .withColumn(
+            "dist2",
+            F.greatest(F.col("x2") + F.col("c2") - 2 * F.col("dot"), F.lit(0.0)),
+        )
+    )
+    # O32 argmin with the defined tie-break: lowest cluster index wins.
+    best = dist.groupBy("doc_id").agg(
+        F.min_by(
+            F.struct("cluster", "dist2"), F.struct("dist2", "cluster")
+        ).alias("best")
+    )
+    return best.select("doc_id", F.col("best.cluster").alias("cluster"), F.col("best.dist2").alias("dist2"))

@@ -1,0 +1,91 @@
+"""K-Means vs the independent Python oracle (SURVEY.md §5.2 item 3):
+same seed => identical assignments, centroids (10dp), SSE per iteration,
+iteration count, and convergence flag; empty-cluster shrink semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from skripsi_mapreduce_spark.operators.kmeans import init_centroid_ids, kmeans
+from skripsi_mapreduce_spark.operators.tfidf import tfidf_long
+
+from .oracles import kmeans_oracle, tfidf_oracle
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    """3 obvious clusters (animals / code / food) + noise, ids 1..N."""
+    texts = {
+        1: "cat dog cat hamster pet fur",
+        2: "dog cat kennel fur pet paw",
+        3: "cat paw fur pet dog whisker",
+        4: "python java code compiler bug",
+        5: "code bug python debugger java stack",
+        6: "java stack code compiler python",
+        7: "pizza pasta cheese tomato basil",
+        8: "cheese pizza oven tomato crust",
+        9: "pasta tomato basil cheese olive",
+        10: "dog pizza python",
+    }
+    return texts
+
+
+@pytest.fixture(scope="module")
+def features(spark, corpus):
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    return tfidf_long(df, stopwords=STOPWORDS)
+
+
+def test_init_is_seeded_and_in_range(corpus):
+    ids = init_centroid_ids(len(corpus), 3, seed=42)
+    assert ids == init_centroid_ids(len(corpus), 3, seed=42)
+    assert all(1 <= d <= len(corpus) for d in ids)
+    assert sorted(ids.values()) == [0, 1, 2]
+
+
+def test_kmeans_matches_oracle(spark, corpus, features):
+    res = kmeans(spark, features, k=3, max_iter=10, seed=42)
+    feats_py = {}
+    expect_w = tfidf_oracle(corpus, stopwords=STOPWORDS)
+    for (d, w), v in expect_w.items():
+        feats_py.setdefault(d, {})[w] = v
+    a_exp, c_exp, sse_exp, it_exp, conv_exp = kmeans_oracle(feats_py, k=3, max_iter=10, seed=42)
+
+    got_assign = {r["doc_id"]: r["cluster"] for r in res.assignments.collect()}
+    assert got_assign == a_exp
+    assert res.iterations == it_exp
+    assert res.converged == conv_exp
+    assert set(res.centroids) == set(c_exp)
+    for c in c_exp:
+        assert set(res.centroids[c]) == set(c_exp[c])
+        for w in c_exp[c]:
+            assert res.centroids[c][w] == pytest.approx(c_exp[c][w], abs=2e-10), (c, w)
+    assert set(res.sse) == set(sse_exp)
+    for c in sse_exp:
+        assert res.sse[c] == pytest.approx(sse_exp[c], rel=1e-9)
+
+
+def test_kmeans_parity_iteration_cap(spark, features):
+    """max_iter=m reproduces the reference's at-most-(m-1) loop (§8 Q4)."""
+    res = kmeans(spark, features, k=3, max_iter=2, seed=42)
+    assert res.iterations <= 1
+    res_honest = kmeans(spark, features, k=3, max_iter=2, seed=42,
+                        parity_max_iter_off_by_one=False)
+    assert res_honest.iterations <= 2
+
+
+def test_kmeans_empty_cluster_shrinks(spark):
+    """Two far groups, k=3 with a seed that lands two centroids in one
+    group: a cluster may end up empty and must vanish (k shrinks), not
+    crash (§2.3)."""
+    rows = [(i, "alpha beta gamma") for i in range(1, 5)] + [
+        (i, "delta epsilon zeta") for i in range(5, 9)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = tfidf_long(df)
+    res = kmeans(spark, feats, k=3, max_iter=6, seed=1)
+    assert len(res.centroids) <= 3
+    clusters_used = {r["cluster"] for r in res.assignments.collect()}
+    assert set(res.centroids) >= clusters_used
