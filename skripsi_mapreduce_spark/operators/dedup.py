@@ -1,0 +1,388 @@
+r"""Deduplication operators for large-scale training-data pipelines.
+
+Five family members, all engine-portable (every hash primitive is md5, so
+the DuckDB oracle can reproduce results bit-for-bit — no engine-specific
+hash functions):
+
+- exact:       hash-groupBy on content digest (D1).
+- minhash+LSH: shingle -> k md5-min signatures -> band-bucket join ->
+               candidate pairs -> exact-Jaccard verify (D2). The LSH
+               band join is the scale path: candidates form only inside
+               a band bucket, never all-pairs.
+- simhash:     64-bit weighted-bit signature from token md5s; near-dups =
+               small Hamming distance.
+- ngram-jaccard: exact all-pairs Jaccard via shared-shingle equi-join
+               (the verification primitive; only ever run on LSH
+               candidates at scale).
+- embedding cosine: see similarity.py (embedding_near_dups).
+
+Everything is built-in DataFrame ops (md5, explode, groupBy, joins) —
+no Python UDFs — so the whole family stays inside whole-stage codegen.
+
+Scale notes: shuffle keys are digests or (band, bucket-hash) — fixed-width,
+never the document text. Shingle explosion multiplies rows by ~|doc|; at
+100 TB the band-bucket groupBy is the big shuffle and it is uniformly
+hash-distributed by construction. Skewed buckets (boilerplate shingles)
+are handled by AQE skew-join; a cheap guard is dropping buckets with
+> ~10k members (boilerplate), standard practice in web-scale dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import TOKEN_PATTERN
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, keep_id, n_copies) for every duplicated content group."""
+    return (
+        df.groupBy(F.md5(text_col).alias("text_hash"))
+        .agg(
+            F.min(id_col).cast("bigint").alias("keep_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Keep one row per duplicate group (first by all-column comparison is
+    nondeterministic in a distributed engine, so: lowest doc_id wins)."""
+    if cols is None:
+        cols = [c for c in df.columns if c != "doc_id"]
+    w = Window.partitionBy(*cols).orderBy("doc_id")
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 1,
+) -> DataFrame:
+    """Distinct word-``size``-gram shingle set per document: (doc_id, shingle)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), F.lit(0)).alias("toks"),
+    )
+    if size <= 1:
+        sh = toks.select("doc_id", F.explode("toks").alias("shingle"))
+    else:
+        # zip consecutive windows: transform over index range
+        idx = F.sequence(F.lit(0), F.greatest(F.size("toks") - size, F.lit(-1)))
+        sh = toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx, lambda i: F.array_join(F.slice("toks", i + 1, size), " ")
+                )
+            ).alias("shingle"),
+        )
+    return sh.distinct()
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(doc_id, i, sig): sig_i = MIN over shingles of md5(i || ':' || shingle).
+
+    md5-of-seeded-string is an engine-portable stand-in for a seeded hash
+    family; MIN over lexicographic hex has the same min-wise property.
+    One explode (x num_hashes) + one partial-aggregated groupBy.
+    """
+    return (
+        sh.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
+            "shingle",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def lsh_bands(sigs: DataFrame, rows_per_band: int = 4) -> DataFrame:
+    """(doc_id, band, band_hash): hash of the ordered signature slice."""
+    banded = sigs.withColumn("band", F.expr(f"i div {rows_per_band}"))
+    return banded.groupBy("doc_id", "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "sig"))), lambda s: s["sig"]
+                ),
+                ",",
+            )
+        ).alias("band_hash")
+    )
+
+
+def minhash_candidates(bands: DataFrame) -> DataFrame:
+    """Candidate pairs: documents sharing any (band, band_hash) bucket.
+
+    Self-join on the bucket key — each bucket is tiny, so the join output
+    is Σ |bucket|² not |docs|²; this is THE reason LSH scales where
+    all-pairs doesn't."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard for candidate pairs (or all pairs sharing >=1 shingle
+    when ``pairs`` is None): (id_a, id_b, jaccard).
+
+    overlap = |A ∩ B| via shared-shingle equi-join; |A|,|B| from per-doc
+    counts; jaccard = o / (|A|+|B|-o)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    if pairs is not None:
+        # Restrict BEFORE the shingle join: intersecting only candidate
+        # pairs keeps the join linear in |candidates|, not quadratic in
+        # docs-per-hot-shingle (the LSH point at scale).
+        sa = pairs.join(sh.withColumnRenamed("doc_id", "id_a"), "id_a").select(
+            "id_a", "id_b", "shingle"
+        )
+        overlap = (
+            sa.join(
+                sh.select(F.col("doc_id").alias("id_b"), "shingle"),
+                ["id_b", "shingle"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("o"))
+        )
+    else:
+        a = sh.alias("sa")
+        b = sh.alias("sb")
+        overlap = (
+            a.join(
+                b,
+                (F.col("sa.shingle") == F.col("sb.shingle"))
+                & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+            )
+            .groupBy(
+                F.col("sa.doc_id").alias("id_a"), F.col("sb.doc_id").alias("id_b")
+            )
+            .agg(F.count("*").alias("o"))
+        )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        overlap.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("o") / (F.col("na") + F.col("nb") - F.col("o"))).alias("jaccard"),
+        )
+    )
+
+
+def _fingerprint_groups(sh: DataFrame) -> DataFrame:
+    """(doc_id, fp, rep): fp = md5 of the sorted shingle SET; rep = the
+    group's min doc_id. Jaccard depends only on the set, so every doc in a
+    group is interchangeable for similarity purposes."""
+    fp = sh.groupBy("doc_id").agg(
+        F.md5(F.array_join(F.array_sort(F.collect_set("shingle")), "")).alias("fp")
+    )
+    reps = fp.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    return fp.join(reps, "fp")
+
+
+def _expand_rep_pairs(rep_pairs: DataFrame, groups: DataFrame) -> DataFrame:
+    """Turn verified representative pairs (rep_a, rep_b, jaccard) into all
+    member-level pairs, ordered (least, greatest)."""
+    ga = groups.select(F.col("rep").alias("rep_a"), F.col("doc_id").alias("xa"))
+    gb = groups.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("xb"))
+    return (
+        rep_pairs.join(ga, "rep_a")
+        .join(gb, "rep_b")
+        .select(
+            F.least("xa", "xb").alias("id_a"),
+            F.greatest("xa", "xb").alias("id_b"),
+            "jaccard",
+        )
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    shingle_size: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cascade: bool = True,
+) -> DataFrame:
+    """Full D2 pipeline: shingle -> minhash -> LSH bucket-join -> exact
+    verify; returns (id_a, id_b, jaccard) with jaccard >= threshold.
+
+    ``cascade=True`` (the 100 TB path) first collapses identical shingle
+    SETS into fingerprint groups and runs LSH + verification on one
+    REPRESENTATIVE per group only, then expands: within-group pairs are
+    jaccard 1.0 by definition; cross-group pairs inherit their
+    representatives' jaccard (the set determines it). Result is
+    row-identical to the brute pipeline, but the quadratic verify work
+    scales with distinct contents, not documents — exactly what saves a
+    web-scale corpus where boilerplate duplicates dominate."""
+    sh = shingles(df, id_col, text_col, shingle_size)
+    if not cascade:
+        cands = minhash_candidates(lsh_bands(minhash_signatures(sh, num_hashes), rows_per_band))
+        return jaccard_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
+
+    groups = _fingerprint_groups(sh).localCheckpoint(eager=False)
+    rep_sh = sh.join(
+        groups.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
+    )
+    cands = minhash_candidates(
+        lsh_bands(minhash_signatures(rep_sh, num_hashes), rows_per_band)
+    )
+    rep_pairs = (
+        jaccard_pairs(rep_sh, cands)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "jaccard")
+    )
+    cross = _expand_rep_pairs(rep_pairs, groups)
+    ga = groups.select("fp", F.col("doc_id").alias("id_a"))
+    gb = groups.select("fp", F.col("doc_id").alias("id_b"))
+    within = (
+        ga.join(gb, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    if threshold > 1.0:
+        return cross
+    return within.unionByName(cross)
+
+
+def ngram_near_dups(
+    df: DataFrame,
+    threshold: float,
+    shingle_size: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs >= threshold, with the same
+    fingerprint-group cascade as minhash_near_dups (all-pairs verify runs
+    on group representatives only)."""
+    sh = shingles(df, id_col, text_col, shingle_size)
+    groups = _fingerprint_groups(sh).localCheckpoint(eager=False)
+    rep_sh = sh.join(
+        groups.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
+    )
+    rep_pairs = (
+        jaccard_pairs(rep_sh)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "jaccard")
+    )
+    cross = _expand_rep_pairs(rep_pairs, groups)
+    ga = groups.select("fp", F.col("doc_id").alias("id_a"))
+    gb = groups.select("fp", F.col("doc_id").alias("id_b"))
+    within = (
+        ga.join(gb, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return within.unionByName(cross)
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, sim_hi, sim_lo) — 64-bit SimHash over the token multiset,
+    stored as two exact 32-bit lanes (all arithmetic stays in exact BIGINT
+    integer division — a double-based 2^b would corrupt low bits past the
+    53-bit mantissa).
+
+    Lane of token t = 32 bits of md5(t) (hex chars 1-8 = hi, 9-16 = lo,
+    parsed with conv). Signature bit b is 1 iff Σ_tokens (2*bit_b(t) - 1)
+    > 0 — the classic Charikar construction, entirely in built-ins:
+    explode(tokens) x explode(bits) -> groupBy sum -> reassemble."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("t"),
+    ).select("doc_id", F.md5("t").alias("h"))
+    lanes = toks.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hi").alias("part"),
+                    F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("lane"),
+                ),
+                F.struct(
+                    F.lit("lo").alias("part"),
+                    F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("lane"),
+                ),
+            )
+        ).alias("pl"),
+    ).select("doc_id", F.col("pl.part").alias("part"), F.col("pl.lane").alias("lane"))
+    per_bit = lanes.select(
+        "doc_id",
+        "part",
+        "lane",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    ).select(
+        "doc_id",
+        "part",
+        "b",
+        (
+            F.when(F.expr("(lane div CAST(pow(2, b) AS BIGINT)) % 2") == 1, 1).otherwise(-1)
+        ).alias("vote"),
+    )
+    sig_bits = per_bit.groupBy("doc_id", "part", "b").agg(F.sum("vote").alias("v"))
+    sigs = sig_bits.groupBy("doc_id", "part").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("CAST(pow(2, b) AS BIGINT)")).otherwise(F.lit(0))
+        ).alias("sig")
+    )
+    return (
+        sigs.groupBy("doc_id")
+        .pivot("part", ["hi", "lo"])
+        .agg(F.first("sig"))
+        .select(
+            "doc_id",
+            F.coalesce("hi", F.lit(0)).alias("sim_hi"),
+            F.coalesce("lo", F.lit(0)).alias("sim_lo"),
+        )
+    )
+
+
+def simhash_near_dups(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs with Hamming distance <= max_hamming over the 64-bit signature.
+
+    At scale: block on bit-slices first (pigeonhole — any pair within
+    Hamming r agrees exactly on at least one of r+1 slices), then run this
+    XOR-popcount verify inside blocks; the all-pairs form here is the
+    verification kernel."""
+    # non-equi self-join -> broadcast nested loop; parallelize the
+    # streamed side explicitly (a small scan is a single partition)
+    npart = sim.sparkSession.sparkContext.defaultParallelism
+    a = sim.repartition(npart).select(
+        F.col("doc_id").alias("id_a"), F.col("sim_hi").alias("ha_hi"), F.col("sim_lo").alias("ha_lo")
+    )
+    b = sim.select(
+        F.col("doc_id").alias("id_b"), F.col("sim_hi").alias("hb_hi"), F.col("sim_lo").alias("hb_lo")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    hamming = F.bit_count(F.col("ha_hi").bitwiseXOR(F.col("hb_hi"))) + F.bit_count(
+        F.col("ha_lo").bitwiseXOR(F.col("hb_lo"))
+    )
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

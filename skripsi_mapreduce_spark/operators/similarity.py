@@ -1,0 +1,205 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths:
+
+- ``topk_cosine``: brute-force exact top-k — broadcast the query vector,
+  per-row dot product via higher-order ``aggregate``/``zip_with`` (JVM
+  codegen, no Python), global TakeOrderedAndProject. This is the baseline
+  and the verifier for approximate paths.
+- ``lsh_topk_cosine``: the scale path — random-hyperplane LSH buckets
+  (deterministic md5-derived hyperplanes so results are reproducible and
+  oracle-checkable), candidate set = rows sharing the query's bucket in
+  any table, exact re-rank inside candidates. At 100 TB the bucketed scan
+  prunes ~(1 - tables/2^bits) of the data per probe; brute force stays
+  available for exhaustive audits.
+
+Determinism: dot products are summed as per-element
+``round(x*y * 1e8) :: BIGINT`` (exact integer arithmetic, order-
+independent, and both engines round doubles half-away-from-zero
+identically) wherever results feed the hash-matched oracle — raw float
+summation order would otherwise differ between engines. Integer folds
+are also ~an order of magnitude cheaper than the decimal-type
+alternative at millions of pairs.
+
+Embedding near-dup (cosine >= threshold pairwise) lives here too since it
+shares the kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1e8  # fixed-point scale for exact cross-engine dot products
+
+
+def _dot_i64(a, b):
+    """Order-independent exact dot product: Σ round(a_i*b_i*1e8) as int64.
+
+    Max |term| ~ 1e8 for unit-ish vectors, so even 10^9-dim sums stay far
+    inside int64 range."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: F.round(x.cast("double") * y.cast("double") * SCALE).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm_i64(a):
+    """sqrt of the fixed-point self-dot, back in real units."""
+    return F.sqrt(_dot_i64(a, a).cast("double") / SCALE)
+
+
+def cosine_col(a, b):
+    """Cosine similarity column between two array<float/double> columns."""
+    return ((_dot_i64(a, b).cast("double") / SCALE) / (_norm_i64(a) * _norm_i64(b))).alias(
+        "cosine"
+    )
+
+
+def _py_norm_i64(vec: list[float]) -> float:
+    """Driver-side twin of _norm_i64: same fixed-point fold, same sqrt.
+    Rounds each double half-away-from-zero via exact Decimal expansion —
+    bit-identical to both engines' ROUND(double)."""
+    import decimal
+    import math
+
+    total = 0
+    for x in vec:
+        total += int(
+            decimal.Decimal(x * x * SCALE).to_integral_value(rounding=decimal.ROUND_HALF_UP)
+        )
+    return math.sqrt(total / SCALE)
+
+
+def topk_cosine(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to ``query_vec``; ties broken by id asc.
+
+    The query vector travels as a literal array (broadcast-equivalent) and
+    its norm is precomputed driver-side (one number — not re-folded per
+    row); ordering + limit plans as TakeOrderedAndProject — each task
+    keeps a k-row heap, no global sort, no full shuffle."""
+    q = F.lit(query_vec).cast("array<double>")
+    qn = _py_norm_i64(query_vec)
+    scored = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(
+            (_dot_i64(F.col(vec_col), q).cast("double") / SCALE)
+            / (_norm_i64(F.col(vec_col)) * F.lit(qn)),
+            6,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
+
+
+def hyperplane_signs(vec_col, dim: int, n_planes: int = 8) -> F.Column:
+    """Deterministic random-hyperplane LSH bucket id (0..2^n_planes-1).
+
+    Hyperplane p, coordinate i has sign +1/-1 from bit parity of
+    md5(p:i) — reproducible in any engine with md5, no RNG state.
+    Bucket bit p = 1 iff Σ_i sign(p,i) * v_i > 0."""
+    bits = []
+    for p in range(n_planes):
+        import hashlib
+
+        signs = [
+            1.0 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest(), 16) % 2 else -1.0
+            for i in range(dim)
+        ]
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col, F.lit(signs).cast("array<double>"), lambda x, s: x.cast("double") * s
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_topk_cosine(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = rows in the query's hyperplane
+    bucket (re-ranked exactly). At scale, write the table bucketed by
+    ``bucket`` so a probe scans one bucket's files only (partition
+    pruning); recall is tuned by n_planes and multi-probe."""
+    import hashlib  # noqa: F401  (signs derived in hyperplane_signs)
+
+    dim = len(query_vec)
+    bucketed = emb.withColumn("bucket", hyperplane_signs(F.col(vec_col), dim, n_planes))
+    # compute the query's bucket driver-side with the same md5 parities
+    qbits = 0
+    for p in range(n_planes):
+        signs = [
+            1.0 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest(), 16) % 2 else -1.0
+            for i in range(dim)
+        ]
+        if sum(s * v for s, v in zip(signs, query_vec)) > 0:
+            qbits += 2**p
+    cands = bucketed.filter(F.col("bucket") == qbits)
+    return topk_cosine(cands, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine >= threshold.
+
+    All-pairs form (the verification kernel). The scale path buckets both
+    sides with hyperplane_signs and joins on bucket equality first —
+    near-identical vectors collide in every plane, so recall for
+    dedup-grade thresholds (>=0.95) is high; then this exact kernel runs
+    inside buckets only.
+
+    Norms are computed ONCE per vector before the pair join (N folds),
+    not per pair (would be 2·N² folds) — per-pair work is the dot product
+    only."""
+    # The pair join is a broadcast nested-loop (no equi key); its
+    # parallelism equals the streamed side's partition count, and a small
+    # parquet scan is ONE partition — repartition so the quadratic work
+    # spreads across the cluster.
+    npart = emb.sparkSession.sparkContext.defaultParallelism
+    with_norm = emb.repartition(npart).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _norm_i64(F.col(vec_col)).alias("_n"),
+    )
+    a = with_norm.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
+    )
+    b = with_norm.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(
+                (_dot_i64(F.col("va"), F.col("vb")).cast("double") / SCALE)
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

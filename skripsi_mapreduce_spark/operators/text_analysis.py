@@ -1,0 +1,132 @@
+r"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure built-in column expressions (regexp, length, array ops, md5) —
+no Python in the hot path, so these run at full scan speed over 100 TB of
+documents and every one of them is reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import TOKEN_PATTERN
+
+# Tiny marker-word lists for the n-gram/stopword language heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "es"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "que"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"]
+
+# A BPE-ish pre-tokenization regex: words, numbers, or single non-space
+# symbols — the standard shape of GPT-2-style pretokenizers, minus the
+# lookahead tricks unavailable in RE2 (keeps the DuckDB oracle exact).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _tokens(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), F.lit(0))
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_ws_tokens, n_bpe_tokens, n_words)."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text).cast("bigint").alias("n_chars"),
+        F.size(F.split(F.trim(text), r"\s+")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.size(_tokens(text)).cast("bigint").alias("n_words"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score in [0,1].
+
+    Features follow the usual web-corpus filters (Gopher/C4-style):
+    document length, mean word length, alphabetic character ratio,
+    punctuation density, stopword ratio."""
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_chars = F.length(text).cast("double")
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()-]", "")).cast("double")
+    n_words = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(F.lit(STOPWORDS_EN), t))).cast(
+        "double"
+    )
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(0.0)
+    mean_word_len = F.when(
+        n_words > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double") / n_words,
+    ).otherwise(0.0)
+    len_score = F.least(n_words / 20.0, F.lit(1.0))
+    wl_score = F.when((mean_word_len >= 3) & (mean_word_len <= 10), 1.0).otherwise(0.5)
+    score = (
+        0.3 * len_score
+        + 0.25 * alpha_ratio
+        + 0.2 * (1.0 - F.least(punct_ratio * 4, F.lit(1.0)))
+        + 0.15 * F.least(stop_ratio * 3, F.lit(1.0))
+        + 0.1 * wl_score
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred, lang_score) — marker-word language heuristic.
+
+    Scores each language by its marker-word count over the token list;
+    argmax wins, ties broken by language code ascending, zero matches ->
+    'und'. CJK is detected first by script range (\\u4e00-\\u9fff density),
+    which needs no tokenization."""
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_words = F.size(toks)
+    def _marker_count(markers: list[str]):
+        arr = F.lit(markers)
+        # single-arg lambda: pyspark treats a second parameter as the
+        # element index, so the marker array must be closed over, not
+        # passed as a defaulted argument.
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: _marker_count(markers) for lang, markers in LANG_MARKERS.items()}
+    n_cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    best_score = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_score <= 0, F.lit("und")).otherwise(pred)
+    pred = F.when(n_cjk * 2 > F.length(text), F.lit("zh")).otherwise(pred)
+    conf = F.when(n_words > 0, best_score.cast("double") / n_words.cast("double")).otherwise(0.0)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        pred.alias("lang_pred"),
+        F.round(conf, 4).alias("lang_score"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, fp) — order-invariant content fingerprint: md5 over the
+    sorted distinct token set. Robust to token reordering and duplicated
+    runs; the cheap first pass before MinHash in a dedup cascade."""
+    toks = _tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("fp"),
+    )

@@ -1,3 +1,4 @@
-"""Declared query plans (SURVEY.md §2.4) and their oracle SQL."""
+"""Declared query plans (SURVEY.md §2.4 + §2.5) and their oracle SQL."""
 
 from .relational import ORACLE, QUERIES  # noqa: F401
+from . import extensions  # noqa: F401  (registers into QUERIES/ORACLE)

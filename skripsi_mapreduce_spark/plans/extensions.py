@@ -1,0 +1,441 @@
+r"""Extension query surface (SURVEY.md §2.5 + training-data operators):
+TF-IDF, dedup family, similarity search, text analysis, K-Means, seq-ids.
+
+Each entry registers into the same QUERIES/ORACLE registries as the
+relational surface. Oracle SQL reproduces the Spark plan bit-for-bit:
+every hash is md5, every cross-engine float hazard is neutralized by
+summing per-element ROUND(x, 8) decimals (exact, order-independent)
+before any sqrt/divide, and outputs are ROUND + DECIMAL-cast.
+
+Note on regex dialects: Spark's tokenizer uses (?U)\b\w\w+\b (Java unicode
+classes); DuckDB's RE2 has no (?U) (its U means ungreedy), so oracles use
+plain \b\w\w+\b — identical behavior on the ASCII-only documents table,
+and the unicode delta is covered by the Python-oracle unit tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import text_analysis as ta
+from ..operators.etl import assign_sequential_ids
+from ..operators.kmeans import kmeans
+from ..operators.tfidf import tokens_long
+from .relational import DEC, ORACLE, QUERIES, query, rnd4
+
+ASCII_TOKEN = r"\b\w\w+\b"
+STOP = ta.STOPWORDS_EN  # the/and/of/to/is/in/that/it
+_STOP_SQL = "(" + ",".join(f"'{w}'" for w in STOP) + ")"
+_STOP_LIST_SQL = "[" + ",".join(f"'{w}'" for w in STOP) + "]"
+
+
+# ---------------------------------------------------------------------------
+# T2: TF-IDF long-form (SURVEY.md §2.2) — hash-matched
+# ---------------------------------------------------------------------------
+@query(
+    "tfidf_longform",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS word
+        FROM documents),
+    filt AS (SELECT doc_id, word FROM toks WHERE word NOT IN {_STOP_SQL}),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM filt GROUP BY 1, 2),
+    dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM filt GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    v AS (SELECT t.doc_id, t.word,
+                 t.tf * (LN((n.n + 1.0) / (d.df + 1.0)) + 1.0) AS v
+          FROM tf t JOIN dfreq d USING (word) CROSS JOIN n),
+    nrm AS (SELECT doc_id,
+                   SQRT(CAST(SUM(CAST(ROUND(v * v, 8) AS DECIMAL(30,8))) AS DOUBLE)) AS nrm
+            FROM v GROUP BY doc_id)
+    SELECT v.doc_id, v.word,
+           CAST(ROUND(v.v / nrm.nrm, 4) AS DECIMAL(20,4)) AS weight
+    FROM v JOIN nrm USING (doc_id)
+    ORDER BY doc_id, word
+    """,
+)
+def tfidf_longform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF over documents (reference pipeline T2,
+    ReducerExtractFeatureTFIDF.java:54-80) with an order-independent
+    decimal-summed L2 norm so the oracle hash is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = tokens_long(docs, stopwords=STOP)
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    idf = (F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)).alias(
+        "idf"
+    )
+    v = tf.join(F.broadcast(dfreq.select("word", idf)), "word").withColumn(
+        "v", F.col("tf") * F.col("idf")
+    )
+    nrm = v.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("v") * F.col("v"), 8).cast("decimal(30,8)")).cast("double")
+        ).alias("nrm")
+    )
+    return (
+        v.join(nrm, "doc_id")
+        .select("doc_id", "word", rnd4(F.col("v") / F.col("nrm")).alias("weight"))
+        .orderBy("doc_id", "word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2: MinHash + LSH near-dedup — hash-matched end to end
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_minhash",
+    rf"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS shingle
+        FROM documents),
+    hx AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
+           FROM sh CROSS JOIN range(16) r(i) GROUP BY doc_id, i),
+    bands AS (SELECT doc_id, i // 4 AS band,
+                     md5(string_agg(sig, ',' ORDER BY i)) AS band_hash
+              FROM hx GROUP BY doc_id, i // 4),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    ov AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS o
+           FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+           GROUP BY 1, 2),
+    j AS (SELECT c.id_a, c.id_b, ov.o * 1.0 / (x.n + y.n - ov.o) AS jac
+          FROM cand c JOIN ov USING (id_a, id_b)
+          JOIN sizes x ON x.doc_id = c.id_a JOIN sizes y ON y.doc_id = c.id_b)
+    SELECT id_a, id_b, CAST(ROUND(jac, 4) AS DECIMAL(20,4)) AS jaccard
+    FROM j WHERE jac >= 0.8 ORDER BY id_a, id_b
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shingle -> 16 md5-min signatures -> 4x4 LSH bands -> bucket join ->
+    exact-Jaccard verify at 0.8 (operators/dedup.py D2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dd.minhash_near_dups(docs, threshold=0.8, num_hashes=16, rows_per_band=4)
+    return out.select(
+        "id_a", "id_b", rnd4(F.col("jaccard")).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard all-pairs (the verify kernel as its own operator)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, w, i FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS w,
+                   generate_subscripts(regexp_extract_all(lower(text), '{ASCII_TOKEN}'), 1) AS i
+            FROM documents) t),
+    sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS shingle
+           FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    ov AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS o
+           FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+           GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(ROUND(o * 1.0 / (x.n + y.n - o), 4) AS DECIMAL(20,4)) AS jaccard
+    FROM ov JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
+    WHERE o * 1.0 / (x.n + y.n - o) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard >= 0.3 over all pairs sharing a shingle."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dd.ngram_near_dups(docs, threshold=0.3, shingle_size=2)
+    return out.select("id_a", "id_b", rnd4(F.col("jaccard")).alias("jaccard")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs — hash-matched (exact integer bit math)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_simhash",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS t
+        FROM documents),
+    h AS (SELECT doc_id, md5(t) AS hh FROM toks),
+    lanes AS (
+        SELECT doc_id, p.part,
+               CAST('0x' || CASE WHEN p.part = 'hi' THEN substr(hh, 1, 8)
+                                 ELSE substr(hh, 9, 8) END AS BIGINT) AS lane
+        FROM h CROSS JOIN (VALUES ('hi'), ('lo')) p(part)),
+    bitsv AS (
+        SELECT doc_id, part, b,
+               SUM(CASE WHEN (lane // CAST(pow(2, b) AS BIGINT)) % 2 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM lanes CROSS JOIN range(32) r(b) GROUP BY 1, 2, 3),
+    sigs AS (SELECT doc_id, part,
+                    SUM(CASE WHEN v > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS sig
+             FROM bitsv GROUP BY 1, 2),
+    wide AS (SELECT doc_id,
+                    MAX(CASE WHEN part = 'hi' THEN sig END) AS sim_hi,
+                    MAX(CASE WHEN part = 'lo' THEN sig END) AS sim_lo
+             FROM sigs GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS INTEGER) AS hamming
+    FROM wide a JOIN wide b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= 8
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash pairs within Hamming distance 8."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dd.simhash64(docs)
+    return dd.simhash_near_dups(sig, max_hamming=8).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# S1: brute-force cosine top-k — hash-matched
+# ---------------------------------------------------------------------------
+_SIM_ORACLE = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    ex AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+    qx AS (SELECT unnest(qv) AS qxv, generate_subscripts(qv, 1) AS i FROM q),
+    dots AS (SELECT vec_id,
+                    SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(qxv AS DOUBLE) * 100000000.0) AS BIGINT)) AS dot
+             FROM ex JOIN qx USING (i) GROUP BY vec_id),
+    nrms AS (SELECT vec_id,
+                    SQRT(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 100000000.0) AS BIGINT)) AS DOUBLE) / 100000000.0) AS nrm
+             FROM ex GROUP BY vec_id),
+    qn AS (SELECT SQRT(CAST(SUM(CAST(ROUND(CAST(qxv AS DOUBLE) * CAST(qxv AS DOUBLE) * 100000000.0) AS BIGINT)) AS DOUBLE) / 100000000.0) AS qnrm
+           FROM qx)
+    SELECT d.vec_id,
+           CAST(ROUND((CAST(d.dot AS DOUBLE) / 100000000.0) / (n.nrm * qn.qnrm), 6) AS DECIMAL(20,6)) AS score
+    FROM dots d JOIN nrms n USING (vec_id) CROSS JOIN qn
+    ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+@query("sim_topk_cosine", _SIM_ORACLE)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 to the vec_id=0 embedding (ties: vec_id asc)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    out = sim.topk_cosine(emb, qvec, k=10)
+    return out.select("vec_id", F.col("score").cast("decimal(20,6)").alias("score"))
+
+
+@query("sim_topk_lsh")  # rows-only: approximate path, verified in pytest vs brute force
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-bucketed approximate top-10 (scale path for S1)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    out = sim.lsh_topk_cosine(emb, qvec, k=10, n_planes=4)
+    return out.select("vec_id", F.col("score").cast("decimal(20,6)").alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup pairs — hash-matched
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH ex AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+                FROM embeddings),
+    dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    SUM(CAST(ROUND(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) * 100000000.0) AS BIGINT)) AS dot
+             FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+             GROUP BY 1, 2),
+    nrms AS (SELECT vec_id,
+                    SQRT(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 100000000.0) AS BIGINT)) AS DOUBLE) / 100000000.0) AS nrm
+             FROM ex GROUP BY vec_id)
+    SELECT d.id_a, d.id_b,
+           CAST(ROUND((CAST(d.dot AS DOUBLE) / 100000000.0) / (na.nrm * nb.nrm), 6) AS DECIMAL(20,6)) AS cosine
+    FROM dots d JOIN nrms na ON na.vec_id = d.id_a JOIN nrms nb ON nb.vec_id = d.id_b
+    WHERE ROUND((CAST(d.dot AS DOUBLE) / 100000000.0) / (na.nrm * nb.nrm), 6) >= 0.95
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs at cosine >= 0.95."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.embedding_near_dups(emb, threshold=0.95)
+    return out.select(
+        "id_a", "id_b", F.col("cosine").cast("decimal(20,6)").alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis family — hash-matched
+# ---------------------------------------------------------------------------
+@query(
+    "ta_token_stats",
+    rf"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(LEN(regexp_extract_all(text, '{ta.BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(LEN(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS BIGINT) AS n_words
+    FROM documents ORDER BY doc_id
+    """,
+)
+def ta_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ta.token_stats(docs).orderBy("doc_id")
+
+
+@query(
+    "ta_quality",
+    rf"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+               CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+               CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS n_punct,
+               regexp_extract_all(lower(text), '{ASCII_TOKEN}') AS toks
+        FROM documents),
+    g AS (
+        SELECT doc_id, n_chars, n_alpha, n_punct,
+               CAST(LEN(toks) AS DOUBLE) AS n_words,
+               CAST(LEN(list_filter(toks, t -> list_contains({_STOP_LIST_SQL}, t))) AS DOUBLE) AS n_stop,
+               CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS DOUBLE) AS sum_len
+        FROM f),
+    r AS (
+        SELECT doc_id,
+               CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+               CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+               CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END AS stop_ratio,
+               CASE WHEN n_words > 0 THEN sum_len / n_words ELSE 0.0 END AS mean_word_len,
+               LEAST(n_words / 20.0, 1.0) AS len_score,
+               n_words
+        FROM g)
+    SELECT doc_id,
+           CAST(ROUND(alpha_ratio, 4) AS DECIMAL(20,4)) AS alpha_ratio,
+           CAST(ROUND(punct_ratio, 4) AS DECIMAL(20,4)) AS punct_ratio,
+           CAST(ROUND(stop_ratio, 4) AS DECIMAL(20,4)) AS stop_ratio,
+           CAST(ROUND(mean_word_len, 4) AS DECIMAL(20,4)) AS mean_word_len,
+           CAST(ROUND(
+               0.3 * len_score
+               + 0.25 * alpha_ratio
+               + 0.2 * (1.0 - LEAST(punct_ratio * 4, 1.0))
+               + 0.15 * LEAST(stop_ratio * 3, 1.0)
+               + 0.1 * (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 1.0 ELSE 0.5 END),
+               4) AS DECIMAL(20,4)) AS quality
+    FROM r ORDER BY doc_id
+    """,
+)
+def ta_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = ta.quality_score(docs)
+    return q.select(
+        "doc_id",
+        *[F.col(c).cast(DEC).alias(c) for c in ["alpha_ratio", "punct_ratio", "stop_ratio", "mean_word_len", "quality"]],
+    ).orderBy("doc_id")
+
+
+def _markers_sql(lang: str) -> str:
+    return "[" + ",".join(f"'{w}'" for w in ta.LANG_MARKERS[lang]) + "]"
+
+
+@query(
+    "ta_langid",
+    rf"""
+    WITH f AS (
+        SELECT doc_id, text, regexp_extract_all(lower(text), '{ASCII_TOKEN}') AS toks
+        FROM documents),
+    s AS (
+        SELECT doc_id, text, CAST(LEN(toks) AS DOUBLE) AS n_words,
+               LEN(list_filter(toks, t -> list_contains({_markers_sql('en')}, t))) AS s_en,
+               LEN(list_filter(toks, t -> list_contains({_markers_sql('es')}, t))) AS s_es,
+               LEN(list_filter(toks, t -> list_contains({_markers_sql('de')}, t))) AS s_de,
+               LEN(list_filter(toks, t -> list_contains({_markers_sql('fr')}, t))) AS s_fr,
+               LENGTH(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_cjk
+        FROM f),
+    b AS (SELECT *, GREATEST(s_en, s_es, s_de, s_fr) AS best FROM s)
+    SELECT doc_id,
+           CASE WHEN n_cjk * 2 > LENGTH(text) THEN 'zh'
+                WHEN best <= 0 THEN 'und'
+                WHEN s_de = best THEN 'de'
+                WHEN s_en = best THEN 'en'
+                WHEN s_es = best THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           CAST(ROUND(CASE WHEN n_words > 0 THEN best / n_words ELSE 0.0 END, 4) AS DECIMAL(20,4)) AS lang_score
+    FROM b ORDER BY doc_id
+    """,
+)
+def ta_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = ta.lang_id(docs)
+    return out.select(
+        "doc_id", "lang_pred", F.col("lang_score").cast(DEC).alias("lang_score")
+    ).orderBy("doc_id")
+
+
+@query(
+    "ta_fingerprint",
+    rf"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               regexp_extract_all(lower(text), '{ASCII_TOKEN}'))), ' ')) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ta.fingerprint(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Sequential id assignment (O10/O11) vs ROW_NUMBER oracle
+# ---------------------------------------------------------------------------
+@query(
+    "etl_sequential_ids",
+    """
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS seq_id
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def etl_sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's single-reducer counter (ReducerExtractTransform.java:
+    34-48) as a range-partitioned two-phase rank — same result as a global
+    ROW_NUMBER, no single-partition bottleneck."""
+    o = load_table(spark, sf_dir, "orders")
+    out = assign_sequential_ids(
+        o.select("o_orderkey", "o_orderdate"), ["o_orderdate", "o_orderkey"], id_col="seq_id"
+    )
+    return out.select("o_orderkey", F.col("seq_id").cast("bigint").alias("seq_id")).orderBy(
+        "o_orderkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# T3: K-Means cluster summary (iterative — rows-only check; exact parity vs
+# the Python oracle is pinned in tests/test_kmeans.py)
+# ---------------------------------------------------------------------------
+@query("kmeans_documents")
+def kmeans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Means (k=5, m=5, seed=42) over documents TF-IDF; returns the
+    per-cluster summary (cluster, n_members, sse)."""
+    from ..operators.tfidf import tfidf_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = tfidf_long(docs, stopwords=STOP)
+    res = kmeans(spark, feats, k=5, max_iter=5, seed=42)
+    sizes = res.assignments.groupBy("cluster").agg(F.count("*").cast("bigint").alias("n_members"))
+    sse_rows = [(c, float(s)) for c, s in sorted(res.sse.items())]
+    sse_df = spark.createDataFrame(sse_rows, "cluster int, sse double")
+    return (
+        sizes.join(sse_df, "cluster")
+        .select("cluster", "n_members", rnd4(F.col("sse")).alias("sse"))
+        .orderBy("cluster")
+    )
+
+
+__all__ = ["QUERIES", "ORACLE"]

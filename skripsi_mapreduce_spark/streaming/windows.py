@@ -1,0 +1,107 @@
+"""Streaming windows over the events table (extension ST1).
+
+The reference is pure batch (SURVEY.md §2.5) — this module is the
+engine's streaming extension, designed so every streaming aggregation has
+a batch twin in plans/relational.py (Q27 tumbling, Q28 sessionization)
+and the two are asserted equal in tests/test_streaming.py via a
+file-source replay into a memory sink.
+
+Watermark/late-data policy (declared): ``withWatermark(ts, '1 hour')``;
+rows later than the watermark are dropped. On a real cluster the source
+would be Kafka; the transformations are source-agnostic, so tests replay
+the same parquet files through ``readStream``.
+
+Scale notes: state for the tumbling window is (window x event_type) —
+bounded and tiny. Session windows keep per-user open sessions; the
+watermark bounds state retention, and ``session_window`` merges are
+handled by Spark's state store (RocksDB-backed on a cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (see io.load_table)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream (file source replay of the parquet).
+
+    The nanosecond-timestamp conversion mirrors io.load_table so the
+    streaming and batch inputs are identical row-for-row."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        # file stream source wants a directory; select just the events file
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """1-hour tumbling window x event_type: count + sum(value) — the
+    streaming twin of Q27 (same grouping keys, same aggregates)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(20,4)")), 4)
+            .cast("decimal(20,4)")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("hour_epoch"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """session_window(ts, gap) per user — the streaming twin of Q28.
+
+    Emits one row per closed session; per-user session counts are the
+    batch-comparable projection."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("session_start"),
+            F.unix_timestamp(F.col("w.end")).cast("bigint").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory_sink(df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming aggregation over all available input synchronously
+    and return the sink contents as a batch DataFrame (test/audit path)."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,195 @@
+"""Dedup + similarity operators vs independent Python oracles
+(hypothesis properties per SURVEY.md §5.2 item 4) and the multimodal
+plumbing round-trip."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from skripsi_mapreduce_spark.operators import dedup as dd
+from skripsi_mapreduce_spark.operators import multimodal as mm
+from skripsi_mapreduce_spark.operators import similarity as sim
+
+from .conftest import SF_DIR
+
+TOKEN_RE = re.compile(r"\b\w\w+\b")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),  # exact dup of 1
+        (3, "alpha beta gamma delta zeta"),  # near dup of 1 (4/6)
+        (4, "one two three four five six"),
+        (5, "totally different words entirely here"),
+        (6, "alpha beta gamma delta epsilon extra"),  # near dup (5/6)
+    ]
+    return rows
+
+
+def _py_minhash_pairs(rows, threshold, num_hashes=16, rows_per_band=4):
+    shingle = {d: set(t.lower().split()) for d, t in rows}
+    sigs = {}
+    for d, sh in shingle.items():
+        sigs[d] = [
+            min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh)
+            for i in range(num_hashes)
+        ]
+    cands = set()
+    ids = sorted(shingle)
+    for a in ids:
+        for b in ids:
+            if a < b:
+                for band in range(num_hashes // rows_per_band):
+                    sl = slice(band * rows_per_band, (band + 1) * rows_per_band)
+                    if sigs[a][sl] == sigs[b][sl]:
+                        cands.add((a, b))
+                        break
+    out = {}
+    for a, b in cands:
+        inter = len(shingle[a] & shingle[b])
+        jac = inter / len(shingle[a] | shingle[b])
+        if jac >= threshold:
+            out[(a, b)] = jac
+    return out
+
+
+def test_exact_dup_groups(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = dd.exact_duplicate_groups(df).collect()
+    assert len(got) == 1
+    assert got[0]["keep_id"] == 1 and got[0]["n_copies"] == 2
+
+
+def test_dedup_exact_keeps_lowest_id(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dd.dedup_exact(df, ["text"])
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4, 5, 6]
+
+
+def test_minhash_matches_python(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.minhash_near_dups(df, threshold=0.5).collect()
+    }
+    expect = _py_minhash_pairs(docs, threshold=0.5)
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k])
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+
+
+def test_jaccard_pairs_exact(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = dd.shingles(df, size=1)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in dd.jaccard_pairs(sh).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == pytest.approx(4 / 6)
+    assert got[(1, 6)] == pytest.approx(5 / 6)
+    assert (1, 4) not in got  # no shared shingles
+
+
+def test_simhash_identical_and_near(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = dd.simhash64(df)
+    rows = {r["doc_id"]: (r["sim_hi"], r["sim_lo"]) for r in sigs.collect()}
+    assert rows[1] == rows[2]  # identical docs -> identical signature
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_near_dups(sigs, max_hamming=64).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] <= pairs.get((1, 5), 64)  # near-dup closer than unrelated
+
+
+def _py_cosine(a, b):
+    dot = sum(round(x * y, 8) for x, y in zip(a, b))
+    na = math.sqrt(sum(round(x * x, 8) for x in a))
+    nb = math.sqrt(sum(round(x * x, 8) for x in b))
+    return dot / (na * nb)
+
+
+def test_topk_matches_numpy_oracle(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    q = rows[0]
+    scored = sorted(
+        ((round(_py_cosine(v, q), 6), -vid) for vid, v in rows.items()), reverse=True
+    )
+    expect = [(-nid, s) for s, nid in scored[:10]]
+    got = [(r["vec_id"], float(r["score"])) for r in sim.topk_cosine(emb, q, k=10).collect()]
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for g, e in zip(got, expect):
+        assert g[1] == pytest.approx(e[1], abs=2e-6)
+
+
+def test_lsh_topk_self_hit_and_subset(spark):
+    """LSH top-k must contain the query itself (cosine 1.0) and be a
+    subset of the brute-force ranking by construction."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    got = [r["vec_id"] for r in sim.lsh_topk_cosine(emb, q, k=10, n_planes=4).collect()]
+    assert 0 in got
+    brute = [r["vec_id"] for r in sim.topk_cosine(emb, q, k=500).collect()]
+    assert set(got) <= set(brute)
+
+
+def test_embedding_near_dups_self_excluded_symmetric(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50)
+    out = sim.embedding_near_dups(emb, threshold=-1.0)  # all pairs
+    rows = out.collect()
+    n = emb.count()
+    assert len(rows) == n * (n - 1) // 2
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_multimodal_image_features(spark):
+    media = mm.synthetic_media(spark, n=30)
+    feats = mm.extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == media.filter(F.col("kind") == "image").count()
+    for r in rows:
+        assert r["n_bytes"] > 0
+        assert len(r["content_hash"]) == 32
+        assert len(r["feature"]) == 8
+        assert 0.0 <= r["mean_luma"] <= 1.0
+
+
+def test_multimodal_audio_and_frames(spark):
+    media = mm.synthetic_media(spark, n=30)
+    audio = mm.extract_audio_features(media).collect()
+    assert all(a["rms"] >= 0 for a in audio)
+    frames = mm.sample_frames(media, every_n=2, max_frames=3).collect()
+    assert frames, "no frames sampled"
+    per_media = {}
+    for fr in frames:
+        per_media.setdefault(fr["media_id"], []).append(fr["frame_idx"])
+        assert hashlib.md5(bytes(fr["frame_bytes"])).hexdigest() == fr["frame_hash"]
+    for idxs in per_media.values():
+        assert idxs == sorted(idxs) and len(idxs) <= 3
+
+
+def test_media_roundtrip_binary_struct(spark, tmp_path):
+    """M1 contract: binary + nested struct columns survive a parquet
+    round-trip bit-for-bit."""
+    media = mm.synthetic_media(spark, n=12)
+    p = str(tmp_path / "media.parquet")
+    media.write.mode("overwrite").parquet(p)
+    back = spark.read.parquet(p)
+    a = sorted(
+        (r["media_id"], bytes(r["content"]), r["meta"]["mime"]) for r in media.collect()
+    )
+    b = sorted(
+        (r["media_id"], bytes(r["content"]), r["meta"]["mime"]) for r in back.collect()
+    )
+    assert a == b

@@ -1,0 +1,126 @@
+"""Streaming = batch equivalence (SURVEY.md §5.2 item 5): the streaming
+windows replayed over the events files must equal their batch twins (Q27 /
+Q28), and late rows beyond the watermark must be dropped."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skripsi_mapreduce_spark.plans import QUERIES
+from skripsi_mapreduce_spark.streaming.windows import (
+    run_to_memory_sink,
+    sessionized_counts,
+    stream_events,
+    tumbling_counts,
+)
+
+from .conftest import SF_DIR
+
+
+def test_tumbling_stream_equals_batch(spark):
+    ev = stream_events(spark, SF_DIR)
+    got = run_to_memory_sink(tumbling_counts(ev), "t_tumbling")
+    batch = QUERIES["q27_tumbling_window"](spark, SF_DIR)
+    g = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert g == b
+
+
+def test_session_stream_equals_batch_session_count(spark):
+    ev = stream_events(spark, SF_DIR)
+    got = run_to_memory_sink(sessionized_counts(ev), "t_sessions")
+    per_user = got.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n_sessions"))
+    batch = QUERIES["q28_sessionization"](spark, SF_DIR)
+    g = sorted(tuple(r) for r in per_user.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert g == b
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Replay a two-file sequence where the second file's rows are older
+    than the watermark horizon established by the first; the late rows
+    must not appear in the result (append mode emits only closed,
+    on-time windows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(path, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] * 1_000_000_000 for r in rows], pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    base = 1_700_000_000  # arbitrary epoch
+    d = tmp_path / "stream"
+    d.mkdir()
+    import time as _time
+
+    # file 1: events at t=0h and t=6h -> watermark will advance to 5h
+    write(str(d / "part1.parquet"), [(1, base, 1, "a", 1.0), (2, base + 6 * 3600, 1, "a", 1.0)])
+    _time.sleep(1.1)  # distinct mtimes => deterministic file order
+    # file 2: an on-time row; during this batch the hour-0 window (end 1h
+    # < watermark 5h) is finalized, emitted with n=1, and evicted
+    write(str(d / "part2.parquet"), [(5, base + 6 * 3600 + 900, 1, "a", 1.0)])
+    _time.sleep(1.1)
+    # file 3: a late event back at t=0h30 — behind the watermark AND its
+    # window state already evicted => guaranteed dropped
+    write(
+        str(d / "part3.parquet"),
+        [(3, base + 1800, 1, "a", 1.0), (4, base + 6 * 3600 + 1800, 1, "a", 1.0)],
+    )
+
+    from skripsi_mapreduce_spark.streaming.windows import EVENTS_SCHEMA
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(d))
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = tumbling_counts(ev, watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM t_late").collect()
+    hour0 = base - (base % 3600)
+    hour0_rows = [(r["hour_epoch"], r["n"]) for r in rows if r["hour_epoch"] == hour0]
+    # the hour-0 window closed with ONLY the on-time event; the late row
+    # (event 3) was dropped and the window never re-emitted
+    assert hour0_rows == [(hour0, 1)]
+
+
+def test_tumbling_stream_at_sf001_runs_incrementally(spark):
+    """Smoke: the streaming query planner accepts the aggregation in
+    append mode with watermark (state cleanup eligible)."""
+    ev = stream_events(spark, SF_DIR)
+    agg = tumbling_counts(ev)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    assert spark.sql("SELECT COUNT(*) c FROM t_append").head()["c"] >= 0
