@@ -1,0 +1,166 @@
+"""User-facing engine facade — the namespaced API surface declared in
+SURVEY.md §2.5 (engine.text.*, engine.cluster.*, engine.dedup.*,
+engine.sim.*, engine.stream.*), thin delegation over the operator modules.
+
+    from skripsi_mapreduce_spark.api import Engine
+    eng = Engine()                       # or Engine(spark)
+    toks  = eng.text.tokenize(df, "text", stopwords=[...])
+    feats = eng.text.tfidf(df, stopwords=[...])
+    res   = eng.cluster.kmeans(feats, k=8, max_iter=10, seed=42)
+    dups  = eng.dedup.minhash(docs, threshold=0.8)
+    top   = eng.sim.topk(emb, query_vec, k=10)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import get_spark
+
+
+class _Text:
+    def __init__(self, eng: "Engine"):
+        self._eng = eng
+
+    def tokenize(self, df: DataFrame, text_col: str, stopwords=None, vocab=None,
+                 out_col: str = "tokens") -> DataFrame:
+        from .functions.text import tokenize_col
+
+        return df.withColumn(out_col, tokenize_col(text_col, stopwords, vocab))
+
+    def tfidf(self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+              **kw) -> DataFrame:
+        from .operators.tfidf import tfidf_long
+
+        return tfidf_long(df, id_col=id_col, text_col=text_col, **kw)
+
+    def token_stats(self, df: DataFrame, **kw) -> DataFrame:
+        from .operators.text_analysis import token_stats
+
+        return token_stats(df, **kw)
+
+    def quality(self, df: DataFrame, **kw) -> DataFrame:
+        from .operators.text_analysis import quality_score
+
+        return quality_score(df, **kw)
+
+    def lang_id(self, df: DataFrame, **kw) -> DataFrame:
+        from .operators.text_analysis import lang_id
+
+        return lang_id(df, **kw)
+
+    def fingerprint(self, df: DataFrame, **kw) -> DataFrame:
+        from .operators.text_analysis import fingerprint
+
+        return fingerprint(df, **kw)
+
+
+class _Cluster:
+    def __init__(self, eng: "Engine"):
+        self._eng = eng
+
+    def kmeans(self, features: DataFrame, k: int, max_iter: int, seed: int = 42, **kw):
+        from .operators.kmeans import kmeans
+
+        return kmeans(self._eng.spark, features, k=k, max_iter=max_iter, seed=seed, **kw)
+
+
+class _Dedup:
+    def __init__(self, eng: "Engine"):
+        self._eng = eng
+
+    def exact(self, df: DataFrame, cols=None) -> DataFrame:
+        from .operators.dedup import dedup_exact
+
+        return dedup_exact(df, cols)
+
+    def exact_groups(self, df: DataFrame, **kw) -> DataFrame:
+        from .operators.dedup import exact_duplicate_groups
+
+        return exact_duplicate_groups(df, **kw)
+
+    def minhash(self, df: DataFrame, threshold: float = 0.8, **kw) -> DataFrame:
+        from .operators.dedup import minhash_near_dups
+
+        return minhash_near_dups(df, threshold=threshold, **kw)
+
+    def ngram_jaccard(self, df: DataFrame, threshold: float, **kw) -> DataFrame:
+        from .operators.dedup import ngram_near_dups
+
+        return ngram_near_dups(df, threshold=threshold, **kw)
+
+    def simhash(self, df: DataFrame, **kw) -> DataFrame:
+        from .operators.dedup import simhash64
+
+        return simhash64(df, **kw)
+
+    def simhash_pairs(self, sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+        from .operators.dedup import simhash_near_dups
+
+        return simhash_near_dups(sigs, max_hamming)
+
+    def embedding_cosine(self, emb: DataFrame, threshold: float = 0.99, **kw) -> DataFrame:
+        from .operators.similarity import embedding_near_dups
+
+        return embedding_near_dups(emb, threshold=threshold, **kw)
+
+
+class _Sim:
+    def __init__(self, eng: "Engine"):
+        self._eng = eng
+
+    def topk(self, emb: DataFrame, query_vec, k: int = 10, **kw) -> DataFrame:
+        from .operators.similarity import topk_cosine
+
+        return topk_cosine(emb, list(query_vec), k=k, **kw)
+
+    def topk_lsh(self, emb: DataFrame, query_vec, k: int = 10, n_planes: int = 8, **kw) -> DataFrame:
+        from .operators.similarity import lsh_topk_cosine
+
+        return lsh_topk_cosine(emb, list(query_vec), k=k, n_planes=n_planes, **kw)
+
+
+class _Stream:
+    def __init__(self, eng: "Engine"):
+        self._eng = eng
+
+    def events(self, sf_dir: str) -> DataFrame:
+        from .streaming.windows import stream_events
+
+        return stream_events(self._eng.spark, sf_dir)
+
+    def tumbling(self, events: DataFrame, **kw) -> DataFrame:
+        from .streaming.windows import tumbling_counts
+
+        return tumbling_counts(events, **kw)
+
+    def sessions(self, events: DataFrame, **kw) -> DataFrame:
+        from .streaming.windows import sessionized_counts
+
+        return sessionized_counts(events, **kw)
+
+
+class Engine:
+    """Facade bundling the engine's operator namespaces over one session."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+        self.text = _Text(self)
+        self.cluster = _Cluster(self)
+        self.dedup = _Dedup(self)
+        self.sim = _Sim(self)
+        self.stream = _Stream(self)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def table(self, sf_dir: str, name: str) -> DataFrame:
+        from .io import load_table
+
+        return load_table(self.spark, sf_dir, name)
+
+    def register_views(self, sf_dir: str) -> None:
+        from .io import register_views
+
+        register_views(self.spark, sf_dir)

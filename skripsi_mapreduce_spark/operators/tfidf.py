@@ -73,18 +73,43 @@ def tfidf_long(
     vocab: Iterable[str] | None = None,
     n_docs: int | None = None,
     round_dp: int = 6,
+    min_df: int | None = None,
+    max_df: int | float | None = None,
+    max_features: int | None = None,
 ) -> DataFrame:
     """L2-normalized TF-IDF, long-form sparse: ``(doc_id, word, weight)``.
 
     ``n_docs`` is the corpus size N (the reference publishes it via a WebHDFS
     side file, App.java:70-91 O14; here it is either passed by the caller or
     computed with one ``count()``).
+
+    ``min_df`` / ``max_df`` / ``max_features`` implement the vocabulary
+    pruning flags the reference's launcher passes but App.java never
+    defines (run-job.sh:30 vs App.java:40-46 — SURVEY.md §8 Q7), with
+    sklearn semantics: min_df is an absolute doc count, max_df may be a
+    ratio (float) or count, max_features keeps the top-N words by corpus
+    document frequency (ties: word ascending, so pruning is deterministic).
     """
     if n_docs is None:
         n_docs = df.count()
     toks = tokens_long(df, id_col, text_col, stopwords, vocab)
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    idf = document_frequency(toks, n_docs).select("word", "idf")
+    dfreq_full = document_frequency(toks, n_docs)
+    if min_df is not None:
+        dfreq_full = dfreq_full.filter(F.col("df") >= int(min_df))
+    if max_df is not None:
+        cap = int(max_df * n_docs) if isinstance(max_df, float) else int(max_df)
+        dfreq_full = dfreq_full.filter(F.col("df") <= cap)
+    if max_features is not None:
+        w = Window.orderBy(F.col("df").desc(), F.col("word"))
+        # |vocab| rows only — the global window runs over the small df
+        # table, never the corpus.
+        dfreq_full = (
+            dfreq_full.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= int(max_features))
+            .drop("_rk")
+        )
+    idf = dfreq_full.select("word", "idf")
     # idf table is |vocab|-sized -> broadcast (the O20 cache-join, minus the
     # per-task on-heap copy of the whole table).
     v = tf.join(F.broadcast(idf), "word").withColumn("v", F.col("tf") * F.col("idf"))

@@ -1,0 +1,107 @@
+"""CLI three-stage pipeline end-to-end, vocabulary pruning flags, the
+Engine facade, and source readers."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from skripsi_mapreduce_spark.api import Engine
+from skripsi_mapreduce_spark.operators.tfidf import tfidf_long
+from skripsi_mapreduce_spark.sources.readers import avro_available, read_any, read_json_lines
+
+STOP = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+@pytest.fixture(scope="module")
+def reviews_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cli") / "reviews.json"
+    rows = [
+        {"reviewerID": f"u{i:02d}", "asin": f"B{i % 5:02d}", "reviewerName": f"n{i}",
+         "reviewText": f"this is a good book number {i} " + ("great " * (i % 3))}
+        for i in range(40)
+    ]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def wordlists(tmp_path_factory):
+    d = tmp_path_factory.mktemp("lists")
+    (d / "adj.txt").write_text("good\ngreat\nbad\n")
+    (d / "stop.txt").write_text("\n".join(STOP) + "\n")
+    return str(d / "adj.txt"), str(d / "stop.txt")
+
+
+def test_cli_three_stages(spark, tmp_path, reviews_path, wordlists, capsys):
+    from skripsi_mapreduce_spark.cli import main
+
+    adj, stop = wordlists
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    assert main(["-a", "1", "-i", reviews_path, "-o", out,
+                 "--adjectives", adj, "--stopwords", stop]) == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["documents"] == 40
+    assert main(["-a", "2", "-o", out, "-k", "3"]) == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["n_docs"] == 40 and s2["feature_rows"] > 0
+    assert main(["-a", "3", "-o", out, "-k", "3", "-m", "5"]) == 0
+    s3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s3["iterations"] >= 1
+    clusters = spark.read.parquet(os.path.join(out, "clusters"))
+    assert clusters.count() == 40
+    assert set(clusters.columns) == {"doc_id", "cluster", "dist2"}
+
+
+def test_vocab_pruning_flags(spark):
+    rows = [(1, "aa bb cc dd"), (2, "aa bb cc"), (3, "aa bb"), (4, "aa")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    words = lambda out: {r["word"] for r in out.collect()}
+    assert words(tfidf_long(df, min_df=3)) == {"aa", "bb"}
+    assert words(tfidf_long(df, min_df=2)) == {"aa", "bb", "cc"}
+    assert words(tfidf_long(df, max_df=2)) == {"cc", "dd"}
+    assert words(tfidf_long(df, max_df=0.5)) == {"cc", "dd"}
+    assert words(tfidf_long(df, max_features=2)) == {"aa", "bb"}
+    # deterministic tie-break: bb and cc tie at df=2 with max_features=3?
+    assert words(tfidf_long(df, max_features=3)) == {"aa", "bb", "cc"}
+
+
+def test_engine_facade(spark):
+    eng = Engine(spark)
+    df = spark.createDataFrame([(1, "good good bad"), (2, "bad ugly")], "doc_id long, text string")
+    toks = eng.text.tokenize(df, "text").select("tokens").collect()
+    assert toks[0]["tokens"] == ["good", "good", "bad"]
+    feats = eng.text.tfidf(df)
+    res = eng.cluster.kmeans(feats, k=2, max_iter=3, seed=1)
+    assert set(res.centroids) <= {0, 1}
+    stats = eng.text.token_stats(df).collect()
+    assert {r["doc_id"]: r["n_words"] for r in stats} == {1: 3, 2: 2}
+
+
+def test_read_json_lines_drops_corrupt(spark, tmp_path):
+    p = tmp_path / "in.json"
+    p.write_text('{"a": 1, "b": "x"}\n{not json at all\n{"a": 2, "b": "y"}\n')
+    schema = T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.StringType())])
+    df = read_json_lines(spark, str(p), schema)
+    assert sorted((r["a"], r["b"]) for r in df.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_read_any_formats(spark, tmp_path):
+    df = spark.range(5).withColumn("s", F.col("id").cast("string"))
+    pq = str(tmp_path / "t.parquet")
+    df.write.parquet(pq)
+    assert read_any(spark, pq, "parquet").count() == 5
+    with pytest.raises(ValueError):
+        read_any(spark, pq, "json")  # schema required
+    with pytest.raises(RuntimeError):
+        read_any(spark, pq, "delta")
+    if not avro_available(spark):
+        with pytest.raises(RuntimeError):
+            read_any(spark, pq, "avro")
