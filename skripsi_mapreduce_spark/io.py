@@ -72,6 +72,24 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed-table sink: later equi-joins/aggregations on
+    ``bucket_cols`` read co-located buckets and skip the shuffle entirely
+    — the 100 TB answer to repeatedly joining on the same key (e.g.
+    features by doc_id across K-Means iterations, dedup candidates by
+    band hash)."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
 def write_avro(df: DataFrame, path: str) -> None:
     """Avro+snappy sink for reference-parity IO (JobExtractTransform.java:66-71
     — O13). Requires the spark-avro package on the classpath; raises a clear

@@ -63,7 +63,11 @@ def shingles(
     size: int = 1,
 ) -> DataFrame:
     """Distinct word-``size``-gram shingle set per document: (doc_id, shingle)."""
-    toks = df.select(
+    # a small single-file scan is one partition; spread the regex work
+    # before tokenizing (at real scale the scan is already parallel and
+    # AQE coalesces this to a no-op-sized shuffle)
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(npart).select(
         F.col(id_col).alias("doc_id"),
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), F.lit(0)).alias("toks"),
     )
@@ -238,7 +242,9 @@ def minhash_near_dups(
     row-identical to the brute pipeline, but the quadratic verify work
     scales with distinct contents, not documents — exactly what saves a
     web-scale corpus where boilerplate duplicates dominate."""
-    sh = shingles(df, id_col, text_col, shingle_size)
+    # the shingle table feeds fingerprinting, signatures, AND verification
+    # — pin it once instead of re-tokenizing the corpus per consumer
+    sh = shingles(df, id_col, text_col, shingle_size).localCheckpoint(eager=False)
     if not cascade:
         cands = minhash_candidates(lsh_bands(minhash_signatures(sh, num_hashes), rows_per_band))
         return jaccard_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
@@ -246,7 +252,7 @@ def minhash_near_dups(
     groups = _fingerprint_groups(sh).localCheckpoint(eager=False)
     rep_sh = sh.join(
         groups.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     cands = minhash_candidates(
         lsh_bands(minhash_signatures(rep_sh, num_hashes), rows_per_band)
     )
@@ -278,11 +284,11 @@ def ngram_near_dups(
     """Exact n-gram-Jaccard near-dup pairs >= threshold, with the same
     fingerprint-group cascade as minhash_near_dups (all-pairs verify runs
     on group representatives only)."""
-    sh = shingles(df, id_col, text_col, shingle_size)
+    sh = shingles(df, id_col, text_col, shingle_size).localCheckpoint(eager=False)
     groups = _fingerprint_groups(sh).localCheckpoint(eager=False)
     rep_sh = sh.join(
         groups.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     rep_pairs = (
         jaccard_pairs(rep_sh)
         .filter(F.col("jaccard") >= threshold)

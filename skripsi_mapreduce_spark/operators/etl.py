@@ -125,7 +125,18 @@ def extract_transform(
         "adjectiveWord",
         "reviewText",
     )
-    # O12: corpus count via one action (replaces the Hadoop counter +
-    # WebHDFS side-file publish, App.java:70-91 O14).
-    n = out.count()
+    # O12: corpus count via observe() metrics riding the materializing
+    # action — the Spark-native replacement for the Hadoop counter +
+    # WebHDFS side-file publish (CountersEnum.java:3-5, App.java:70-91
+    # O14): no extra pass, no side file, metrics surface on the driver.
+    from pyspark.sql import Observation
+
+    obs = Observation("extract_transform")
+    out = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("adjectiveWord")).alias("n_tokens"),
+    )
+    out.count()
+    n = obs.get["n_docs"]
     return out, n

@@ -44,8 +44,13 @@ def tokens_long(
     stopwords: Iterable[str] | None = None,
     vocab: Iterable[str] | None = None,
 ) -> DataFrame:
-    """Explode documents into ``(id, word)`` rows (one per occurrence)."""
-    return df.select(
+    """Explode documents into ``(id, word)`` rows (one per occurrence).
+
+    Repartitions first so tokenization parallelizes even off a
+    single-file scan (no-op at real scale where the scan has many
+    splits)."""
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(npart).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize_col(text_col, stopwords=stopwords, vocab=vocab)).alias("word"),
     )

@@ -1,0 +1,67 @@
+"""Schema module: S1-S5 parity types, dense<->long conversions, bucketed
+writes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skripsi_mapreduce_spark import schemas
+from skripsi_mapreduce_spark.io import write_bucketed
+
+
+def test_dense_long_roundtrip(spark):
+    rows = [
+        ("1", {"good": 0.8, "bad": 0.6}),
+        ("2", {"good": 1.0}),
+    ]
+    dense = spark.createDataFrame(rows, schemas.FINAL_FEATURE)
+    long = schemas.dense_to_long(dense)
+    got = {(r["doc_id"], r["word"]): r["weight"] for r in long.collect()}
+    assert got == {(1, "good"): 0.8, (1, "bad"): 0.6, (2, "good"): 1.0}
+    back = schemas.long_to_dense(long)
+    out = {r["id"]: dict(r["feature"]) for r in back.collect()}
+    assert out["1"] == {"good": 0.8, "bad": 0.6}
+    assert out["2"] == {"good": 1.0}
+
+
+def test_long_to_dense_with_vocab_zero_fill(spark):
+    """The reference's density contract (O23): explicit zeros over the
+    whole vocabulary."""
+    long = spark.createDataFrame([(1, "good", 0.5)], schemas.FEATURES_LONG)
+    dense = schemas.long_to_dense(long, vocab=["good", "bad", "ugly"])
+    feat = dict(dense.head()["feature"])
+    assert feat == {"good": 0.5, "bad": 0.0, "ugly": 0.0}
+
+
+def test_dense_drops_explicit_zeros(spark):
+    dense = spark.createDataFrame(
+        [("1", {"good": 0.5, "bad": 0.0})], schemas.FINAL_FEATURE
+    )
+    long = schemas.dense_to_long(dense)
+    assert [(r["word"]) for r in long.collect()] == ["good"]
+
+
+def test_bucketed_write_and_shuffle_free_join(spark, tmp_path):
+    df = spark.range(1000).withColumn("k", F.col("id") % 50).withColumn(
+        "v", F.col("id") * 2
+    )
+    write_bucketed(df, "t_bucketed_a", ["k"], num_buckets=8)
+    write_bucketed(df, "t_bucketed_b", ["k"], num_buckets=8)
+    a = spark.table("t_bucketed_a")
+    b = spark.table("t_bucketed_b")
+    joined = a.join(b, "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-located buckets: the join must not introduce a hash-partition
+    # exchange on either side
+    assert "hashpartitioning(k" not in plan.lower()
+    assert joined.count() == 1000 * 20
+    spark.sql("DROP TABLE t_bucketed_a")
+    spark.sql("DROP TABLE t_bucketed_b")
+
+
+def test_s5_schema_accepts_reference_shape(spark):
+    rows = [(0, [1, 2], {"good": 1.23456789012}, 0.5)]
+    df = spark.createDataFrame(rows, schemas.KMEANS_INTERMEDIATE)
+    r = df.head()
+    assert r["cluster"] == 0 and r["list_id"] == [1, 2]
