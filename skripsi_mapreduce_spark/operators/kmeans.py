@@ -125,16 +125,12 @@ def kmeans(
             .groupBy("cluster", "word")
             .agg(F.sum("weight").alias("wsum"))
         )
-        sizes = {
-            r["cluster"]: r["n"]
-            for r in assignments.groupBy("cluster").agg(F.count("*").alias("n")).collect()
-        }
-        sse = {
-            r["cluster"]: r["sse"]
-            for r in assignments.groupBy("cluster")
-            .agg(F.sum("dist2").alias("sse"))
-            .collect()
-        }
+        # one aggregation job for sizes + SSE (k rows collected)
+        stats = assignments.groupBy("cluster").agg(
+            F.count("*").alias("n"), F.sum("dist2").alias("sse")
+        ).collect()
+        sizes = {r["cluster"]: r["n"] for r in stats}
+        sse = {r["cluster"]: r["sse"] for r in stats}
         history.append(sse)
         new_centroids: dict[int, dict[str, float]] = {}
         for row in new_rows.collect():
@@ -167,6 +163,60 @@ def kmeans(
         converged=converged,
         history=history,
     )
+
+
+def kmeans_ml(
+    spark: SparkSession,
+    features: DataFrame,
+    k: int,
+    max_iter: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    word_col: str = "word",
+    weight_col: str = "weight",
+):
+    """Fast non-parity path: Spark MLlib's KMeans over the same sparse
+    long-form features (SURVEY.md §7 M4 — 'expose ml.KMeans as the fast
+    non-parity path').
+
+    Not reference-parity: k-means|| init, epsilon convergence, no 10dp
+    centroid rounding. Use ``kmeans()`` when results must match the
+    reference/numpy oracle; use this when you want MLlib's optimized
+    distributed implementation (Breeze axpy kernels, init parallelism).
+
+    Returns (assignments DataFrame (doc_id, cluster), fitted model).
+    """
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+
+    # contiguous 0..V-1 indices: rank over the small vocab table
+    from pyspark.sql import Window
+
+    vocab = features.select(word_col).distinct().select(
+        F.col(word_col),
+        (F.row_number().over(Window.orderBy(word_col)) - 1).alias("_idx"),
+    )
+    dim = vocab.count()
+    indexed = (
+        features.join(F.broadcast(vocab), word_col)
+        .groupBy(F.col(id_col).alias("doc_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_idx"), F.col(weight_col).alias("w")))
+            ).alias("entries")
+        )
+    )
+
+    @F.udf(VectorUDT())
+    def to_vector(entries):
+        return SparseVector(dim, [e["_idx"] for e in entries], [e["w"] for e in entries])
+
+    vecs = indexed.select("doc_id", to_vector("entries").alias("features"))
+    model = MLKMeans(k=k, maxIter=max_iter, seed=seed, featuresCol="features").fit(vecs)
+    assigned = model.transform(vecs).select(
+        "doc_id", F.col("prediction").alias("cluster")
+    )
+    return assigned, model
 
 
 def _collect_centroids(centroids_df: DataFrame) -> dict[int, dict[str, float]]:

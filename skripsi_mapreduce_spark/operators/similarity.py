@@ -100,25 +100,34 @@ def topk_cosine(
     return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
 
 
+def _plane_signs(p: int, dim: int) -> list[float]:
+    """Hyperplane p's +1/-1 coordinates from md5 parity — reproducible in
+    any engine with md5, no RNG state."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest(), 16) % 2 else -1.0
+        for i in range(dim)
+    ]
+
+
 def hyperplane_signs(vec_col, dim: int, n_planes: int = 8) -> F.Column:
     """Deterministic random-hyperplane LSH bucket id (0..2^n_planes-1).
 
-    Hyperplane p, coordinate i has sign +1/-1 from bit parity of
-    md5(p:i) — reproducible in any engine with md5, no RNG state.
-    Bucket bit p = 1 iff Σ_i sign(p,i) * v_i > 0."""
+    Bucket bit p = 1 iff Σ_i round(sign(p,i)*v_i*1e8)::int64 > 0 — the
+    projection uses the same fixed-point fold as the dot products, so
+    bucket assignment is exact and identical across engines (a float sum
+    could flip a near-zero projection's sign on summation order)."""
     bits = []
     for p in range(n_planes):
-        import hashlib
-
-        signs = [
-            1.0 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest(), 16) % 2 else -1.0
-            for i in range(dim)
-        ]
+        signs = _plane_signs(p, dim)
         proj = F.aggregate(
             F.zip_with(
-                vec_col, F.lit(signs).cast("array<double>"), lambda x, s: x.cast("double") * s
+                vec_col,
+                F.lit(signs).cast("array<double>"),
+                lambda x, s: F.round(x.cast("double") * s * F.lit(SCALE)).cast("long"),
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
         bits.append(F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0)))
@@ -126,6 +135,25 @@ def hyperplane_signs(vec_col, dim: int, n_planes: int = 8) -> F.Column:
     for b in bits[1:]:
         out = out + b
     return out.cast("int")
+
+
+def query_bucket(query_vec: list[float], n_planes: int = 8) -> int:
+    """Driver-side twin of hyperplane_signs for a literal query vector."""
+    import decimal
+
+    qbits = 0
+    for p in range(n_planes):
+        signs = _plane_signs(p, len(query_vec))
+        proj = 0
+        for s, v in zip(signs, query_vec):
+            proj += int(
+                decimal.Decimal(v * s * SCALE).to_integral_value(
+                    rounding=decimal.ROUND_HALF_UP
+                )
+            )
+        if proj > 0:
+            qbits += 2**p
+    return qbits
 
 
 def lsh_topk_cosine(
@@ -140,20 +168,9 @@ def lsh_topk_cosine(
     bucket (re-ranked exactly). At scale, write the table bucketed by
     ``bucket`` so a probe scans one bucket's files only (partition
     pruning); recall is tuned by n_planes and multi-probe."""
-    import hashlib  # noqa: F401  (signs derived in hyperplane_signs)
-
     dim = len(query_vec)
     bucketed = emb.withColumn("bucket", hyperplane_signs(F.col(vec_col), dim, n_planes))
-    # compute the query's bucket driver-side with the same md5 parities
-    qbits = 0
-    for p in range(n_planes):
-        signs = [
-            1.0 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest(), 16) % 2 else -1.0
-            for i in range(dim)
-        ]
-        if sum(s * v for s, v in zip(signs, query_vec)) > 0:
-            qbits += 2**p
-    cands = bucketed.filter(F.col("bucket") == qbits)
+    cands = bucketed.filter(F.col("bucket") == query_bucket(query_vec, n_planes))
     return topk_cosine(cands, query_vec, k, id_col, vec_col)
 
 

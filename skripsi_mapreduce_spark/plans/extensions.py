@@ -231,9 +231,48 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("score").cast("decimal(20,6)").alias("score"))
 
 
-@query("sim_topk_lsh")  # rows-only: approximate path, verified in pytest vs brute force
+_LSH_ORACLE = """
+    WITH planes AS (SELECT p FROM range(4) t(p)),
+    dims AS (SELECT i FROM range(64) t(i)),
+    signs AS (
+        SELECT p, i,
+               CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 32, 1) AS INTEGER) % 2 = 1
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM planes CROSS JOIN dims),
+    ex AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) - 1 AS i
+           FROM embeddings),
+    proj AS (SELECT e.vec_id, sg.p,
+                    SUM(CAST(ROUND(CAST(e.x AS DOUBLE) * sg.s * 100000000.0) AS BIGINT)) AS pr
+             FROM ex e JOIN signs sg ON sg.i = e.i GROUP BY 1, 2),
+    buckets AS (SELECT vec_id,
+                       CAST(SUM(CASE WHEN pr > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS INTEGER) AS bucket
+                FROM proj GROUP BY vec_id),
+    qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
+    cand AS (SELECT b.vec_id FROM buckets b CROSS JOIN qb WHERE b.bucket = qb.qbucket),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qx AS (SELECT unnest(qv) AS qxv, generate_subscripts(qv, 1) AS i FROM q),
+    cex AS (SELECT e.vec_id, e.x, e.i + 1 AS i FROM ex e JOIN cand c ON c.vec_id = e.vec_id),
+    dots AS (SELECT vec_id,
+                    SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(qxv AS DOUBLE) * 100000000.0) AS BIGINT)) AS dot
+             FROM cex JOIN qx USING (i) GROUP BY vec_id),
+    nrms AS (SELECT vec_id,
+                    SQRT(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 100000000.0) AS BIGINT)) AS DOUBLE) / 100000000.0) AS nrm
+             FROM cex GROUP BY vec_id),
+    qn AS (SELECT SQRT(CAST(SUM(CAST(ROUND(CAST(qxv AS DOUBLE) * CAST(qxv AS DOUBLE) * 100000000.0) AS BIGINT)) AS DOUBLE) / 100000000.0) AS qnrm
+           FROM qx)
+    SELECT d.vec_id,
+           CAST(ROUND((CAST(d.dot AS DOUBLE) / 100000000.0) / (n.nrm * qn.qnrm), 6) AS DECIMAL(20,6)) AS score
+    FROM dots d JOIN nrms n USING (vec_id) CROSS JOIN qn
+    ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+@query("sim_topk_lsh", _LSH_ORACLE)
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH-bucketed approximate top-10 (scale path for S1)."""
+    """Hyperplane-LSH-bucketed approximate top-10 (scale path for S1) —
+    hash-matched end to end: the md5-parity hyperplanes and fixed-point
+    projections make bucket assignment engine-exact, so even the
+    approximate path is oracle-checkable."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     out = sim.lsh_topk_cosine(emb, qvec, k=10, n_planes=4)

