@@ -1,0 +1,266 @@
+r"""Additional relational surface beyond the 30 declared queries —
+pivot, exact quantiles, ordered string aggregation, ntile, regexp
+functions, histogram bucketing, NULL-handling semantics, array
+aggregation. Same conventions as relational.py (DECIMAL canon, unique
+final ORDER BY, engine-portable formulations only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .relational import DEC, dec, query, rnd4
+
+
+# ---------------------------------------------------------------------------
+# q31 pivot (conditional aggregation, fixed value set)
+# ---------------------------------------------------------------------------
+@query(
+    "q31_pivot",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(20,4)) ELSE 0 END), 4) AS DECIMAL(20,4)) AS total_f,
+           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(20,4)) ELSE 0 END), 4) AS DECIMAL(20,4)) AS total_o,
+           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(20,4)) ELSE 0 END), 4) AS DECIMAL(20,4)) AS total_p
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — Catalyst rewrites .pivot() into
+    exactly these conditional aggregates; listing the values avoids the
+    extra distinct-values job (mandatory at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            rnd4(F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast(DEC))).alias("total"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_n"), F.lit(0)).cast("bigint").alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).cast("bigint").alias("n_o"),
+        F.coalesce(F.col("P_n"), F.lit(0)).cast("bigint").alias("n_p"),
+        F.coalesce(F.col("F_total"), F.lit(0).cast(DEC)).alias("total_f"),
+        F.coalesce(F.col("O_total"), F.lit(0).cast(DEC)).alias("total_o"),
+        F.coalesce(F.col("P_total"), F.lit(0).cast(DEC)).alias("total_p"),
+    ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# q32 exact interpolated quantiles
+# ---------------------------------------------------------------------------
+@query(
+    "q32_quantiles",
+    """
+    SELECT o_orderstatus,
+           CAST(ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 4) AS DECIMAL(20,4)) AS median_price,
+           CAST(ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 4) AS DECIMAL(20,4)) AS p90_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``). Exact quantiles need the full sorted group — the
+    scale escape hatch is ``percentile_approx`` (excluded from
+    hash-matching per §2.4 convention c)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            rnd4(F.percentile(F.col("o_totalprice").cast("double"), F.lit(0.5))).alias(
+                "median_price"
+            ),
+            rnd4(F.percentile(F.col("o_totalprice").cast("double"), F.lit(0.9))).alias(
+                "p90_price"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33 ordered string aggregation
+# ---------------------------------------------------------------------------
+@query(
+    "q33_listagg",
+    """
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG via sort_array(collect_list) — deterministic
+    because the order is part of the expression, not shuffle luck."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").cast("bigint").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34 ntile
+# ---------------------------------------------------------------------------
+@query(
+    "q34_ntile",
+    """
+    SELECT quartile, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(20,4))), 4) AS DECIMAL(20,4)) AS total
+    FROM (SELECT o_totalprice,
+                 NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+          FROM orders) t
+    GROUP BY quartile ORDER BY quartile
+    """,
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE over a unique total order (ties broken by key, so bucket
+    membership is deterministic). The global window is the known
+    single-partition shape; acceptable because the follow-up aggregation
+    collapses it — for a distributed variant use range-partitioned ranks
+    (etl.assign_sequential_ids) + arithmetic bucketing."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            rnd4(F.sum(dec("o_totalprice"))).alias("total"),
+        )
+        .orderBy("quartile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35 regexp functions
+# ---------------------------------------------------------------------------
+@query(
+    "q35_regexp",
+    r"""
+    SELECT p_partkey,
+           regexp_matches(p_type, '^PROMO') AS is_promo,
+           regexp_replace(p_type, '[AEIOU]', '_', 'g') AS devoweled,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_type").rlike("^PROMO").alias("is_promo"),
+        F.regexp_replace("p_type", "[AEIOU]", "_").alias("devoweled"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# q36 histogram bucketing (arithmetic width_bucket)
+# ---------------------------------------------------------------------------
+@query(
+    "q36_histogram",
+    """
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bucket
+          FROM orders) t
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor arithmetic (portable width_bucket);
+    a single partial-aggregated groupBy — the canonical scan-speed profile
+    query at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000).cast("bigint"), F.lit(9))
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q37 NULL-handling semantics
+# ---------------------------------------------------------------------------
+@query(
+    "q37_null_semantics",
+    """
+    SELECT l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(NULLIF(l_returnflag, 'N')) AS BIGINT) AS n_nonnull,
+           CAST(ROUND(AVG(CASE WHEN l_returnflag <> 'N'
+                               THEN CAST(l_quantity AS DECIMAL(20,4)) END), 4) AS DECIMAL(20,4)) AS avg_flagged_qty,
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_flag,
+           COALESCE(MIN(NULLIF(l_returnflag, 'N')), 'none') AS min_flag
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/AVG null-skipping, NULLIF/COALESCE, IS NULL — the NULL
+    contract every engine must agree on. AVG over a decimal-cast CASE
+    (nulls excluded identically in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    flagged_qty = F.when(F.col("l_returnflag") != "N", dec("l_quantity"))
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count(F.nullif(F.col("l_returnflag"), F.lit("N"))).cast("bigint").alias("n_nonnull"),
+            rnd4(F.avg(flagged_qty)).alias("avg_flagged_qty"),
+            F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_flag"),
+            F.coalesce(F.min(F.nullif(F.col("l_returnflag"), F.lit("N"))), F.lit("none")).alias(
+                "min_flag"
+            ),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q38 array aggregation
+# ---------------------------------------------------------------------------
+@query(
+    "q38_array_agg",
+    """
+    SELECT l_orderkey,
+           array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS lines,
+           CAST(LEN(list(l_linenumber)) AS BIGINT) AS n_lines,
+           CAST(MIN(l_linenumber) AS INTEGER) AS first_line,
+           CAST(MAX(l_linenumber) AS INTEGER) AS last_line
+    FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordered array aggregation, surfaced as a canonical string
+    (portable across the engines' array wire formats)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("l_linenumber")), ",").alias("lines"),
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.min("l_linenumber").cast("int").alias("first_line"),
+            F.max("l_linenumber").cast("int").alias("last_line"),
+        )
+        .orderBy("l_orderkey")
+    )
