@@ -1,0 +1,73 @@
+"""Physical-plan regressions (SURVEY.md §7 M7): pushdown, pruning,
+broadcast selection, top-k without global sort, partial aggregation.
+These lock in the plan shapes the engine depends on at 100 TB — a change
+that silently loses a pushed filter or turns a broadcast into a shuffle
+fails here, not in production."""
+
+from __future__ import annotations
+
+import pytest
+
+from skripsi_mapreduce_spark.plans import QUERIES
+
+from .conftest import SF_DIR
+
+
+def formatted_plan(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q02_filters_push_to_scan(spark):
+    p = formatted_plan(spark, "q02_filter")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed, "no PushedFilters line in scan"
+    line = pushed[0]
+    for expected in ("l_shipdate", "l_discount", "l_quantity"):
+        assert expected in line, f"{expected} not pushed: {line}"
+
+
+def test_q01_column_pruning_reaches_scan(spark):
+    p = formatted_plan(spark, "q01_scan_project")
+    read = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_extendedprice" not in read and "l_shipdate" not in read
+
+
+def test_q18_topk_is_take_ordered(spark):
+    p = formatted_plan(spark, "q18_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p  # no global sort
+
+
+def test_q07_small_dims_broadcast(spark):
+    p = formatted_plan(spark, "q07_tpch_q5")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q03_partial_aggregation(spark):
+    p = formatted_plan(spark, "q03_tpch_q1")
+    # partial + final pair around the exchange
+    assert p.count("HashAggregate") >= 2
+    assert "hashpartitioning(l_returnflag" in p
+
+
+def test_q12_cross_join_is_broadcast_nested_loop(spark):
+    p = formatted_plan(spark, "q12_cross_join")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q09_semi_and_q10_anti_join_types(spark):
+    p9 = formatted_plan(spark, "q09_semi_join")
+    p10 = formatted_plan(spark, "q10_anti_join")
+    assert "LeftSemi" in p9
+    assert "LeftAnti" in p10
+
+
+def test_tfidf_idf_join_is_broadcast(spark):
+    p = formatted_plan(spark, "tfidf_longform")
+    assert "BroadcastHashJoin" in p
