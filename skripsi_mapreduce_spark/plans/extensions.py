@@ -431,6 +431,116 @@ def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Document chunking — fixed-size token windows (training-data prep)
+# ---------------------------------------------------------------------------
+@query(
+    "ta_chunking",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{ASCII_TOKEN}') AS t
+        FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS chunk_idx,
+               array_to_string(list_slice(t, i * 32 + 1, (i + 1) * 32), ' ') AS chunk
+        FROM toks, UNNEST(range(CAST(CEIL(LEN(t) / 32.0) AS BIGINT))) r(i))
+    SELECT doc_id, chunk_idx, md5(chunk) AS chunk_hash,
+           CAST(LEN(string_split(chunk, ' ')) AS BIGINT) AS n_tokens
+    FROM chunks WHERE chunk <> '' ORDER BY doc_id, chunk_idx
+    """,
+)
+def ta_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into 32-token chunks (the standard pre-training
+    windowing op). Chunk text surfaces as md5 so shuffle rows stay narrow;
+    the chunk explosion happens executor-side off the token array."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(ASCII_TOKEN), F.lit(0)).alias("t"),
+    )
+    k = 32
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.size("t") / k).cast("int") - 1)
+        ).alias("chunk_idx"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(F.slice("t", F.col("chunk_idx") * k + 1, k), " ").alias("chunk"),
+    )
+    return (
+        chunks.filter(F.col("chunk") != "")
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.md5("chunk").alias("chunk_hash"),
+            F.size(F.split(F.col("chunk"), " ")).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured field extraction (events.props JSON-ish payload)
+# ---------------------------------------------------------------------------
+@query(
+    "q39_props_extract",
+    r"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS k_total,
+           CAST(MAX(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS k_max
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q39_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex field extraction from a semi-structured string payload +
+    aggregation — the scan-side flattening step of any log pipeline."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"[0-9]+", 0).cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(k).cast("bigint").alias("k_total"),
+            F.max(k).cast("bigint").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus dedup (anti-join by content digest)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_cross_corpus",
+    """
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM documents e
+        WHERE e.doc_id % 10 = 0 AND md5(e.text) = md5(d.text))
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch vs existing-corpus dedup: keep documents whose content
+    digest does NOT appear in the reference corpus (here: the doc_id%10
+    sample standing in for 'already ingested'). LEFT ANTI on the 16-byte
+    digest — the shuffle carries hashes, never text; with a bucketed
+    digest table the anti-join is shuffle-free."""
+    d = load_table(spark, sf_dir, "documents")
+    existing = d.filter(F.col("doc_id") % 10 == 0).select(F.md5("text").alias("h"))
+    return (
+        d.select("doc_id", F.md5("text").alias("h"))
+        .join(existing, "h", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequential id assignment (O10/O11) vs ROW_NUMBER oracle
 # ---------------------------------------------------------------------------
 @query(
