@@ -208,8 +208,21 @@ def embedding_near_dups(
         F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
     )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    # Two-phase: a raw double dot (fused multiply-adds, no per-element
+    # rounding allocation) prefilters with a safety margin that dominates
+    # the fixed-point quantization error (<= dim * 0.5e-8 + float error);
+    # only near/above-threshold survivors pay for the exact fixed-point
+    # fold. Output is identical — every emitted row carries the exact
+    # cosine, and no qualifying pair can fall below the margin.
+    raw_dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    margin = 1e-4
+    survivors = pairs.filter(raw_dot / (F.col("na") * F.col("nb")) >= threshold - margin)
     return (
-        pairs.select(
+        survivors.select(
             "id_a",
             "id_b",
             F.round(
