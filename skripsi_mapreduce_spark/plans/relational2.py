@@ -12,6 +12,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators.asof import asof_join
 from .relational import DEC, dec, query, rnd4
 
 
@@ -234,6 +235,69 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# q40 as-of join (clicks enriched with the latest prior view per user)
+# ---------------------------------------------------------------------------
+@query(
+    "q40_asof_join",
+    """
+    SELECT c.event_id, c.user_id,
+           epoch_us(v.ts) AS view_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    ORDER BY c.event_id
+    """,
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the engine's union+window composition
+    (operators/asof.py) against DuckDB's native ASOF JOIN — same
+    inclusive most-recent-at-or-before semantics, one shuffle. Only the
+    matched timestamp is surfaced (it is unique even when several right
+    rows share it)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    joined = asof_join(clicks, views, key="user_id", ts="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts_asof")).alias("view_ts_us"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q41 unpivot / melt
+# ---------------------------------------------------------------------------
+@query(
+    "q41_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, metric,
+           CAST(ROUND(val, 4) AS DECIMAL(20,4)) AS val
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        FROM lineitem WHERE l_orderkey < 100)
+    UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+    ORDER BY l_orderkey, l_linenumber, metric
+    """,
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt) — the inverse of q31's pivot."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    melted = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+    return melted.select(
+        "l_orderkey",
+        "l_linenumber",
+        "metric",
+        rnd4(F.col("val")).alias("val"),
+    ).orderBy("l_orderkey", "l_linenumber", "metric")
 
 
 # ---------------------------------------------------------------------------
