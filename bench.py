@@ -23,6 +23,14 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
+    # Untimed warm-up: JIT/codegen/classloading otherwise lands entirely
+    # on whichever query happens to run first (alphabetically the heavy
+    # dedup family).
+    from skripsi_mapreduce_spark.io import load_table
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").count().collect()
+
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name]

@@ -155,6 +155,16 @@ class Engine:
     def sql(self, query: str) -> DataFrame:
         return self.spark.sql(query)
 
+    def profile(self, df: DataFrame, **kw) -> DataFrame:
+        from .operators.profile import profile
+
+        return profile(df, **kw)
+
+    def asof_join(self, left: DataFrame, right: DataFrame, key: str, **kw) -> DataFrame:
+        from .operators.asof import asof_join
+
+        return asof_join(left, right, key, **kw)
+
     def table(self, sf_dir: str, name: str) -> DataFrame:
         from .io import load_table
 

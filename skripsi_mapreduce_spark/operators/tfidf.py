@@ -56,6 +56,22 @@ def tokens_long(
     )
 
 
+def filter_vocab_join(tokens: DataFrame, vocab_df: DataFrame, word_col: str = "word") -> DataFrame:
+    """Vocabulary filter as a broadcast LEFT SEMI join over the exploded
+    token table — the at-scale form of the reference's in-memory HashSet
+    dictionary filter (MapperExtractTransform.java:81 O8, loaded per task
+    at :52-56). Use when the vocabulary is too large for a literal array
+    in the plan (tokenize_col's path); semantics are identical: duplicate
+    occurrences of kept words survive."""
+    from pyspark.sql import functions as F2
+
+    return tokens.join(
+        F2.broadcast(vocab_df.select(F2.col(word_col).alias("word")).distinct()),
+        "word",
+        "left_semi",
+    ).select(*tokens.columns)  # semi-join fronts the key; restore caller order
+
+
 def document_frequency(tokens: DataFrame, n_docs: int) -> DataFrame:
     """``(word, df, idf)`` — smoothed IDF over distinct-doc counts.
 
