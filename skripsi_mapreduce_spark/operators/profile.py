@@ -14,48 +14,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_NUMERIC = (T.IntegerType, T.LongType, T.DoubleType, T.FloatType, T.ShortType, T.DecimalType)
+_NUMERIC = (
+    T.IntegerType,
+    T.LongType,
+    T.DoubleType,
+    T.FloatType,
+    T.ShortType,
+    T.ByteType,
+    T.DecimalType,
+)
+_ORDERABLE_STR = (T.StringType, T.TimestampType, T.DateType, T.BooleanType)
 
 
 def profile(df: DataFrame, rsd: float = 0.02) -> DataFrame:
     """Returns one row per column: (column, dtype, n_rows, n_null,
     null_rate, approx_distinct, min, max, mean, stddev) — min/max/mean/
     stddev NULL for non-numeric, min/max as strings for orderable
-    non-numerics."""
+    non-numerics (strings, timestamps, dates, booleans)."""
+    # backtick-quote names so dotted columns don't parse as nested paths
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for f in df.schema.fields:
-        c = f.name
-        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_null_{c}"))
-        aggs.append(F.approx_count_distinct(c, rsd).alias(f"_dist_{c}"))
+    for i, f in enumerate(df.schema.fields):
+        c = F.col("`" + f.name.replace("`", "``") + "`")
+        aggs.append(
+            F.coalesce(F.sum(F.when(c.isNull(), 1).otherwise(0)), F.lit(0)).alias(f"_null_{i}")
+        )
+        aggs.append(F.approx_count_distinct(c, rsd).alias(f"_dist_{i}"))
         if isinstance(f.dataType, _NUMERIC):
-            aggs.append(F.min(c).cast("double").alias(f"_min_{c}"))
-            aggs.append(F.max(c).cast("double").alias(f"_max_{c}"))
-            aggs.append(F.avg(F.col(c).cast("double")).alias(f"_mean_{c}"))
-            aggs.append(F.stddev(F.col(c).cast("double")).alias(f"_std_{c}"))
-        elif isinstance(f.dataType, (T.StringType, T.TimestampType, T.DateType)):
-            aggs.append(F.min(c).cast("string").alias(f"_smin_{c}"))
-            aggs.append(F.max(c).cast("string").alias(f"_smax_{c}"))
-    row = df.agg(*aggs).head()
+            aggs.append(F.min(c).cast("double").alias(f"_min_{i}"))
+            aggs.append(F.max(c).cast("double").alias(f"_max_{i}"))
+            aggs.append(F.avg(c.cast("double")).alias(f"_mean_{i}"))
+            aggs.append(F.stddev(c.cast("double")).alias(f"_std_{i}"))
+        elif isinstance(f.dataType, _ORDERABLE_STR):
+            aggs.append(F.min(c).cast("string").alias(f"_smin_{i}"))
+            aggs.append(F.max(c).cast("string").alias(f"_smax_{i}"))
+    row = df.agg(*aggs).head().asDict()
 
     out = []
-    for f in df.schema.fields:
-        c = f.name
+    n = row["_n"]
+    for i, f in enumerate(df.schema.fields):
         is_num = isinstance(f.dataType, _NUMERIC)
-        n = row["_n"]
         out.append(
             {
-                "column": c,
+                "column": f.name,
                 "dtype": f.dataType.simpleString(),
                 "n_rows": n,
-                "n_null": row[f"_null_{c}"],
-                "null_rate": (row[f"_null_{c}"] / n) if n else 0.0,
-                "approx_distinct": row[f"_dist_{c}"],
-                "min_num": row[f"_min_{c}"] if is_num else None,
-                "max_num": row[f"_max_{c}"] if is_num else None,
-                "mean": row[f"_mean_{c}"] if is_num else None,
-                "stddev": row[f"_std_{c}"] if is_num else None,
-                "min_str": row.asDict().get(f"_smin_{c}"),
-                "max_str": row.asDict().get(f"_smax_{c}"),
+                "n_null": row[f"_null_{i}"],
+                "null_rate": (row[f"_null_{i}"] / n) if n else 0.0,
+                "approx_distinct": row[f"_dist_{i}"],
+                "min_num": row.get(f"_min_{i}"),
+                "max_num": row.get(f"_max_{i}"),
+                "mean": row.get(f"_mean_{i}"),
+                "stddev": row.get(f"_std_{i}"),
+                "min_str": row.get(f"_smin_{i}"),
+                "max_str": row.get(f"_smax_{i}"),
             }
         )
     schema = (

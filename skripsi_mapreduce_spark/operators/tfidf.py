@@ -63,10 +63,8 @@ def filter_vocab_join(tokens: DataFrame, vocab_df: DataFrame, word_col: str = "w
     at :52-56). Use when the vocabulary is too large for a literal array
     in the plan (tokenize_col's path); semantics are identical: duplicate
     occurrences of kept words survive."""
-    from pyspark.sql import functions as F2
-
     return tokens.join(
-        F2.broadcast(vocab_df.select(F2.col(word_col).alias("word")).distinct()),
+        F.broadcast(vocab_df.select(F.col(word_col).alias("word")).distinct()),
         "word",
         "left_semi",
     ).select(*tokens.columns)  # semi-join fronts the key; restore caller order

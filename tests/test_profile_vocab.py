@@ -35,6 +35,19 @@ def test_profile_one_job(spark):
     assert all(r["n_rows"] == n for r in p.collect())
 
 
+def test_profile_edge_cases(spark):
+    """Dotted column names, booleans (orderable), byte columns (numeric),
+    and empty inputs (n_null must be 0, not NULL)."""
+    df = spark.createDataFrame([(1, True, 2)], "`a.b` long, flag boolean, tiny tinyint")
+    rows = {r["column"]: r for r in profile(df).collect()}
+    assert rows["a.b"]["n_null"] == 0
+    assert rows["flag"]["min_str"] == "true" and rows["flag"]["max_str"] == "true"
+    assert rows["tiny"]["min_num"] == 2.0 and rows["tiny"]["mean"] == 2.0
+    empty = spark.createDataFrame([], "x long")
+    r = profile(empty).head()
+    assert r["n_null"] == 0 and r["null_rate"] == 0.0
+
+
 def test_vocab_broadcast_join_equals_literal_filter(spark):
     docs = spark.createDataFrame(
         [(1, "good bad good ugly"), (2, "nice bad bad")], "doc_id long, text string"
