@@ -32,15 +32,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import TOKEN_PATTERN
+from ..functions.text import TOKEN_PATTERN, tokenize_col
 
 
 def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(text_hash, keep_id, n_copies) for every duplicated content group."""
+    # cast BEFORE min: with string ids ('9' vs '10') a lexicographic MIN
+    # would keep the wrong representative
     return (
         df.groupBy(F.md5(text_col).alias("text_hash"))
         .agg(
-            F.min(id_col).cast("bigint").alias("keep_id"),
+            F.min(F.col(id_col).cast("bigint")).alias("keep_id"),
             F.count("*").cast("bigint").alias("n_copies"),
         )
         .filter(F.col("n_copies") > 1)
@@ -69,21 +71,23 @@ def shingles(
     npart = df.sparkSession.sparkContext.defaultParallelism
     toks = df.repartition(npart).select(
         F.col(id_col).alias("doc_id"),
-        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), F.lit(0)).alias("toks"),
+        tokenize_col(text_col).alias("toks"),
     )
     if size <= 1:
         sh = toks.select("doc_id", F.explode("toks").alias("shingle"))
     else:
-        # zip consecutive windows: transform over index range
-        idx = F.sequence(F.lit(0), F.greatest(F.size("toks") - size, F.lit(-1)))
-        sh = toks.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    idx, lambda i: F.array_join(F.slice("toks", i + 1, size), " ")
-                )
-            ).alias("shingle"),
-        )
+        # zip consecutive windows: transform over index range. Documents
+        # with fewer than `size` tokens yield NO shingles — the guard
+        # matters: sequence(0, -1) would count DOWN ([0,-1]) and the -1
+        # index would crash slice().
+        windows = F.when(
+            F.size("toks") >= size,
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - size),
+                lambda i: F.array_join(F.slice("toks", i + 1, size), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        sh = toks.select("doc_id", F.explode(windows).alias("shingle"))
     return sh.distinct()
 
 
@@ -237,11 +241,33 @@ def _fingerprint_groups(sh: DataFrame) -> DataFrame:
     """(doc_id, fp, rep): fp = md5 of the sorted shingle SET; rep = the
     group's min doc_id. Jaccard depends only on the set, so every doc in a
     group is interchangeable for similarity purposes."""
+    # \x01 separator: cannot occur inside a \w+ shingle, so distinct sets
+    # can never concatenate to the same string (an empty separator would
+    # collide {'abc','de'} with {'ab','cde'})
     fp = sh.groupBy("doc_id").agg(
-        F.md5(F.array_join(F.array_sort(F.collect_set("shingle")), "")).alias("fp")
+        F.md5(F.array_join(F.array_sort(F.collect_set("shingle")), "\x01")).alias("fp")
     )
     reps = fp.groupBy("fp").agg(F.min("doc_id").alias("rep"))
     return fp.join(reps, "fp")
+
+
+def _cascade_output(
+    groups: DataFrame, rep_pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared tail of the fingerprint cascade: expand verified rep pairs
+    to member pairs and union the within-group pairs (jaccard exactly 1.0
+    — emitted only when the threshold admits them)."""
+    cross = _expand_rep_pairs(rep_pairs, groups)
+    if threshold > 1.0:
+        return cross
+    ga = groups.select("fp", F.col("doc_id").alias("id_a"))
+    gb = groups.select("fp", F.col("doc_id").alias("id_b"))
+    within = (
+        ga.join(gb, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return within.unionByName(cross)
 
 
 def _expand_rep_pairs(rep_pairs: DataFrame, groups: DataFrame) -> DataFrame:
@@ -300,17 +326,7 @@ def minhash_near_dups(
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "jaccard")
     )
-    cross = _expand_rep_pairs(rep_pairs, groups)
-    ga = groups.select("fp", F.col("doc_id").alias("id_a"))
-    gb = groups.select("fp", F.col("doc_id").alias("id_b"))
-    within = (
-        ga.join(gb, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
-    )
-    if threshold > 1.0:
-        return cross
-    return within.unionByName(cross)
+    return _cascade_output(groups, rep_pairs, threshold)
 
 
 def ngram_near_dups(
@@ -333,15 +349,7 @@ def ngram_near_dups(
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "jaccard")
     )
-    cross = _expand_rep_pairs(rep_pairs, groups)
-    ga = groups.select("fp", F.col("doc_id").alias("id_a"))
-    gb = groups.select("fp", F.col("doc_id").alias("id_b"))
-    within = (
-        ga.join(gb, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
-    )
-    return within.unionByName(cross)
+    return _cascade_output(groups, rep_pairs, threshold)
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

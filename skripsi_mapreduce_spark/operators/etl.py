@@ -137,6 +137,9 @@ def extract_transform(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("adjectiveWord")).alias("n_tokens"),
     )
-    out.count()
+    # localCheckpoint so the metric-harvesting action materializes the
+    # result once and the caller's sink (write_parquet in cli.py) reads
+    # the cached rows instead of re-running the rank pipeline.
+    out = out.localCheckpoint(eager=True)
     n = obs.get["n_docs"]
     return out, n

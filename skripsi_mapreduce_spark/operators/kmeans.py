@@ -98,8 +98,29 @@ def kmeans(
         F.sum(F.col("weight") * F.col("weight")).alias("x2")
     ).localCheckpoint(eager=True)
 
-    n_docs = doc_norms.count()
-    id2cluster = init_centroid_ids(n_docs, k, seed)
+    n_docs, min_id, max_id = doc_norms.agg(
+        F.count("*"), F.min("doc_id"), F.max("doc_id")
+    ).head()
+    if min_id == 1 and max_id == n_docs:
+        # dense 1..N ids (the reference's own ETL contract,
+        # ReducerExtractTransform.java:36-39): seeded draw over ids
+        # directly — bit-compatible with the Python/numpy oracle
+        id2cluster = init_centroid_ids(n_docs, k, seed)
+    else:
+        # sparse/arbitrary ids: the same seeded draw selects POSITIONS
+        # 1..N, mapped to actual ids through a rank — otherwise sampled
+        # ids can miss the data and clusters silently vanish at init
+        from .etl import assign_sequential_ids
+
+        positions = set(init_centroid_ids(n_docs, k, seed))
+        ranked = assign_sequential_ids(
+            doc_norms.select("doc_id"), ["doc_id"], id_col="_pos"
+        )
+        pos2cluster = {p: c for c, p in enumerate(sorted(positions))}
+        id2cluster = {
+            r["doc_id"]: pos2cluster[r["_pos"]]
+            for r in ranked.filter(F.col("_pos").isin(list(positions))).collect()
+        }
     seed_ids = spark.createDataFrame(
         [(d, c) for d, c in id2cluster.items()], "doc_id long, cluster int"
     )
