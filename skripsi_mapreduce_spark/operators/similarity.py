@@ -196,10 +196,16 @@ def embedding_near_dups(
     # parquet scan is ONE partition — repartition so the quadratic work
     # spreads across the cluster.
     npart = emb.sparkSession.sparkContext.defaultParallelism
-    with_norm = emb.repartition(npart).select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        _norm_i64(F.col(vec_col)).alias("_n"),
+    # pinned: both sides of the self-join reuse one materialization, so
+    # norms really are computed once per vector (N folds, not 2N)
+    with_norm = (
+        emb.repartition(npart)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            _norm_i64(F.col(vec_col)).alias("_n"),
+        )
+        .localCheckpoint(eager=False)
     )
     a = with_norm.select(
         F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")

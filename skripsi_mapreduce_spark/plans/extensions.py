@@ -453,17 +453,22 @@ def ta_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split each document into 32-token chunks (the standard pre-training
     windowing op). Chunk text surfaces as md5 so shuffle rows stay narrow;
     the chunk explosion happens executor-side off the token array."""
+    from ..functions.text import tokenize_col
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit(ASCII_TOKEN), F.lit(0)).alias("t"),
-    )
+    # engine-consistent (unicode) tokenizer — matches tfidf/dedup; the
+    # oracle's ASCII pattern is identical on this ASCII-only table
+    toks = docs.select("doc_id", tokenize_col("text").alias("t"))
     k = 32
+    # guard: token-less docs would make sequence(0,-1) count DOWN and
+    # emit junk chunk indices (same hazard as dedup.shingles)
+    idx = F.when(
+        F.size("t") > 0,
+        F.sequence(F.lit(0), F.ceil(F.size("t") / k).cast("int") - 1),
+    ).otherwise(F.array().cast("array<int>"))
     chunks = toks.select(
         "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), F.ceil(F.size("t") / k).cast("int") - 1)
-        ).alias("chunk_idx"),
+        F.explode(idx).alias("chunk_idx"),
         F.col("t"),
     ).select(
         "doc_id",
@@ -490,8 +495,8 @@ def ta_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS k_total,
-           CAST(MAX(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS k_max
+           CAST(SUM(TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS k_total,
+           CAST(MAX(TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS k_max
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )

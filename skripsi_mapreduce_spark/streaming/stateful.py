@@ -8,8 +8,11 @@ x running mean. The point is the HARNESS (state schema, timeout
 handling, append output), which generalizes to any per-key online
 algorithm; the analytics inside the callback are deliberately simple.
 
-State stays bounded: one (count, mean) pair per user; with event-time
-watermarking + ``GroupStateTimeout`` idle keys are evicted.
+State stays bounded by construction: one (count, mean) pair per user —
+no per-event history. Keys are kept for the stream's lifetime
+(``GroupStateTimeout.NoTimeout``); for unbounded key spaces switch to
+``EventTimeTimeout`` and ``state.remove()`` on ``state.hasTimedOut`` to
+evict idle users past the watermark.
 """
 
 from __future__ import annotations
@@ -45,14 +48,17 @@ def running_mean_anomalies(
             count, mean = 0, 0.0
         batch_events = 0
         n_anomalies = 0
-        for pdf in pdfs:
-            for v in pdf["value"]:
-                v = float(v)
-                if count > 0 and v > sigma_factor * mean:
-                    n_anomalies += 1
-                count += 1
-                mean += (v - mean) / count
-                batch_events += 1
+        # intra-batch rows arrive in arbitrary chunk/shuffle order; an
+        # online fold over event time must sort by ts first or the
+        # anomaly flags become run-dependent
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        for v in batch["value"]:
+            v = float(v)
+            if count > 0 and v > sigma_factor * mean:
+                n_anomalies += 1
+            count += 1
+            mean += (v - mean) / count
+            batch_events += 1
         state.update((count, mean))
         yield pd.DataFrame(
             [

@@ -101,7 +101,11 @@ def run_to_memory_sink(df: DataFrame, name: str, output_mode: str = "complete") 
         .start()
     )
     try:
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
     finally:
         q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"streaming replay '{name}' did not finish within 300s — sink is partial"
+        )
     return df.sparkSession.sql(f"SELECT * FROM {name}")
