@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round_exact_double
 from ..functions.text import TOKEN_PATTERN
 
 # Tiny marker-word lists for the n-gram/stopword language heuristic.
@@ -80,11 +81,14 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(score, 4).alias("quality"),
+        # ratios of small integers can land exactly on 4dp half-boundaries
+        # (e.g. 3/160) where plain ROUND(double) diverges across engines —
+        # scale-0 rounding after *10^4 is engine-exact (functions/numeric.py)
+        round_exact_double(alpha_ratio).alias("alpha_ratio"),
+        round_exact_double(punct_ratio).alias("punct_ratio"),
+        round_exact_double(stop_ratio).alias("stop_ratio"),
+        round_exact_double(mean_word_len).alias("mean_word_len"),
+        round_exact_double(score).alias("quality"),
     )
 
 
@@ -117,7 +121,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return df.select(
         F.col(id_col).alias("doc_id"),
         pred.alias("lang_pred"),
-        F.round(conf, 4).alias("lang_score"),
+        round_exact_double(conf).alias("lang_score"),
     )
 
 

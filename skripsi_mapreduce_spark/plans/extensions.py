@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import rnd_exact4_sql
 from ..io import load_table
 from ..operators import dedup as dd
 from ..operators import similarity as sim
@@ -25,7 +26,7 @@ from ..operators import text_analysis as ta
 from ..operators.etl import assign_sequential_ids
 from ..operators.kmeans import kmeans
 from ..operators.tfidf import tokens_long
-from .relational import DEC, ORACLE, QUERIES, query, rnd4
+from .relational import DEC, ORACLE, QUERIES, query, rnd4, rnd_exact4
 
 ASCII_TOKEN = r"\b\w\w+\b"
 STOP = ta.STOPWORDS_EN  # the/and/of/to/is/in/that/it
@@ -110,7 +111,8 @@ def tfidf_longform(spark: SparkSession, sf_dir: str) -> DataFrame:
     j AS (SELECT c.id_a, c.id_b, ov.o * 1.0 / (x.n + y.n - ov.o) AS jac
           FROM cand c JOIN ov USING (id_a, id_b)
           JOIN sizes x ON x.doc_id = c.id_a JOIN sizes y ON y.doc_id = c.id_b)
-    SELECT id_a, id_b, CAST(ROUND(jac, 4) AS DECIMAL(20,4)) AS jaccard
+    SELECT id_a, id_b,
+           {rnd_exact4_sql('jac')} AS jaccard
     FROM j WHERE jac >= 0.8 ORDER BY id_a, id_b
     """,
 )
@@ -120,7 +122,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = dd.minhash_near_dups(docs, threshold=0.8, num_hashes=16, rows_per_band=4)
     return out.select(
-        "id_a", "id_b", rnd4(F.col("jaccard")).alias("jaccard")
+        "id_a", "id_b", rnd_exact4(F.col("jaccard")).alias("jaccard")
     ).orderBy("id_a", "id_b")
 
 
@@ -143,7 +145,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
            GROUP BY 1, 2)
     SELECT id_a, id_b,
-           CAST(ROUND(o * 1.0 / (x.n + y.n - o), 4) AS DECIMAL(20,4)) AS jaccard
+           {rnd_exact4_sql('o * 1.0 / (x.n + y.n - o)')} AS jaccard
     FROM ov JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
     WHERE o * 1.0 / (x.n + y.n - o) >= 0.3
     ORDER BY id_a, id_b
@@ -153,9 +155,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram Jaccard >= 0.3 over all pairs sharing a shingle."""
     docs = load_table(spark, sf_dir, "documents")
     out = dd.ngram_near_dups(docs, threshold=0.3, shingle_size=2)
-    return out.select("id_a", "id_b", rnd4(F.col("jaccard")).alias("jaccard")).orderBy(
-        "id_a", "id_b"
-    )
+    return out.select(
+        "id_a", "id_b", rnd_exact4(F.col("jaccard")).alias("jaccard")
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -355,17 +357,15 @@ def ta_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                n_words
         FROM g)
     SELECT doc_id,
-           CAST(ROUND(alpha_ratio, 4) AS DECIMAL(20,4)) AS alpha_ratio,
-           CAST(ROUND(punct_ratio, 4) AS DECIMAL(20,4)) AS punct_ratio,
-           CAST(ROUND(stop_ratio, 4) AS DECIMAL(20,4)) AS stop_ratio,
-           CAST(ROUND(mean_word_len, 4) AS DECIMAL(20,4)) AS mean_word_len,
-           CAST(ROUND(
-               0.3 * len_score
+           {rnd_exact4_sql('alpha_ratio')} AS alpha_ratio,
+           {rnd_exact4_sql('punct_ratio')} AS punct_ratio,
+           {rnd_exact4_sql('stop_ratio')} AS stop_ratio,
+           {rnd_exact4_sql('mean_word_len')} AS mean_word_len,
+           {rnd_exact4_sql('''0.3 * len_score
                + 0.25 * alpha_ratio
                + 0.2 * (1.0 - LEAST(punct_ratio * 4, 1.0))
                + 0.15 * LEAST(stop_ratio * 3, 1.0)
-               + 0.1 * (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 1.0 ELSE 0.5 END),
-               4) AS DECIMAL(20,4)) AS quality
+               + 0.1 * (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 1.0 ELSE 0.5 END)''')} AS quality
     FROM r ORDER BY doc_id
     """,
 )
@@ -404,7 +404,7 @@ def _markers_sql(lang: str) -> str:
                 WHEN s_en = best THEN 'en'
                 WHEN s_es = best THEN 'es'
                 ELSE 'fr' END AS lang_pred,
-           CAST(ROUND(CASE WHEN n_words > 0 THEN best / n_words ELSE 0.0 END, 4) AS DECIMAL(20,4)) AS lang_score
+           {rnd_exact4_sql('CASE WHEN n_words > 0 THEN best / n_words ELSE 0.0 END')} AS lang_score
     FROM b ORDER BY doc_id
     """,
 )

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.numeric import rnd_exact4_sql
 from ..io import load_table
 
 DEC = "decimal(20,4)"
@@ -57,6 +58,17 @@ def dec(c) -> F.Column:
 def rnd4(col) -> F.Column:
     """Final wrap for non-integer numeric outputs: ROUND(x,4)::DECIMAL(20,4)."""
     return F.round(col, 4).cast(DEC)
+
+
+def rnd_exact4(col) -> F.Column:
+    """Cross-engine EXACT 4dp rounding for computed double ratios:
+    round-to-integer after scaling, then exact decimal rescale (see
+    functions/numeric.py for the full rationale; the SQL twin is
+    ``rnd_exact4_sql``). Use for small-rational ratios — averages, count
+    ratios, Jaccard — where plain ROUND(double, 4) can diverge between
+    engines at half-boundaries like 3/160 = 0.01875."""
+    scaled = F.round(col * 10000).cast("long").cast("decimal(24,4)")
+    return (scaled / 10000).cast(DEC)
 
 
 # ---------------------------------------------------------------------------
@@ -113,12 +125,12 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q03_tpch_q1",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
            CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(20,4))), 4) AS DECIMAL(20,4)) AS sum_qty,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(20,4))), 4) AS DECIMAL(20,4)) AS sum_base_price,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(20,4)))), 4) AS DECIMAL(20,4)) AS sum_disc_price,
-           CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*), 4) AS DECIMAL(20,4)) AS avg_qty,
+           {rnd_exact4_sql('CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*)')} AS avg_qty,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '1998-09-02'
@@ -141,7 +153,7 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd4(F.sum(qty)).alias("sum_qty"),
             rnd4(F.sum(price)).alias("sum_base_price"),
             rnd4(F.sum(price * (F.lit(1) - disc))).alias("sum_disc_price"),
-            rnd4(F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            rnd_exact4(F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
             F.count("*").cast("bigint").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -775,12 +787,12 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q25_conditional_agg",
-    """
+    f"""
     SELECT l_linestatus,
            CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
            CAST(COUNT(NULLIF(l_returnflag, 'N')) AS BIGINT) AS n_flagged,
            COALESCE(MAX(CASE WHEN l_returnflag = 'R' THEN l_returnflag END), 'none') AS any_r,
-           CAST(ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS DECIMAL(20,4)) AS return_ratio
+           {rnd_exact4_sql("CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS return_ratio
     FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
     """,
 )
@@ -796,7 +808,7 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(F.when(F.col("l_returnflag") == "R", F.col("l_returnflag"))),
                 F.lit("none"),
             ).alias("any_r"),
-            rnd4(F.sum(is_r).cast("double") / F.count("*")).alias("return_ratio"),
+            rnd_exact4(F.sum(is_r).cast("double") / F.count("*")).alias("return_ratio"),
         )
         .orderBy("l_linestatus")
     )
