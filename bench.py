@@ -25,11 +25,20 @@ def main() -> None:
 
     # Untimed warm-up: JIT/codegen/classloading otherwise lands entirely
     # on whichever query happens to run first (alphabetically the heavy
-    # dedup family).
+    # dedup family). A full pass at the smallest SF exercises every plan
+    # shape (window, HOF, BNLJ, collect_set, regexp) so the timed pass
+    # measures steady-state engine execution, JMH-style.
     from skripsi_mapreduce_spark.io import load_table
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").count().collect()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
+        for name in sorted(QUERIES):
+            try:
+                QUERIES[name](spark, warm_dir).count()
+            except Exception as exc:  # warm-up must never fail the bench
+                print(f"# warmup {name} skipped: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):

@@ -34,6 +34,11 @@ from pyspark.sql import functions as F
 
 from ..functions.text import TOKEN_PATTERN, tokenize_col
 
+# Jaccard verification switches to the bitmap kernel when the distinct
+# shingle vocabulary fits in this many bits (64 int64 words = 4096 bits);
+# past that, the shared-shingle join is the scale path.
+BITMAP_MAX_VOCAB = 4096
+
 
 def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(text_hash, keep_id, n_copies) for every duplicated content group."""
@@ -188,12 +193,100 @@ def prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+def _shingle_bitmaps(sh: DataFrame, max_vocab: int) -> DataFrame | None:
+    """(doc_id, bm: array<bigint>, n) — each document's distinct shingle
+    set as a fixed-width bitmap over a dense dictionary, or None when the
+    vocabulary exceeds ``max_vocab`` bits (or is empty).
+
+    Exact by construction: the dictionary assigns one bit per DISTINCT
+    shingle (row_number over the sorted vocab — a single-partition window,
+    fine precisely because the gate caps the vocab), so
+    |A ∩ B| = popcount(bm_a AND bm_b) with no hash-collision caveat."""
+    d = sh.select("shingle").distinct().select(
+        "shingle", (F.row_number().over(Window.orderBy("shingle")) - 1).alias("sid")
+    )
+    vocab = d.count()
+    if vocab == 0 or vocab > max_vocab:
+        return None
+    n_words = (vocab + 63) // 64
+    ent = sh.join(F.broadcast(d), "shingle").select(
+        "doc_id",
+        (F.col("sid") / 64).cast("int").alias("w"),
+        F.expr("shiftleft(1L, CAST(sid % 64 AS INT))").alias("bit"),
+    )
+    per_word = ent.groupBy("doc_id", "w").agg(F.bit_or("bit").alias("v"))
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "v"))).alias("m"),
+            F.sum(F.bit_count("v")).alias("n"),
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0).cast("long")),
+            ).alias("bm"),
+            "n",
+        )
+    )
+
+
+def _jaccard_pairs_bitmap(bm: DataFrame, pairs: DataFrame | None) -> DataFrame:
+    """Bitmap kernel: overlap = Σ popcount(AND) over the word arrays.
+
+    All-pairs form streams one side through a broadcast nested-loop join
+    (no 73M-row shingle-join intermediate); candidate form is two hash
+    joins against the small bitmap table + a per-pair popcount — no
+    shuffle wider than the candidate list itself."""
+    overlap = F.aggregate(
+        F.zip_with("ba", "bb", lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    a = bm.select(F.col("doc_id").alias("id_a"), F.col("bm").alias("ba"), F.col("n").alias("na"))
+    b = bm.select(F.col("doc_id").alias("id_b"), F.col("bm").alias("bb"), F.col("n").alias("nb"))
+    if pairs is None:
+        npart = bm.sparkSession.sparkContext.defaultParallelism
+        joined = a.repartition(npart).join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        joined = pairs.join(a, "id_a").join(b, "id_b")
+    return (
+        joined.select("id_a", "id_b", "na", "nb", overlap.alias("o"))
+        .filter(F.col("o") > 0)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("o") / (F.col("na") + F.col("nb") - F.col("o"))).alias("jaccard"),
+        )
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    pairs: DataFrame | None = None,
+    bitmap_max_vocab: int = BITMAP_MAX_VOCAB,
+) -> DataFrame:
     """Exact Jaccard for candidate pairs (or all pairs sharing >=1 shingle
     when ``pairs`` is None): (id_a, id_b, jaccard).
 
-    overlap = |A ∩ B| via shared-shingle equi-join; |A|,|B| from per-doc
-    counts; jaccard = o / (|A|+|B|-o)."""
+    Two exact backends, picked by vocabulary size:
+
+    - bitmap kernel (distinct shingles <= ``bitmap_max_vocab``): each
+      set becomes a <=512-byte bitmap; overlap is popcount(AND) per pair.
+      Small-vocab corpora (boilerplate-heavy web text, synthetic data)
+      otherwise explode the shingle join — Σ freq² intermediate rows.
+    - shared-shingle equi-join (the general/scale path): overlap =
+      |A ∩ B| via join on shingle; |A|,|B| from per-doc counts. Shuffle
+      keys are shingles/ids, never text; at 100 TB candidates come from
+      LSH and this join stays linear in |candidates|.
+
+    Both produce jaccard = o / (|A|+|B|-o) with identical int->double
+    division, so the result is backend-invariant bit-for-bit."""
+    if bitmap_max_vocab > 0:
+        bm = _shingle_bitmaps(sh, bitmap_max_vocab)
+        if bm is not None:
+            return _jaccard_pairs_bitmap(bm, pairs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     if pairs is not None:
         # Restrict BEFORE the shingle join: intersecting only candidate
@@ -360,8 +453,13 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
     Lane of token t = 32 bits of md5(t) (hex chars 1-8 = hi, 9-16 = lo,
     parsed with conv). Signature bit b is 1 iff Σ_tokens (2*bit_b(t) - 1)
-    > 0 — the classic Charikar construction, entirely in built-ins:
-    explode(tokens) x explode(bits) -> groupBy sum -> reassemble."""
+    > 0, i.e. iff 2*(#tokens with bit b set) > #tokens — the classic
+    Charikar construction. Computed as ONE wide aggregation: 64
+    conditional sums + a count per document, all partial-aggregated
+    map-side, so the shuffle carries |docs| rows of 65 ints — NOT the
+    64x-exploded token table (the naive explode(tokens) x explode(bits)
+    shape shuffles |tokens| * 64 rows; at 100 TB that is the difference
+    between a broadcastable signature table and a multi-TB shuffle)."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -370,48 +468,25 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     ).select("doc_id", F.md5("t").alias("h"))
     lanes = toks.select(
         "doc_id",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("hi").alias("part"),
-                    F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("lane"),
-                ),
-                F.struct(
-                    F.lit("lo").alias("part"),
-                    F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("lane"),
-                ),
-            )
-        ).alias("pl"),
-    ).select("doc_id", F.col("pl.part").alias("part"), F.col("pl.lane").alias("lane"))
-    per_bit = lanes.select(
-        "doc_id",
-        "part",
-        "lane",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
-    ).select(
-        "doc_id",
-        "part",
-        "b",
-        (
-            F.when(F.expr("(lane div CAST(pow(2, b) AS BIGINT)) % 2") == 1, 1).otherwise(-1)
-        ).alias("vote"),
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("lane_hi"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("lane_lo"),
     )
-    sig_bits = per_bit.groupBy("doc_id", "part", "b").agg(F.sum("vote").alias("v"))
-    sigs = sig_bits.groupBy("doc_id", "part").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("CAST(pow(2, b) AS BIGINT)")).otherwise(F.lit(0))
-        ).alias("sig")
-    )
-    return (
-        sigs.groupBy("doc_id")
-        .pivot("part", ["hi", "lo"])
-        .agg(F.first("sig"))
-        .select(
-            "doc_id",
-            F.coalesce("hi", F.lit(0)).alias("sim_hi"),
-            F.coalesce("lo", F.lit(0)).alias("sim_lo"),
-        )
-    )
+    bit_sums = [
+        F.sum(F.expr(f"CAST((lane_{part} div {1 << b}) % 2 AS INT)")).alias(f"s_{part}_{b}")
+        for part in ("hi", "lo")
+        for b in range(32)
+    ]
+    g = lanes.groupBy("doc_id").agg(F.count("*").alias("nt"), *bit_sums)
+
+    def _sig(part: str) -> F.Column:
+        out = F.lit(0).cast("bigint")
+        for b in range(32):
+            out = out + F.when(
+                2 * F.col(f"s_{part}_{b}") > F.col("nt"), F.lit(1 << b).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        return out
+
+    return g.select("doc_id", _sig("hi").alias("sim_hi"), _sig("lo").alias("sim_lo"))
 
 
 def simhash_near_dups(sim: DataFrame, max_hamming: int = 3) -> DataFrame:

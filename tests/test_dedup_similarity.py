@@ -99,6 +99,28 @@ def test_jaccard_pairs_exact(spark, docs):
     assert (1, 4) not in got  # no shared shingles
 
 
+def test_jaccard_backends_identical(spark):
+    """Bitmap kernel and shared-shingle join must agree bit-for-bit, in
+    both the all-pairs and candidate-pairs forms (real corpus slice)."""
+    from skripsi_mapreduce_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sh = dd.shingles(docs, "doc_id", "text", 2).localCheckpoint(eager=True)
+    bm_all = sorted(map(tuple, dd.jaccard_pairs(sh).collect()))
+    join_all = sorted(map(tuple, dd.jaccard_pairs(sh, bitmap_max_vocab=0).collect()))
+    assert bm_all == join_all and len(bm_all) > 0
+
+    sh1 = dd.shingles(docs, "doc_id", "text", 1).localCheckpoint(eager=True)
+    cands = dd.minhash_candidates(
+        dd.lsh_bands(dd.minhash_signatures(sh1, 16), 4)
+    ).localCheckpoint(eager=True)
+    bm_cand = sorted(map(tuple, dd.jaccard_pairs(sh1, cands).collect()))
+    join_cand = sorted(
+        map(tuple, dd.jaccard_pairs(sh1, cands, bitmap_max_vocab=0).collect())
+    )
+    assert bm_cand == join_cand and len(bm_cand) > 0
+
+
 def test_simhash_identical_and_near(spark, docs):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     sigs = dd.simhash64(df)
