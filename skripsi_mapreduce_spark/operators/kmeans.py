@@ -38,6 +38,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# The literal-centroid assign path embeds every centroid weight in the
+# plan as a map literal; past this many total (cluster, word) entries the
+# plan itself becomes the bottleneck and assignment falls back to the
+# broadcast-join path (the 100 TB shape, where centroids are a table).
+CENTROID_LITERAL_CAP = 20_000
+
+
 @dataclass
 class KMeansResult:
     assignments: DataFrame  # (doc_id, cluster, dist2)
@@ -93,10 +100,19 @@ def kmeans(
     )
     feats = feats.localCheckpoint(eager=True)  # reused every iteration
 
-    # ||x||^2 per document, computed once.
-    doc_norms = feats.groupBy("doc_id").agg(
-        F.sum(F.col("weight") * F.col("weight")).alias("x2")
-    ).localCheckpoint(eager=True)
+    # Per-document sparse vector + ||x||^2, computed once. The entries
+    # array feeds the literal-centroid assign (distances map-side, no
+    # shuffle) and the centroid update; doc_norms feeds the join-based
+    # assign fallback.
+    docs_vec = (
+        feats.groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("word", "weight")).alias("entries"),
+            F.sum(F.col("weight") * F.col("weight")).alias("x2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    doc_norms = docs_vec.select("doc_id", "x2")
 
     n_docs, min_id, max_id = doc_norms.agg(
         F.count("*"), F.min("doc_id"), F.max("doc_id")
@@ -140,12 +156,26 @@ def kmeans(
         # localCheckpoint: assignments feed three aggregations + the next
         # iteration; pin them once instead of recomputing the join, and cut
         # lineage so plan depth stays O(1) across iterations.
-        assignments = _assign(spark, feats, doc_norms, centroids).localCheckpoint(eager=True)
-        new_rows = (
-            feats.join(assignments.select("doc_id", "cluster"), "doc_id")
-            .groupBy("cluster", "word")
-            .agg(F.sum("weight").alias("wsum"))
-        )
+        if sum(len(v) for v in centroids.values()) <= CENTROID_LITERAL_CAP:
+            # small centroids: distances computed map-side against literal
+            # maps — the whole assign pass is shuffle-free, and the update
+            # explodes the already-assigned vectors (one shuffle total)
+            assigned = _assign_literal(docs_vec, centroids).localCheckpoint(eager=True)
+            assignments = assigned.select("doc_id", "cluster", "dist2")
+            new_rows = (
+                assigned.select("cluster", F.explode("entries").alias("e"))
+                .groupBy("cluster", F.col("e.word").alias("word"))
+                .agg(F.sum("e.weight").alias("wsum"))
+            )
+        else:
+            assignments = _assign(spark, feats, doc_norms, centroids).localCheckpoint(
+                eager=True
+            )
+            new_rows = (
+                feats.join(assignments.select("doc_id", "cluster"), "doc_id")
+                .groupBy("cluster", "word")
+                .agg(F.sum("weight").alias("wsum"))
+            )
         # one aggregation job for sizes + SSE (k rows collected)
         stats = assignments.groupBy("cluster").agg(
             F.count("*").alias("n"), F.sum("dist2").alias("sse")
@@ -238,6 +268,42 @@ def kmeans_ml(
         "doc_id", F.col("prediction").alias("cluster")
     )
     return assigned, model
+
+
+def _assign_literal(
+    docs_vec: DataFrame, centroids: dict[int, dict[str, float]]
+) -> DataFrame:
+    """Shuffle-free assignment pass over pre-collected sparse vectors.
+
+    Each centroid becomes a word->weight MAP LITERAL in the plan; the dot
+    product folds over the document's own entries (sparse, exactly the
+    terms the join path sums), dist2 = max(||x||^2 + ||c||^2 - 2x.c, 0)
+    as in ``_assign``, and the argmin is ``array_min`` over
+    (dist2, cluster) structs — lexicographic struct ordering reproduces
+    the min_by tie-break (lowest cluster on equal distance) exactly."""
+    cand = []
+    for c in sorted(centroids):
+        vec = centroids[c]
+        c2 = sum(v * v for v in vec.values())
+        cmap = F.create_map(
+            *[lit for w in sorted(vec) for lit in (F.lit(w), F.lit(float(vec[w])))]
+        )
+        dot = F.aggregate(
+            F.col("entries"),
+            F.lit(0.0),
+            lambda acc, e: acc
+            + e["weight"] * F.coalesce(F.element_at(cmap, e["word"]), F.lit(0.0)),
+        )
+        dist2 = F.greatest(F.col("x2") + F.lit(float(c2)) - 2 * dot, F.lit(0.0))
+        cand.append(F.struct(dist2.alias("dist2"), F.lit(c).cast("int").alias("cluster")))
+    best = F.array_min(F.array(*cand))
+    return docs_vec.select(
+        "doc_id",
+        "entries",
+        F.col("x2"),
+        best["cluster"].alias("cluster"),
+        best["dist2"].alias("dist2"),
+    )
 
 
 def _collect_centroids(centroids_df: DataFrame) -> dict[int, dict[str, float]]:
