@@ -301,6 +301,52 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q42 sliding window (batch = stream parity; streaming twin:
+# streaming/windows.sliding_counts)
+# ---------------------------------------------------------------------------
+@query(
+    "q42_sliding_window",
+    """
+    WITH e AS (
+        SELECT event_type, value,
+               epoch_us(ts) - epoch_us(ts) % 1800000000 AS base
+        FROM events),
+    x AS (
+        SELECT event_type, value, UNNEST([base, base - 1800000000]) AS ws
+        FROM e)
+    SELECT CAST(ws // 1000000 AS BIGINT) AS win_start_epoch,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(20,4))), 4) AS DECIMAL(20,4)) AS total_value
+    FROM x GROUP BY 1, 2
+    ORDER BY win_start_epoch, event_type
+    """,
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m window as a batch groupBy — window() works in batch
+    and streaming identically (epoch-aligned), so this is the exact batch
+    twin of streaming/windows.sliding_counts. The oracle reproduces the
+    window assignment arithmetically: window = 2 x slide, so each event
+    belongs to exactly the slide-grid bucket and its predecessor.
+    Microsecond-exact epoch math (same convention as q28)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            rnd4(F.sum(dec("value"))).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start_epoch"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("win_start_epoch", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q38 array aggregation
 # ---------------------------------------------------------------------------
 @query(

@@ -72,6 +72,34 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding 1h/30m window x event_type — the streaming twin of
+    q42_sliding_window. Each event lands in window/slide overlapping
+    windows (2 here); state is (open windows x event_type), bounded by
+    the watermark closing windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(20,4)")), 4)
+            .cast("decimal(20,4)")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start_epoch"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def sessionized_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
     """session_window(ts, gap) per user — the streaming twin of Q28.
 

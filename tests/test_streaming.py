@@ -11,6 +11,7 @@ from skripsi_mapreduce_spark.plans import QUERIES
 from skripsi_mapreduce_spark.streaming.windows import (
     run_to_memory_sink,
     sessionized_counts,
+    sliding_counts,
     stream_events,
     tumbling_counts,
 )
@@ -22,6 +23,15 @@ def test_tumbling_stream_equals_batch(spark):
     ev = stream_events(spark, SF_DIR)
     got = run_to_memory_sink(tumbling_counts(ev), "t_tumbling")
     batch = QUERIES["q27_tumbling_window"](spark, SF_DIR)
+    g = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert g == b
+
+
+def test_sliding_stream_equals_batch(spark):
+    ev = stream_events(spark, SF_DIR)
+    got = run_to_memory_sink(sliding_counts(ev), "t_sliding")
+    batch = QUERIES["q42_sliding_window"](spark, SF_DIR)
     g = sorted(tuple(r) for r in got.collect())
     b = sorted(tuple(r) for r in batch.collect())
     assert g == b
