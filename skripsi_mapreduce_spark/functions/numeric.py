@@ -45,6 +45,27 @@ def round_exact_double(col: Column, dp: int = 4) -> Column:
     return F.round(col * scale).cast("long").cast("double") / F.lit(float(scale))
 
 
+def e_int(col: Column | str, dp: int = 4) -> Column:
+    """Hash-surface canon: ``ROUND(x * 10^dp)::BIGINT`` (column suffix
+    ``_e{dp}``). The scaled product is the identical IEEE double in every
+    engine (decimal→double conversion is correctly rounded in both Spark
+    and DuckDB), scale-0 rounding coincides (module doc above), and a
+    BIGINT has exactly one rendering — no decimal-canonicalization hazard
+    (the round-1 driver hash-failed 20 value-identical entries purely on
+    Spark ``Decimal('25.0000')`` vs an oracle-side ``25.0``).
+
+    Exact as long as |x| < 2^52 / 10^dp (~4.5e11 at dp=4) — far above any
+    per-group aggregate at the tested SFs; the convention is a
+    test-surface concern, production sinks keep native types."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.round(col.cast("double") * F.lit(float(10**dp))).cast("long")
+
+
+def e_int_sql(expr: str, dp: int = 4) -> str:
+    """DuckDB twin of :func:`e_int` — same double path, same rounding."""
+    return f"CAST(ROUND(CAST(({expr}) AS DOUBLE) * {10**dp}) AS BIGINT)"
+
+
 def rnd_exact4_sql(expr: str) -> str:
     """DuckDB-SQL twin of the 4dp exact rounding, DECIMAL(20,4) output."""
     return (

@@ -216,6 +216,127 @@ def kmeans(
     )
 
 
+def kmeans_fixedpoint(
+    weights: DataFrame,
+    k: int = 5,
+    n_assign_passes: int = 2,
+    id_col: str = "doc_id",
+    word_col: str = "word",
+    weight_col: str = "w_e4",
+) -> DataFrame:
+    """Oracle-exact Lloyd over FIXED-POINT features — every number in the
+    whole algorithm is an int64, so a SQL oracle (DuckDB) reproduces it
+    bit-for-bit with zero float hazards. Semantics:
+
+    - input weights are e4-scaled integers (``round(w * 10^4)``);
+    - init: the k documents with the smallest ``(md5(doc_id), doc_id)``
+      become centroids 0..k-1 (engine-portable replacement for the seeded
+      RNG draw of the parity path — JobExtractFeature.java:143-158 O26 —
+      which no SQL engine can replay);
+    - distances: dist2_e8 = ||x||² + ||c||² − 2·x·c over the scaled ints
+      (exact, order-independent — integer addition commutes, unlike the
+      float sums the parity path uses);
+    - argmin tie-break: lowest cluster index (O32);
+    - update: per-(cluster, word) mean rounded HALF_UP at e4 via pure
+      integer arithmetic ``(2·s + n) div (2·n)`` (the O33 rounding rule,
+      at e4 instead of 10dp); zero entries dropped (no effect on dist);
+    - fixed ``n_assign_passes`` assignment passes (no convergence test —
+      deterministic work, same every run);
+    - returns the per-cluster summary (cluster, n_members, sse_e8) of the
+      LAST assignment pass.
+
+    Scale: centroids (k × active vocab) travel as a broadcast table; per
+    pass the docs shuffle once for the dot-product groupBy and once for
+    the update groupBy, both map-side partial-aggregated. No driver-side
+    centroid materialization at all — the k-row seed collect is the only
+    collect."""
+    w = weights.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(word_col).alias("word"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).localCheckpoint(eager=True)  # feeds seeds, norms, and every pass
+
+    seed_rows = (
+        w.select("doc_id")
+        .distinct()
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(k)
+        .collect()
+    )
+    spark = weights.sparkSession
+    seed_df = spark.createDataFrame(
+        [(r["doc_id"], i) for i, r in enumerate(seed_rows)], "doc_id long, cluster int"
+    )
+    cent = w.join(F.broadcast(seed_df), "doc_id").select(
+        "cluster", "word", F.col("w").alias("cw")
+    )
+    d2 = (
+        w.groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("w")).alias("x2"))
+        .localCheckpoint(eager=True)
+    )
+
+    assign = None
+    for p in range(max(n_assign_passes, 1)):
+        assign = _assign_fixedpoint(w, d2, cent)
+        if p == n_assign_passes - 1:
+            break
+        assign = assign.localCheckpoint(eager=True)  # feeds sizes + update
+        csize = assign.groupBy("cluster").agg(F.count("*").alias("n"))
+        cent = (
+            w.join(assign.select("doc_id", "cluster"), "doc_id")
+            .groupBy("cluster", "word")
+            .agg(F.sum("w").alias("s"))
+            .join(F.broadcast(csize), "cluster")
+            .select(
+                "cluster",
+                "word",
+                F.expr("(2 * s + n) DIV (2 * n)").cast("long").alias("cw"),
+            )
+            .filter(F.col("cw") > 0)
+            .localCheckpoint(eager=True)  # cut per-iteration lineage
+        )
+    return (
+        assign.groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum("dist2").cast("bigint").alias("sse_e8"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _assign_fixedpoint(w: DataFrame, d2: DataFrame, cent: DataFrame) -> DataFrame:
+    """(doc_id, cluster, dist2) — exact-integer nearest-centroid pass.
+
+    Same sparse expansion as ``_assign`` (dot via word join, missing
+    pairs via the k-row cross join) but everything stays int64; dist2 is
+    exactly Σ_union (w−c)², hence never negative — no clamp."""
+    c2 = cent.groupBy("cluster").agg(F.sum(F.col("cw") * F.col("cw")).alias("c2"))
+    dots = (
+        w.join(F.broadcast(cent), "word")
+        .groupBy("doc_id", "cluster")
+        .agg(F.sum(F.col("w") * F.col("cw")).alias("dot"))
+    )
+    dist = (
+        d2.crossJoin(F.broadcast(c2))
+        .join(dots, ["doc_id", "cluster"], "left")
+        .select(
+            "doc_id",
+            "cluster",
+            (
+                F.col("x2") + F.col("c2") - 2 * F.coalesce(F.col("dot"), F.lit(0).cast("long"))
+            ).alias("dist2"),
+        )
+    )
+    best = dist.groupBy("doc_id").agg(
+        F.min_by(F.struct("cluster", "dist2"), F.struct("dist2", "cluster")).alias("b")
+    )
+    return best.select(
+        "doc_id", F.col("b.cluster").alias("cluster"), F.col("b.dist2").alias("dist2")
+    )
+
+
 def kmeans_ml(
     spark: SparkSession,
     features: DataFrame,

@@ -18,15 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import rnd_exact4_sql
 from ..io import load_table
 from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators import text_analysis as ta
 from ..operators.etl import assign_sequential_ids
-from ..operators.kmeans import kmeans
+from ..operators.kmeans import kmeans_fixedpoint
 from ..operators.tfidf import tokens_long
-from .relational import DEC, ORACLE, QUERIES, query, rnd4, rnd_exact4
+from .relational import ORACLE, QUERIES, e_int, e_int_sql, query
 
 ASCII_TOKEN = r"\b\w\w+\b"
 STOP = ta.STOPWORDS_EN  # the/and/of/to/is/in/that/it
@@ -37,10 +36,12 @@ _STOP_LIST_SQL = "[" + ",".join(f"'{w}'" for w in STOP) + "]"
 # ---------------------------------------------------------------------------
 # T2: TF-IDF long-form (SURVEY.md §2.2) — hash-matched
 # ---------------------------------------------------------------------------
-@query(
-    "tfidf_longform",
-    rf"""
-    WITH toks AS (
+# Shared CTE chain producing w(doc_id, word, w) with w = e4-scaled TF-IDF
+# weight as BIGINT — consumed by both the tfidf_longform oracle and the
+# kmeans_documents oracle (the fixed-point Lloyd loop runs on exactly the
+# same integers the tfidf entry surfaces).
+_TFIDF_W_CTES = rf"""
+    toks AS (
         SELECT doc_id, unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS word
         FROM documents),
     filt AS (SELECT doc_id, word FROM toks WHERE word NOT IN {_STOP_SQL}),
@@ -52,17 +53,18 @@ _STOP_LIST_SQL = "[" + ",".join(f"'{w}'" for w in STOP) + "]"
           FROM tf t JOIN dfreq d USING (word) CROSS JOIN n),
     nrm AS (SELECT doc_id,
                    SQRT(CAST(SUM(CAST(ROUND(v * v, 8) AS DECIMAL(30,8))) AS DOUBLE)) AS nrm
-            FROM v GROUP BY doc_id)
-    SELECT v.doc_id, v.word,
-           CAST(ROUND(v.v / nrm.nrm, 4) AS DECIMAL(20,4)) AS weight
-    FROM v JOIN nrm USING (doc_id)
-    ORDER BY doc_id, word
-    """,
-)
-def tfidf_longform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse TF-IDF over documents (reference pipeline T2,
-    ReducerExtractFeatureTFIDF.java:54-80) with an order-independent
-    decimal-summed L2 norm so the oracle hash is exact."""
+            FROM v GROUP BY doc_id),
+    w AS (SELECT v.doc_id, v.word,
+                 CAST(ROUND((v.v / nrm.nrm) * 10000) AS BIGINT) AS w
+          FROM v JOIN nrm USING (doc_id))
+"""
+
+
+def _tfidf_weight_e4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, word, weight_e4) — e4-scaled L2-normalized smoothed TF-IDF
+    (reference pipeline T2, ReducerExtractFeatureTFIDF.java:54-80) with an
+    order-independent decimal-summed L2 norm so the integers are
+    engine-exact. Spark twin of ``_TFIDF_W_CTES``."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
     toks = tokens_long(docs, stopwords=STOP)
@@ -79,11 +81,21 @@ def tfidf_longform(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("v") * F.col("v"), 8).cast("decimal(30,8)")).cast("double")
         ).alias("nrm")
     )
-    return (
-        v.join(nrm, "doc_id")
-        .select("doc_id", "word", rnd4(F.col("v") / F.col("nrm")).alias("weight"))
-        .orderBy("doc_id", "word")
+    return v.join(nrm, "doc_id").select(
+        "doc_id", "word", e_int(F.col("v") / F.col("nrm")).alias("weight_e4")
     )
+
+
+@query(
+    "tfidf_longform",
+    f"""
+    WITH {_TFIDF_W_CTES}
+    SELECT doc_id, word, w AS weight_e4 FROM w ORDER BY doc_id, word
+    """,
+)
+def tfidf_longform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF over documents, surfaced as e4-scaled integers."""
+    return _tfidf_weight_e4(spark, sf_dir).orderBy("doc_id", "word")
 
 
 # ---------------------------------------------------------------------------
@@ -112,7 +124,7 @@ def tfidf_longform(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM cand c JOIN ov USING (id_a, id_b)
           JOIN sizes x ON x.doc_id = c.id_a JOIN sizes y ON y.doc_id = c.id_b)
     SELECT id_a, id_b,
-           {rnd_exact4_sql('jac')} AS jaccard
+           {e_int_sql('jac')} AS jaccard_e4
     FROM j WHERE jac >= 0.8 ORDER BY id_a, id_b
     """,
 )
@@ -122,7 +134,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = dd.minhash_near_dups(docs, threshold=0.8, num_hashes=16, rows_per_band=4)
     return out.select(
-        "id_a", "id_b", rnd_exact4(F.col("jaccard")).alias("jaccard")
+        "id_a", "id_b", e_int(F.col("jaccard")).alias("jaccard_e4")
     ).orderBy("id_a", "id_b")
 
 
@@ -145,7 +157,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
            GROUP BY 1, 2)
     SELECT id_a, id_b,
-           {rnd_exact4_sql('o * 1.0 / (x.n + y.n - o)')} AS jaccard
+           {e_int_sql('o * 1.0 / (x.n + y.n - o)')} AS jaccard_e4
     FROM ov JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
     WHERE o * 1.0 / (x.n + y.n - o) >= 0.3
     ORDER BY id_a, id_b
@@ -156,7 +168,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = dd.ngram_near_dups(docs, threshold=0.3, shingle_size=2)
     return out.select(
-        "id_a", "id_b", rnd_exact4(F.col("jaccard")).alias("jaccard")
+        "id_a", "id_b", e_int(F.col("jaccard")).alias("jaccard_e4")
     ).orderBy("id_a", "id_b")
 
 
@@ -218,9 +230,9 @@ _SIM_ORACLE = """
     qn AS (SELECT SQRT(CAST(SUM(CAST(ROUND(CAST(qxv AS DOUBLE) * CAST(qxv AS DOUBLE) * 100000000.0) AS BIGINT)) AS DOUBLE) / 100000000.0) AS qnrm
            FROM qx)
     SELECT d.vec_id,
-           CAST(ROUND((CAST(d.dot AS DOUBLE) / 100000000.0) / (n.nrm * qn.qnrm), 6) AS DECIMAL(20,6)) AS score
+           CAST(ROUND(ROUND((CAST(d.dot AS DOUBLE) / 100000000.0) / (n.nrm * qn.qnrm), 6) * 1000000) AS BIGINT) AS score_e6
     FROM dots d JOIN nrms n USING (vec_id) CROSS JOIN qn
-    ORDER BY score DESC, vec_id LIMIT 10
+    ORDER BY score_e6 DESC, vec_id LIMIT 10
 """
 
 
@@ -230,7 +242,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     out = sim.topk_cosine(emb, qvec, k=10)
-    return out.select("vec_id", F.col("score").cast("decimal(20,6)").alias("score"))
+    return out.select("vec_id", e_int(F.col("score"), 6).alias("score_e6"))
 
 
 _LSH_ORACLE = """
@@ -263,9 +275,9 @@ _LSH_ORACLE = """
     qn AS (SELECT SQRT(CAST(SUM(CAST(ROUND(CAST(qxv AS DOUBLE) * CAST(qxv AS DOUBLE) * 100000000.0) AS BIGINT)) AS DOUBLE) / 100000000.0) AS qnrm
            FROM qx)
     SELECT d.vec_id,
-           CAST(ROUND((CAST(d.dot AS DOUBLE) / 100000000.0) / (n.nrm * qn.qnrm), 6) AS DECIMAL(20,6)) AS score
+           CAST(ROUND(ROUND((CAST(d.dot AS DOUBLE) / 100000000.0) / (n.nrm * qn.qnrm), 6) * 1000000) AS BIGINT) AS score_e6
     FROM dots d JOIN nrms n USING (vec_id) CROSS JOIN qn
-    ORDER BY score DESC, vec_id LIMIT 10
+    ORDER BY score_e6 DESC, vec_id LIMIT 10
 """
 
 
@@ -278,7 +290,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     out = sim.lsh_topk_cosine(emb, qvec, k=10, n_planes=4)
-    return out.select("vec_id", F.col("score").cast("decimal(20,6)").alias("score"))
+    return out.select("vec_id", e_int(F.col("score"), 6).alias("score_e6"))
 
 
 # ---------------------------------------------------------------------------
@@ -297,18 +309,19 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     SQRT(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 100000000.0) AS BIGINT)) AS DOUBLE) / 100000000.0) AS nrm
              FROM ex GROUP BY vec_id)
     SELECT d.id_a, d.id_b,
-           CAST(ROUND((CAST(d.dot AS DOUBLE) / 100000000.0) / (na.nrm * nb.nrm), 6) AS DECIMAL(20,6)) AS cosine
+           CAST(ROUND(ROUND((CAST(d.dot AS DOUBLE) / 100000000.0) / (na.nrm * nb.nrm), 6) * 1000000) AS BIGINT) AS cosine_e6
     FROM dots d JOIN nrms na ON na.vec_id = d.id_a JOIN nrms nb ON nb.vec_id = d.id_b
     WHERE ROUND((CAST(d.dot AS DOUBLE) / 100000000.0) / (na.nrm * nb.nrm), 6) >= 0.95
     ORDER BY id_a, id_b
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs at cosine >= 0.95."""
+    """Embedding near-duplicate pairs at cosine >= 0.95 (bucketed LSH
+    path — see similarity.embedding_near_dups)."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = sim.embedding_near_dups(emb, threshold=0.95)
     return out.select(
-        "id_a", "id_b", F.col("cosine").cast("decimal(20,6)").alias("cosine")
+        "id_a", "id_b", e_int(F.col("cosine"), 6).alias("cosine_e6")
     ).orderBy("id_a", "id_b")
 
 
@@ -357,24 +370,29 @@ def ta_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                n_words
         FROM g)
     SELECT doc_id,
-           {rnd_exact4_sql('alpha_ratio')} AS alpha_ratio,
-           {rnd_exact4_sql('punct_ratio')} AS punct_ratio,
-           {rnd_exact4_sql('stop_ratio')} AS stop_ratio,
-           {rnd_exact4_sql('mean_word_len')} AS mean_word_len,
-           {rnd_exact4_sql('''0.3 * len_score
+           {e_int_sql('alpha_ratio')} AS alpha_ratio_e4,
+           {e_int_sql('punct_ratio')} AS punct_ratio_e4,
+           {e_int_sql('stop_ratio')} AS stop_ratio_e4,
+           {e_int_sql('mean_word_len')} AS mean_word_len_e4,
+           {e_int_sql('''0.3 * len_score
                + 0.25 * alpha_ratio
                + 0.2 * (1.0 - LEAST(punct_ratio * 4, 1.0))
                + 0.15 * LEAST(stop_ratio * 3, 1.0)
-               + 0.1 * (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 1.0 ELSE 0.5 END)''')} AS quality
+               + 0.1 * (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 1.0 ELSE 0.5 END)''')} AS quality_e4
     FROM r ORDER BY doc_id
     """,
 )
 def ta_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     q = ta.quality_score(docs)
+    # quality_score emits round_exact_double values (k/10^4 nearest
+    # doubles), so the e_int scaling recovers the integer k exactly
     return q.select(
         "doc_id",
-        *[F.col(c).cast(DEC).alias(c) for c in ["alpha_ratio", "punct_ratio", "stop_ratio", "mean_word_len", "quality"]],
+        *[
+            e_int(F.col(c)).alias(f"{c}_e4")
+            for c in ["alpha_ratio", "punct_ratio", "stop_ratio", "mean_word_len", "quality"]
+        ],
     ).orderBy("doc_id")
 
 
@@ -404,7 +422,7 @@ def _markers_sql(lang: str) -> str:
                 WHEN s_en = best THEN 'en'
                 WHEN s_es = best THEN 'es'
                 ELSE 'fr' END AS lang_pred,
-           {rnd_exact4_sql('CASE WHEN n_words > 0 THEN best / n_words ELSE 0.0 END')} AS lang_score
+           {e_int_sql('CASE WHEN n_words > 0 THEN best / n_words ELSE 0.0 END')} AS lang_score_e4
     FROM b ORDER BY doc_id
     """,
 )
@@ -412,7 +430,7 @@ def ta_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = ta.lang_id(docs)
     return out.select(
-        "doc_id", "lang_pred", F.col("lang_score").cast(DEC).alias("lang_score")
+        "doc_id", "lang_pred", e_int(F.col("lang_score")).alias("lang_score_e4")
     ).orderBy("doc_id")
 
 
@@ -570,26 +588,66 @@ def etl_sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# T3: K-Means cluster summary (iterative — rows-only check; exact parity vs
-# the Python oracle is pinned in tests/test_kmeans.py)
+# T3: K-Means cluster summary — hash-matched: the fixed-point Lloyd loop
+# (operators/kmeans.kmeans_fixedpoint) is pure int64 arithmetic, so the
+# DuckDB oracle below unrolls the same two assignment passes exactly.
+# The RNG-seeded reference-parity path (operators/kmeans.kmeans — App.java:
+# 122-145, MapperKMean.java:83-108, ReducerKMean.java:31-60) stays the CLI
+# default and is pinned against the Python oracle in tests/test_kmeans.py;
+# no SQL engine can replay its seeded draw, hence this md5-init twin for
+# the cross-engine gate.
 # ---------------------------------------------------------------------------
-@query("kmeans_documents")
+@query(
+    "kmeans_documents",
+    f"""
+    WITH {_TFIDF_W_CTES},
+    seeds AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS INT) AS cluster
+              FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+                    FROM (SELECT DISTINCT doc_id FROM w) t
+                    ORDER BY h, doc_id LIMIT 5) s),
+    c0 AS (SELECT s.cluster, w.word, w.w AS cw FROM w JOIN seeds s USING (doc_id)),
+    d2 AS (SELECT doc_id, SUM(w * w) AS x2 FROM w GROUP BY doc_id),
+    c0n AS (SELECT cluster, SUM(cw * cw) AS c2 FROM c0 GROUP BY cluster),
+    dot1 AS (SELECT w.doc_id, c0.cluster, SUM(w.w * c0.cw) AS dot
+             FROM w JOIN c0 USING (word) GROUP BY 1, 2),
+    a1 AS (SELECT doc_id, cluster FROM (
+            SELECT d2.doc_id, c0n.cluster,
+                   ROW_NUMBER() OVER (PARTITION BY d2.doc_id
+                       ORDER BY d2.x2 + c0n.c2 - 2 * COALESCE(dot1.dot, 0), c0n.cluster) AS rn
+            FROM d2 CROSS JOIN c0n
+            LEFT JOIN dot1 ON dot1.doc_id = d2.doc_id AND dot1.cluster = c0n.cluster) t
+           WHERE rn = 1),
+    csize AS (SELECT cluster, COUNT(*) AS n FROM a1 GROUP BY cluster),
+    c1 AS (SELECT cluster, word, cw FROM (
+            SELECT t.cluster, t.word,
+                   CAST((2 * t.s + c.n) // (2 * c.n) AS BIGINT) AS cw
+            FROM (SELECT a1.cluster, w.word, SUM(w.w) AS s
+                  FROM w JOIN a1 USING (doc_id) GROUP BY 1, 2) t
+            JOIN csize c USING (cluster)) u
+           WHERE cw > 0),
+    c1n AS (SELECT cluster, SUM(cw * cw) AS c2 FROM c1 GROUP BY cluster),
+    dot2 AS (SELECT w.doc_id, c1.cluster, SUM(w.w * c1.cw) AS dot
+             FROM w JOIN c1 USING (word) GROUP BY 1, 2),
+    a2 AS (SELECT doc_id, cluster, dist2 FROM (
+            SELECT d2.doc_id, c1n.cluster,
+                   d2.x2 + c1n.c2 - 2 * COALESCE(dot2.dot, 0) AS dist2,
+                   ROW_NUMBER() OVER (PARTITION BY d2.doc_id
+                       ORDER BY d2.x2 + c1n.c2 - 2 * COALESCE(dot2.dot, 0), c1n.cluster) AS rn
+            FROM d2 CROSS JOIN c1n
+            LEFT JOIN dot2 ON dot2.doc_id = d2.doc_id AND dot2.cluster = c1n.cluster) t
+           WHERE rn = 1)
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(dist2) AS BIGINT) AS sse_e8
+    FROM a2 GROUP BY cluster ORDER BY cluster
+    """,
+)
 def kmeans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-Means (k=5, m=5, seed=42) over documents TF-IDF; returns the
-    per-cluster summary (cluster, n_members, sse)."""
-    from ..operators.tfidf import tfidf_long
-
-    docs = load_table(spark, sf_dir, "documents")
-    feats = tfidf_long(docs, stopwords=STOP)
-    res = kmeans(spark, feats, k=5, max_iter=5, seed=42)
-    sizes = res.assignments.groupBy("cluster").agg(F.count("*").cast("bigint").alias("n_members"))
-    sse_rows = [(c, float(s)) for c, s in sorted(res.sse.items())]
-    sse_df = spark.createDataFrame(sse_rows, "cluster int, sse double")
-    return (
-        sizes.join(sse_df, "cluster")
-        .select("cluster", "n_members", rnd4(F.col("sse")).alias("sse"))
-        .orderBy("cluster")
-    )
+    """Fixed-point K-Means (k=5, two assignment passes, md5-min init) over
+    the e4-quantized TF-IDF features; returns (cluster, n_members,
+    sse_e8). See operators/kmeans.kmeans_fixedpoint for the semantics
+    contract and scale design."""
+    w = _tfidf_weight_e4(spark, sf_dir)
+    return kmeans_fixedpoint(w, k=5, n_assign_passes=2, weight_col="weight_e4")
 
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -6,8 +6,13 @@ column pruning, partial aggregation, broadcast joins for the small dims)
 and as an ANSI-SQL oracle string the driver runs on DuckDB.
 
 Determinism conventions (§2.4): final ORDER BY over a unique column set;
-every non-integer numeric output rounded to 4dp and cast DECIMAL(20,4);
-monetary aggregates computed over DECIMAL(20,4)-cast inputs so summation
+every non-integer numeric output surfaced as a SCALED BIGINT —
+``ROUND(x * 10^dp)::BIGINT`` with an ``_e4``/``_e6`` column suffix — on
+BOTH engines. Integers render identically in every engine and every
+hasher, whereas DECIMAL outputs hash-diverge on trailing-zero
+canonicalization (Spark ``Decimal('25.0000')`` vs an oracle-side ``25.0``
+— the round-1 driver failed 20 value-identical entries on exactly this).
+Monetary aggregates still SUM over DECIMAL(20,4)-cast inputs so summation
 order cannot flip a digit; integer aggregates cast BIGINT (DuckDB SUM(int)
 is HUGEINT); timestamps surfaced as DATE / epoch integers only.
 
@@ -28,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.numeric import rnd_exact4_sql
+from ..functions.numeric import e_int, e_int_sql, rnd_exact4_sql
 from ..io import load_table
 
 DEC = "decimal(20,4)"
@@ -71,6 +76,8 @@ def rnd_exact4(col) -> F.Column:
     return (scaled / 10000).cast(DEC)
 
 
+
+
 # ---------------------------------------------------------------------------
 # Q01 scan + project (reference O1, O9, O15)
 # ---------------------------------------------------------------------------
@@ -78,7 +85,7 @@ def rnd_exact4(col) -> F.Column:
     "q01_scan_project",
     """
     SELECT l_orderkey, l_linenumber,
-           CAST(ROUND(l_quantity, 4) AS DECIMAL(20,4)) AS quantity
+           CAST(ROUND(CAST(l_quantity AS DOUBLE) * 10000) AS BIGINT) AS quantity_e4
     FROM lineitem ORDER BY l_orderkey, l_linenumber
     """,
 )
@@ -87,7 +94,7 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns (column pruning reaches the parquet reader)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.select("l_orderkey", "l_linenumber", rnd4(F.col("l_quantity")).alias("quantity"))
+        li.select("l_orderkey", "l_linenumber", e_int(F.col("l_quantity")).alias("quantity_e4"))
         .orderBy("l_orderkey", "l_linenumber")
     )
 
@@ -127,10 +134,10 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_tpch_q1",
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(20,4))), 4) AS DECIMAL(20,4)) AS sum_qty,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(20,4))), 4) AS DECIMAL(20,4)) AS sum_base_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(20,4)))), 4) AS DECIMAL(20,4)) AS sum_disc_price,
-           {rnd_exact4_sql('CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*)')} AS avg_qty,
+           {e_int_sql('SUM(CAST(l_quantity AS DECIMAL(20,4)))')} AS sum_qty_e4,
+           {e_int_sql('SUM(CAST(l_extendedprice AS DECIMAL(20,4)))')} AS sum_base_price_e4,
+           {e_int_sql('SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(20,4))))')} AS sum_disc_price_e4,
+           {e_int_sql('CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*)')} AS avg_qty_e4,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '1998-09-02'
@@ -150,10 +157,10 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            rnd4(F.sum(qty)).alias("sum_qty"),
-            rnd4(F.sum(price)).alias("sum_base_price"),
-            rnd4(F.sum(price * (F.lit(1) - disc))).alias("sum_disc_price"),
-            rnd_exact4(F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            e_int(F.sum(qty)).alias("sum_qty_e4"),
+            e_int(F.sum(price)).alias("sum_base_price_e4"),
+            e_int(F.sum(price * (F.lit(1) - disc))).alias("sum_disc_price_e4"),
+            e_int(F.sum(qty).cast("double") / F.count("*")).alias("avg_qty_e4"),
             F.count("*").cast("bigint").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -209,7 +216,7 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q06_inner_join",
     """
     SELECT o_orderkey, c_name,
-           CAST(ROUND(o_totalprice, 4) AS DECIMAL(20,4)) AS total_price
+           CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 10000) AS BIGINT) AS total_price_e4
     FROM orders JOIN customer ON o_custkey = c_custkey
     ORDER BY o_orderkey
     """,
@@ -222,7 +229,7 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return (
         o.join(c, o.o_custkey == c.c_custkey, "inner")
-        .select("o_orderkey", "c_name", rnd4(F.col("o_totalprice")).alias("total_price"))
+        .select("o_orderkey", "c_name", e_int(F.col("o_totalprice")).alias("total_price_e4"))
         .orderBy("o_orderkey")
     )
 
@@ -234,14 +241,14 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q07_tpch_q5",
     """
     SELECT n_name,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(20,4)))), 4) AS DECIMAL(20,4)) AS revenue
+           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) * 10000) AS BIGINT) AS revenue_e4
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
       AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
       AND r_name = 'ASIA'
       AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1998-01-01'
-    GROUP BY n_name ORDER BY revenue DESC, n_name
+    GROUP BY n_name ORDER BY revenue_e4 DESC, n_name
     """,
 )
 def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,8 +279,12 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("n_name")
-        .agg(rnd4(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), "n_name")
+        .agg(
+            e_int(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias(
+                "revenue_e4"
+            )
+        )
+        .orderBy(F.col("revenue_e4").desc(), "n_name")
     )
 
 
@@ -284,7 +295,7 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q08_left_join",
     """
     SELECT c_custkey,
-           CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(20,4))), 0), 4) AS DECIMAL(20,4)) AS total_spent,
+           CAST(ROUND(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(20,4))), 0) AS DOUBLE) * 10000) AS BIGINT) AS total_spent_e4,
            CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey ORDER BY c_custkey
@@ -300,7 +311,9 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(
-            rnd4(F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast(DEC))).alias("total_spent"),
+            e_int(F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast(DEC))).alias(
+                "total_spent_e4"
+            ),
             F.count("o_orderkey").cast("bigint").alias("n_orders"),
         )
         .orderBy("c_custkey")
@@ -496,7 +509,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q16_window_lag",
     """
     SELECT o_custkey, o_orderkey,
-           CAST(ROUND(LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4) AS DECIMAL(20,4)) AS prev_price
+           CAST(ROUND(CAST(LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) * 10000) AS BIGINT) AS prev_price_e4
     FROM orders ORDER BY o_custkey, o_orderkey
     """,
 )
@@ -507,7 +520,7 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_custkey",
             "o_orderkey",
-            rnd4(F.lag("o_totalprice").over(w)).alias("prev_price"),
+            e_int(F.lag("o_totalprice").over(w)).alias("prev_price_e4"),
         ).orderBy("o_custkey", "o_orderkey")
     )
 
@@ -516,9 +529,9 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_window_frame",
     """
     SELECT o_custkey, o_orderkey,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(20,4))) OVER (
+           CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DECIMAL(20,4)) AS running_total
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) * 10000) AS BIGINT) AS running_total_e4
     FROM orders ORDER BY o_custkey, o_orderkey
     """,
 )
@@ -533,7 +546,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_custkey",
             "o_orderkey",
-            rnd4(F.sum(dec("o_totalprice")).over(w)).alias("running_total"),
+            e_int(F.sum(dec("o_totalprice")).over(w)).alias("running_total_e4"),
         ).orderBy("o_custkey", "o_orderkey")
     )
 
@@ -544,7 +557,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q18_topk",
     """
-    SELECT o_orderkey, CAST(ROUND(o_totalprice, 4) AS DECIMAL(20,4)) AS total_price
+    SELECT o_orderkey, CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 10000) AS BIGINT) AS total_price_e4
     FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
     """,
 )
@@ -556,7 +569,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
         o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-        .select("o_orderkey", rnd4(F.col("o_totalprice")).alias("total_price"))
+        .select("o_orderkey", e_int(F.col("o_totalprice")).alias("total_price_e4"))
         .limit(10)
     )
 
@@ -638,7 +651,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
            CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(20,4))), 4) AS DECIMAL(20,4)) AS total
+           CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) * 10000) AS BIGINT) AS total_e4
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     ORDER BY g_status, g_priority, status, priority
@@ -656,7 +669,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("o_orderstatus").cast("int").alias("g_status"),
             F.grouping("o_orderpriority").cast("int").alias("g_priority"),
             F.count("*").cast("bigint").alias("n"),
-            rnd4(F.sum(dec("o_totalprice"))).alias("total"),
+            e_int(F.sum(dec("o_totalprice"))).alias("total_e4"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -664,7 +677,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_status",
             "g_priority",
             "n",
-            "total",
+            "total_e4",
         )
         .orderBy("g_status", "g_priority", "status", "priority")
     )
@@ -749,14 +762,14 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q24_math_fns",
     """
     SELECT l_orderkey, l_linenumber,
-           CAST(ROUND(ABS(l_quantity - 25), 4) AS DECIMAL(20,4)) AS abs_dev,
+           CAST(ROUND(ABS(l_quantity - 25) * 10000) AS BIGINT) AS abs_dev_e4,
            CAST(CEIL(l_quantity / 7) AS BIGINT) AS ceil_q,
            CAST(FLOOR(l_quantity / 7) AS BIGINT) AS floor_q,
            CAST(MOD(CAST(l_quantity AS BIGINT), 5) AS BIGINT) AS mod_q,
-           CAST(ROUND(POWER(l_quantity, 2), 4) AS DECIMAL(20,4)) AS pow_q,
-           CAST(ROUND(SQRT(l_quantity), 4) AS DECIMAL(20,4)) AS sqrt_q,
-           CAST(ROUND(LN(l_quantity + 1), 4) AS DECIMAL(20,4)) AS ln_q,
-           CAST(ROUND(EXP(l_discount), 4) AS DECIMAL(20,4)) AS exp_d
+           CAST(ROUND(POWER(l_quantity, 2) * 10000) AS BIGINT) AS pow_q_e4,
+           CAST(ROUND(SQRT(l_quantity) * 10000) AS BIGINT) AS sqrt_q_e4,
+           CAST(ROUND(LN(l_quantity + 1) * 10000) AS BIGINT) AS ln_q_e4,
+           CAST(ROUND(EXP(l_discount) * 10000) AS BIGINT) AS exp_d_e4
     FROM lineitem ORDER BY l_orderkey, l_linenumber
     """,
 )
@@ -770,14 +783,14 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(
             "l_orderkey",
             "l_linenumber",
-            rnd4(F.abs(q - 25)).alias("abs_dev"),
+            e_int(F.abs(q - 25)).alias("abs_dev_e4"),
             F.ceil(q / 7).cast("bigint").alias("ceil_q"),
             F.floor(q / 7).cast("bigint").alias("floor_q"),
             (q.cast("bigint") % 5).cast("bigint").alias("mod_q"),
-            rnd4(F.pow(q, 2)).alias("pow_q"),
-            rnd4(F.sqrt(q)).alias("sqrt_q"),
-            rnd4(F.log(q + 1)).alias("ln_q"),
-            rnd4(F.exp(F.col("l_discount"))).alias("exp_d"),
+            e_int(F.pow(q, 2)).alias("pow_q_e4"),
+            e_int(F.sqrt(q)).alias("sqrt_q_e4"),
+            e_int(F.log(q + 1)).alias("ln_q_e4"),
+            e_int(F.exp(F.col("l_discount"))).alias("exp_d_e4"),
         ).orderBy("l_orderkey", "l_linenumber")
     )
 
@@ -792,7 +805,7 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
            CAST(COUNT(NULLIF(l_returnflag, 'N')) AS BIGINT) AS n_flagged,
            COALESCE(MAX(CASE WHEN l_returnflag = 'R' THEN l_returnflag END), 'none') AS any_r,
-           {rnd_exact4_sql("CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS return_ratio
+           {e_int_sql("CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS return_ratio_e4
     FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
     """,
 )
@@ -808,7 +821,7 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(F.when(F.col("l_returnflag") == "R", F.col("l_returnflag"))),
                 F.lit("none"),
             ).alias("any_r"),
-            rnd_exact4(F.sum(is_r).cast("double") / F.count("*")).alias("return_ratio"),
+            e_int(F.sum(is_r).cast("double") / F.count("*")).alias("return_ratio_e4"),
         )
         .orderBy("l_linestatus")
     )
@@ -837,7 +850,7 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(EXTRACT(EPOCH FROM DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(20,4))), 4) AS DECIMAL(20,4)) AS total_value
+           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) * 10000) AS BIGINT) AS total_value_e4
     FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type
     """,
 )
@@ -853,7 +866,7 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            rnd4(F.sum(dec("value"))).alias("total_value"),
+            e_int(F.sum(dec("value"))).alias("total_value_e4"),
         )
         .orderBy("hour_epoch", "event_type")
     )

@@ -1,19 +1,20 @@
 r"""Additional relational surface beyond the 30 declared queries —
 pivot, exact quantiles, ordered string aggregation, ntile, regexp
 functions, histogram bucketing, NULL-handling semantics, array
-aggregation. Same conventions as relational.py (DECIMAL canon, unique
-final ORDER BY, engine-portable formulations only).
+aggregation. Same conventions as relational.py (scaled-BIGINT ``_e4``
+numeric surface, unique final ORDER BY, engine-portable formulations
+only).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.asof import asof_join
-from .relational import DEC, dec, query, rnd4
+from ..operators.etl import assign_sequential_ids
+from .relational import DEC, dec, e_int, e_int_sql, query
 
 
 # ---------------------------------------------------------------------------
@@ -26,9 +27,9 @@ from .relational import DEC, dec, query, rnd4
            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
            CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
            CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
-           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(20,4)) ELSE 0 END), 4) AS DECIMAL(20,4)) AS total_f,
-           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(20,4)) ELSE 0 END), 4) AS DECIMAL(20,4)) AS total_o,
-           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(20,4)) ELSE 0 END), 4) AS DECIMAL(20,4)) AS total_p
+           CAST(ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(20,4)) ELSE 0 END) AS DOUBLE) * 10000) AS BIGINT) AS total_f_e4,
+           CAST(ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(20,4)) ELSE 0 END) AS DOUBLE) * 10000) AS BIGINT) AS total_o_e4,
+           CAST(ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(20,4)) ELSE 0 END) AS DOUBLE) * 10000) AS BIGINT) AS total_p_e4
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
@@ -42,7 +43,7 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            rnd4(F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast(DEC))).alias("total"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast(DEC)).alias("total"),
         )
     )
     return piv.select(
@@ -50,9 +51,9 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("F_n"), F.lit(0)).cast("bigint").alias("n_f"),
         F.coalesce(F.col("O_n"), F.lit(0)).cast("bigint").alias("n_o"),
         F.coalesce(F.col("P_n"), F.lit(0)).cast("bigint").alias("n_p"),
-        F.coalesce(F.col("F_total"), F.lit(0).cast(DEC)).alias("total_f"),
-        F.coalesce(F.col("O_total"), F.lit(0).cast(DEC)).alias("total_o"),
-        F.coalesce(F.col("P_total"), F.lit(0).cast(DEC)).alias("total_p"),
+        e_int(F.coalesce(F.col("F_total"), F.lit(0).cast(DEC))).alias("total_f_e4"),
+        e_int(F.coalesce(F.col("O_total"), F.lit(0).cast(DEC))).alias("total_o_e4"),
+        e_int(F.coalesce(F.col("P_total"), F.lit(0).cast(DEC))).alias("total_p_e4"),
     ).orderBy("o_orderpriority")
 
 
@@ -63,8 +64,8 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q32_quantiles",
     """
     SELECT o_orderstatus,
-           CAST(ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 4) AS DECIMAL(20,4)) AS median_price,
-           CAST(ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 4) AS DECIMAL(20,4)) AS p90_price
+           CAST(ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) * 10000) AS BIGINT) AS median_price_e4,
+           CAST(ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) * 10000) AS BIGINT) AS p90_price_e4
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )
@@ -77,11 +78,11 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_orderstatus")
         .agg(
-            rnd4(F.percentile(F.col("o_totalprice").cast("double"), F.lit(0.5))).alias(
-                "median_price"
+            e_int(F.percentile(F.col("o_totalprice").cast("double"), F.lit(0.5))).alias(
+                "median_price_e4"
             ),
-            rnd4(F.percentile(F.col("o_totalprice").cast("double"), F.lit(0.9))).alias(
-                "p90_price"
+            e_int(F.percentile(F.col("o_totalprice").cast("double"), F.lit(0.9))).alias(
+                "p90_price_e4"
             ),
         )
         .orderBy("o_orderstatus")
@@ -123,7 +124,7 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q34_ntile",
     """
     SELECT quartile, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(20,4))), 4) AS DECIMAL(20,4)) AS total
+           CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) * 10000) AS BIGINT) AS total_e4
     FROM (SELECT o_totalprice,
                  NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
           FROM orders) t
@@ -131,19 +132,32 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE over a unique total order (ties broken by key, so bucket
-    membership is deterministic). The global window is the known
-    single-partition shape; acceptable because the follow-up aggregation
-    collapses it — for a distributed variant use range-partitioned ranks
-    (etl.assign_sequential_ids) + arithmetic bucketing."""
-    o = load_table(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
+    """Distributed NTILE: no global single-partition window. Ranks come
+    from the range-partitioned two-phase sequential-id operator
+    (etl.assign_sequential_ids — per-partition ROW_NUMBER + broadcast
+    partition offsets), and NTILE's uneven-bucket rule (SQL standard: the
+    first n%k buckets get one extra row) is plain arithmetic on the rank,
+    so the plan has no Exchange SinglePartition anywhere. The row count
+    comes from a metadata-only parquet count."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = 4
+    n_rows = o.count()
+    size_small, n_big = divmod(n_rows, k)  # first n_big buckets get size_small+1
+    boundary = n_big * (size_small + 1)  # last rank in the "big bucket" zone
+    ranked = assign_sequential_ids(o, ["o_totalprice", "o_orderkey"], id_col="_rk")
+    r = F.col("_rk")
+    quartile = (
+        F.when(r <= boundary, F.floor((r - 1) / (size_small + 1)))
+        .otherwise(n_big + F.floor((r - boundary - 1) / max(size_small, 1)))
+        .cast("int")
+        + 1
+    )
     return (
-        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        ranked.select("o_totalprice", quartile.alias("quartile"))
         .groupBy("quartile")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            rnd4(F.sum(dec("o_totalprice"))).alias("total"),
+            e_int(F.sum(dec("o_totalprice"))).alias("total_e4"),
         )
         .orderBy("quartile")
     )
@@ -207,8 +221,9 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(NULLIF(l_returnflag, 'N')) AS BIGINT) AS n_nonnull,
-           CAST(ROUND(AVG(CASE WHEN l_returnflag <> 'N'
-                               THEN CAST(l_quantity AS DECIMAL(20,4)) END), 4) AS DECIMAL(20,4)) AS avg_flagged_qty,
+           CAST(ROUND((CAST(SUM(CASE WHEN l_returnflag <> 'N'
+                                     THEN CAST(l_quantity AS DECIMAL(20,4)) END) AS DOUBLE)
+                       / COUNT(CASE WHEN l_returnflag <> 'N' THEN 1 END)) * 10000) AS BIGINT) AS avg_flagged_qty_e4,
            CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_flag,
            COALESCE(MIN(NULLIF(l_returnflag, 'N')), 'none') AS min_flag
     FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
@@ -225,7 +240,12 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_rows"),
             F.count(F.nullif(F.col("l_returnflag"), F.lit("N"))).cast("bigint").alias("n_nonnull"),
-            rnd4(F.avg(flagged_qty)).alias("avg_flagged_qty"),
+            # sum/count instead of AVG: DuckDB's AVG(decimal) goes through
+            # double accumulation while Spark's stays decimal — an exact
+            # decimal SUM divided by the count is engine-identical
+            e_int(F.sum(flagged_qty).cast("double") / F.count(flagged_qty)).alias(
+                "avg_flagged_qty_e4"
+            ),
             F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0))
             .cast("bigint")
             .alias("n_null_flag"),
@@ -275,7 +295,7 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q41_unpivot",
     """
     SELECT l_orderkey, l_linenumber, metric,
-           CAST(ROUND(val, 4) AS DECIMAL(20,4)) AS val
+           CAST(ROUND(CAST(val AS DOUBLE) * 10000) AS BIGINT) AS val_e4
     FROM (
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
         FROM lineitem WHERE l_orderkey < 100)
@@ -296,7 +316,7 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "metric",
-        rnd4(F.col("val")).alias("val"),
+        e_int(F.col("val")).alias("val_e4"),
     ).orderBy("l_orderkey", "l_linenumber", "metric")
 
 
@@ -317,7 +337,7 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(ws // 1000000 AS BIGINT) AS win_start_epoch,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(20,4))), 4) AS DECIMAL(20,4)) AS total_value
+           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) * 10000) AS BIGINT) AS total_value_e4
     FROM x GROUP BY 1, 2
     ORDER BY win_start_epoch, event_type
     """,
@@ -334,13 +354,13 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            rnd4(F.sum(dec("value"))).alias("total_value"),
+            e_int(F.sum(dec("value"))).alias("total_value_e4"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start_epoch"),
             "event_type",
             "n",
-            "total_value",
+            "total_value_e4",
         )
         .orderBy("win_start_epoch", "event_type")
     )

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.numeric import e_int
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -59,15 +61,13 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(20,4)")), 4)
-            .cast("decimal(20,4)")
-            .alias("total_value"),
+            e_int(F.sum(F.col("value").cast("decimal(20,4)"))).alias("total_value_e4"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).cast("bigint").alias("hour_epoch"),
             "event_type",
             "n",
-            "total_value",
+            "total_value_e4",
         )
     )
 
@@ -87,15 +87,13 @@ def sliding_counts(
         .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(20,4)")), 4)
-            .cast("decimal(20,4)")
-            .alias("total_value"),
+            e_int(F.sum(F.col("value").cast("decimal(20,4)"))).alias("total_value_e4"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start_epoch"),
             "event_type",
             "n",
-            "total_value",
+            "total_value_e4",
         )
     )
 

@@ -40,7 +40,14 @@ def _canon_value(v):
     if v is None:
         return "␀"
     if isinstance(v, decimal.Decimal):
-        return format(v.normalize(), "f")
+        # NO normalization: the external driver's hasher canonicalizes the
+        # two engines' decimals differently (Spark Decimal('25.0000') vs a
+        # float-ized 25.0 — 20 round-1 entries failed on exactly this), so
+        # the repo convention is to never emit DECIMAL in a hash-matched
+        # output at all (scaled-BIGINT _e4/_e6 columns instead). str() here
+        # keeps trailing zeros so any decimal that sneaks back in fails
+        # loudly instead of being masked.
+        return str(v)
     if isinstance(v, float):
         if v == int(v) and abs(v) < 1e15:
             return format(v, ".10g")
@@ -69,7 +76,16 @@ def canon_result(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 def compare_spark_duckdb(spark_df, ddb_con, sql: str, name: str = "query"):
     """Assert the Spark DataFrame and the DuckDB oracle SQL agree on
-    column names and order-insensitive canonicalized values."""
+    column names and order-insensitive canonicalized values. Also enforces
+    the no-DECIMAL output convention (decimal outputs hash-diverge on
+    trailing-zero canonicalization in the external driver)."""
+    from pyspark.sql.types import DecimalType
+
+    dec_cols = [f.name for f in spark_df.schema.fields if isinstance(f.dataType, DecimalType)]
+    assert not dec_cols, (
+        f"{name}: DECIMAL output columns {dec_cols} violate the scaled-BIGINT "
+        "hash-surface convention (see plans/relational.py e_int)"
+    )
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = [c.lower() for c in spark_df.columns]
     res = ddb_con.execute(sql)
