@@ -489,28 +489,97 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return g.select("doc_id", _sig("hi").alias("sim_hi"), _sig("lo").alias("sim_lo"))
 
 
-def simhash_near_dups(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+def _hamming_slices(n_slices: int) -> list[tuple[str, int, int]]:
+    """Partition the 64 signature bits into ``n_slices`` disjoint groups
+    as ``(lane, bit_offset, width)`` triples, never crossing the 32-bit
+    lane boundary (so extraction is plain nonnegative div/mod — no signed
+    64-bit shift hazards in either engine). Pigeonhole only needs the
+    groups to be disjoint and cover all 64 bits; contiguity per lane is a
+    convenience."""
+    if not 2 <= n_slices <= 64:
+        raise ValueError(f"n_slices must be in [2, 64], got {n_slices}")
+    out: list[tuple[str, int, int]] = []
+    n_lo = n_slices // 2
+    for lane, cnt in (("lo", n_lo), ("hi", n_slices - n_lo)):
+        base, rem = divmod(32, cnt)
+        off = 0
+        for i in range(cnt):
+            width = base + (1 if i < rem else 0)
+            out.append((lane, off, width))
+            off += width
+    return out
+
+
+def simhash_near_dups(sim: DataFrame, max_hamming: int = 3, block: bool = True) -> DataFrame:
     """Pairs with Hamming distance <= max_hamming over the 64-bit signature.
 
-    At scale: block on bit-slices first (pigeonhole — any pair within
-    Hamming r agrees exactly on at least one of r+1 slices), then run this
-    XOR-popcount verify inside blocks; the all-pairs form here is the
-    verification kernel."""
-    # non-equi self-join -> broadcast nested loop; parallelize the
-    # streamed side explicitly (a small scan is a single partition)
-    npart = sim.sparkSession.sparkContext.defaultParallelism
-    a = sim.repartition(npart).select(
-        F.col("doc_id").alias("id_a"), F.col("sim_hi").alias("ha_hi"), F.col("sim_lo").alias("ha_lo")
-    )
-    b = sim.select(
-        F.col("doc_id").alias("id_b"), F.col("sim_hi").alias("hb_hi"), F.col("sim_lo").alias("hb_lo")
-    )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    ``block=True`` (the scale path, and the default): pigeonhole blocking.
+    Split the signature into ``max_hamming + 1`` disjoint bit-slices; any
+    pair within Hamming r must agree EXACTLY on at least one slice (r
+    differing bits cannot touch all r+1 slices), so candidates come from
+    an equi-join on (slice_idx, slice_value) — a plain shuffled hash join
+    whose output is Σ |bucket|², never |docs|² — and the XOR-popcount
+    verify runs on candidates only. Lossless by construction: the verify
+    keeps exactly the true pairs, so results are row-identical to the
+    all-pairs kernel (pinned by a regression test).
+
+    ``block=False``: the all-pairs verification kernel (broadcast nested
+    loop) — O(n²), audit/regression use only."""
+    if max_hamming >= 64:
+        # every pair is within distance 64 of a 64-bit signature — no
+        # slice partition can prune, so blocking would only add overhead
+        block = False
+    if not block:
+        # non-equi self-join -> broadcast nested loop; parallelize the
+        # streamed side explicitly (a small scan is a single partition)
+        npart = sim.sparkSession.sparkContext.defaultParallelism
+        a = sim.repartition(npart).select(
+            F.col("doc_id").alias("id_a"),
+            F.col("sim_hi").alias("ha_hi"),
+            F.col("sim_lo").alias("ha_lo"),
+        )
+        b = sim.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("sim_hi").alias("hb_hi"),
+            F.col("sim_lo").alias("hb_lo"),
+        )
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        # clamp: >= max_hamming+1 slices keeps the pigeonhole guarantee
+        # (extra slices only widen the candidate set, verify filters it);
+        # the minimum of 2 covers max_hamming=0 (exact-signature join)
+        slices = _hamming_slices(min(max(max_hamming + 1, 2), 64))
+        vals = F.array(
+            *[
+                F.expr(f"(sim_{lane} div {1 << off}) % {1 << width}").cast("long")
+                for lane, off, width in slices
+            ]
+        )
+        sl = sim.select(
+            "doc_id", "sim_hi", "sim_lo", F.posexplode(vals).alias("slice_idx", "slice_val")
+        )
+        a = sl.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("sim_hi").alias("ha_hi"),
+            F.col("sim_lo").alias("ha_lo"),
+            "slice_idx",
+            "slice_val",
+        )
+        b = sl.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("sim_hi").alias("hb_hi"),
+            F.col("sim_lo").alias("hb_lo"),
+            "slice_idx",
+            "slice_val",
+        )
+        # a pair can agree on several slices -> distinct after the verify
+        pairs = a.join(b, ["slice_idx", "slice_val"]).filter(F.col("id_a") < F.col("id_b"))
     hamming = F.bit_count(F.col("ha_hi").bitwiseXOR(F.col("hb_hi"))) + F.bit_count(
         F.col("ha_lo").bitwiseXOR(F.col("hb_lo"))
     )
-    return (
+    out = (
         pairs.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return out.distinct() if block else out

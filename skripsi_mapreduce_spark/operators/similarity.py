@@ -179,41 +179,76 @@ def embedding_near_dups(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold.
 
-    All-pairs form (the verification kernel). The scale path buckets both
-    sides with hyperplane_signs and joins on bucket equality first —
-    near-identical vectors collide in every plane, so recall for
-    dedup-grade thresholds (>=0.95) is high; then this exact kernel runs
-    inside buckets only.
+    ``n_planes=None``: all-pairs form — the verification kernel and the
+    recall baseline. O(n²) pairs; audit use only.
+
+    ``n_planes=p`` (the scale path): hyperplane-LSH bucketing. Every
+    vector gets a p-bit bucket from the deterministic md5-parity
+    hyperplanes (``hyperplane_signs`` — engine-portable, so the DuckDB
+    oracle reproduces the buckets bit-for-bit), candidates are pairs
+    whose buckets differ in AT MOST ONE bit (multi-probe: each vector
+    probes its own bucket plus the p Hamming-1 neighbors, an equi-join on
+    the probed bucket — a shuffled hash join, never a nested loop), and
+    this exact fixed-point kernel runs inside candidates only. Candidate
+    count is Σ |bucket|·|neighborhood|, not n²; recall at dedup-grade
+    thresholds is measured against the all-pairs baseline in
+    tests/test_dedup_similarity.py. Every emitted pair carries the exact
+    cosine (precision 1.0 — only recall is approximate).
 
     Norms are computed ONCE per vector before the pair join (N folds),
     not per pair (would be 2·N² folds) — per-pair work is the dot product
     only."""
-    # The pair join is a broadcast nested-loop (no equi key); its
-    # parallelism equals the streamed side's partition count, and a small
-    # parquet scan is ONE partition — repartition so the quadratic work
-    # spreads across the cluster.
     npart = emb.sparkSession.sparkContext.defaultParallelism
     # pinned: both sides of the self-join reuse one materialization, so
     # norms really are computed once per vector (N folds, not 2N)
-    with_norm = (
-        emb.repartition(npart)
-        .select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_v"),
-            _norm_i64(F.col(vec_col)).alias("_n"),
+    base_cols = [
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _norm_i64(F.col(vec_col)).alias("_n"),
+    ]
+    if n_planes is None:
+        # all-pairs: broadcast nested-loop (no equi key); its parallelism
+        # equals the streamed side's partition count, and a small parquet
+        # scan is ONE partition — repartition so the quadratic work
+        # spreads across the cluster.
+        with_norm = emb.repartition(npart).select(*base_cols).localCheckpoint(eager=False)
+        a = with_norm.select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
         )
-        .localCheckpoint(eager=False)
-    )
-    a = with_norm.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
-    )
-    b = with_norm.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
-    )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        b = with_norm.select(
+            F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
+        )
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        dim = len(emb.select(vec_col).head()[0])
+        with_norm = (
+            emb.repartition(npart)
+            .select(*base_cols, hyperplane_signs(F.col(vec_col), dim, n_planes).alias("_bkt"))
+            .localCheckpoint(eager=False)
+        )
+        # probe list: own bucket + every Hamming-1 neighbor. A candidate
+        # pair matches EXACTLY one probe (the XOR of its two buckets), so
+        # the join emits each pair once — no distinct pass needed.
+        probes = F.array(
+            F.col("_bkt"), *[F.col("_bkt").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+        )
+        a = with_norm.select(
+            F.col("_id").alias("id_a"),
+            F.col("_v").alias("va"),
+            F.col("_n").alias("na"),
+            F.explode(probes).alias("_probe"),
+        )
+        b = with_norm.select(
+            F.col("_id").alias("id_b"),
+            F.col("_v").alias("vb"),
+            F.col("_n").alias("nb"),
+            F.col("_bkt").alias("_probe"),
+        )
+        pairs = a.join(b, "_probe").filter(F.col("id_a") < F.col("id_b"))
     # Two-phase: a raw double dot (fused multiply-adds, no per-element
     # rounding allocation) prefilters with a safety margin that dominates
     # the fixed-point quantization error (<= dim * 0.5e-8 + float error);

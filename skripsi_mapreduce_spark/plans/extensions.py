@@ -299,11 +299,31 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     """
-    WITH ex AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
-                FROM embeddings),
-    dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                    SUM(CAST(ROUND(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) * 100000000.0) AS BIGINT)) AS dot
-             FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+    WITH planes AS (SELECT p FROM range(4) t(p)),
+    dims AS (SELECT i FROM range(64) t(i)),
+    signs AS (
+        SELECT p, i,
+               CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 32, 1) AS INTEGER) % 2 = 1
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM planes CROSS JOIN dims),
+    ex0 AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) - 1 AS i
+            FROM embeddings),
+    proj AS (SELECT e.vec_id, sg.p,
+                    SUM(CAST(ROUND(CAST(e.x AS DOUBLE) * sg.s * 100000000.0) AS BIGINT)) AS pr
+             FROM ex0 e JOIN signs sg ON sg.i = e.i GROUP BY 1, 2),
+    buckets AS (SELECT vec_id,
+                       CAST(SUM(CASE WHEN pr > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+                FROM proj GROUP BY vec_id),
+    cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM buckets a JOIN buckets b ON a.vec_id < b.vec_id
+             WHERE bit_count(xor(a.bucket, b.bucket)) <= 1),
+    ex AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+    dots AS (SELECT c.id_a, c.id_b,
+                    SUM(CAST(ROUND(CAST(xa.x AS DOUBLE) * CAST(xb.x AS DOUBLE) * 100000000.0) AS BIGINT)) AS dot
+             FROM cand c
+             JOIN ex xa ON xa.vec_id = c.id_a
+             JOIN ex xb ON xb.vec_id = c.id_b AND xb.i = xa.i
              GROUP BY 1, 2),
     nrms AS (SELECT vec_id,
                     SQRT(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 100000000.0) AS BIGINT)) AS DOUBLE) / 100000000.0) AS nrm
@@ -316,10 +336,15 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs at cosine >= 0.95 (bucketed LSH
-    path — see similarity.embedding_near_dups)."""
+    """Embedding near-duplicate pairs at cosine >= 0.95 via the bucketed
+    hyperplane-LSH path (4 md5-parity planes, Hamming-1 multi-probe) —
+    the 100 TB shape: candidates come from an equi-join on the probed
+    bucket, the exact fixed-point kernel runs inside candidates only.
+    The oracle reproduces the SAME buckets (deterministic hyperplanes),
+    so even the approximate path is hash-matched; recall vs the all-pairs
+    kernel is pinned in tests/test_dedup_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = sim.embedding_near_dups(emb, threshold=0.95)
+    out = sim.embedding_near_dups(emb, threshold=0.95, n_planes=4)
     return out.select(
         "id_a", "id_b", e_int(F.col("cosine"), 6).alias("cosine_e6")
     ).orderBy("id_a", "id_b")

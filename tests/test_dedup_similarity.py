@@ -134,6 +134,73 @@ def test_simhash_identical_and_near(spark, docs):
     assert pairs[(1, 3)] <= pairs.get((1, 5), 64)  # near-dup closer than unrelated
 
 
+def test_hamming_slices_partition_all_64_bits():
+    for n in (2, 4, 9, 33, 64):
+        slices = dd._hamming_slices(n)
+        assert len(slices) == n
+        bits = [(lane, off + i) for lane, off, w in slices for i in range(w)]
+        assert len(bits) == 64 and len(set(bits)) == 64
+        assert all(off + w <= 32 for _, off, w in slices)  # never cross a lane
+
+
+def test_simhash_blocking_equals_allpairs(spark):
+    """Pigeonhole blocking is lossless: equi-join candidates + verify must
+    return EXACTLY the all-pairs kernel's rows on real documents."""
+    from skripsi_mapreduce_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sigs = dd.simhash64(docs).localCheckpoint()
+    for r in (0, 3, 8):
+        blocked = sorted(map(tuple, dd.simhash_near_dups(sigs, max_hamming=r).collect()))
+        brute = sorted(
+            map(tuple, dd.simhash_near_dups(sigs, max_hamming=r, block=False).collect())
+        )
+        assert blocked == brute, f"max_hamming={r}"
+
+
+def _planted_embeddings(spark, n_base=40, n_noise=80, dim=16):
+    """Deterministic corpus: n_base random vectors, each with ONE tiny
+    perturbation twin (cosine ~0.9999), plus unrelated noise vectors."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for _ in range(n_base):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((vid, v))
+        vid += 1
+        rows.append((vid, [x + rng.uniform(-0.005, 0.005) for x in v]))
+        vid += 1
+    for _ in range(n_noise):
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(dim)]))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_bucketed_precision_and_recall(spark):
+    """The hyperplane-bucketed path must be a SUBSET of the all-pairs
+    kernel with identical cosines (precision 1.0 — the exact kernel runs
+    inside buckets), and recall on planted near-identical twins must be
+    high (4 planes + Hamming-1 multi-probe: P(collide) ~0.998 at
+    cosine 0.9999)."""
+    emb = _planted_embeddings(spark).localCheckpoint()
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in sim.embedding_near_dups(emb, threshold=0.95).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in sim.embedding_near_dups(emb, threshold=0.95, n_planes=4).collect()
+    }
+    assert set(bucketed) <= set(brute)
+    assert all(brute[k] == v for k, v in bucketed.items())  # exact cosines
+    planted = {k for k in brute if k[1] == k[0] + 1 and k[0] % 2 == 0}
+    assert len(planted) >= 35  # sanity: the twins really are near-dups
+    found = planted & set(bucketed)
+    assert len(found) / len(planted) >= 0.9
+
+
 def _py_cosine(a, b):
     dot = sum(round(x * y, 8) for x, y in zip(a, b))
     na = math.sqrt(sum(round(x * x, 8) for x in a))

@@ -71,3 +71,26 @@ def test_q09_semi_and_q10_anti_join_types(spark):
 def test_tfidf_idf_join_is_broadcast(spark):
     p = formatted_plan(spark, "tfidf_longform")
     assert "BroadcastHashJoin" in p
+
+
+def test_dedup_simhash_blocked_no_nested_loop(spark):
+    """Pigeonhole blocking: candidates come from an equi-join on
+    (slice_idx, slice_value) — all-pairs nested loops are banned from
+    this plan (they were the round-1 scale-killer)."""
+    p = formatted_plan(spark, "dedup_simhash")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_dedup_embedding_bucketed_no_nested_loop(spark):
+    """Hyperplane-bucketed near-dup: the pair join is an equi hash join
+    on the probed bucket, never a nested loop."""
+    p = formatted_plan(spark, "dedup_embedding_cosine")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q34_ntile_no_single_partition_exchange(spark):
+    """Distributed NTILE: no global single-partition window anywhere."""
+    p = formatted_plan(spark, "q34_ntile")
+    assert "Exchange SinglePartition" not in p
