@@ -93,10 +93,13 @@ def write_bucketed(
 def write_avro(df: DataFrame, path: str) -> None:
     """Avro+snappy sink for reference-parity IO (JobExtractTransform.java:66-71
     — O13). Requires the spark-avro package on the classpath; raises a clear
-    error if absent."""
-    try:
-        df.write.mode("overwrite").format("avro").option("compression", "snappy").save(path)
-    except Exception as exc:  # pragma: no cover - environment dependent
+    error if absent — checked UP FRONT so genuine write failures (bad path,
+    permissions, schema errors) propagate unchanged instead of being
+    misattributed to the classpath."""
+    from .sources.readers import avro_available
+
+    if not avro_available(df.sparkSession):
         raise RuntimeError(
             "spark-avro not on classpath; add org.apache.spark:spark-avro to use Avro IO"
-        ) from exc
+        )
+    df.write.mode("overwrite").format("avro").option("compression", "snappy").save(path)

@@ -86,13 +86,22 @@ def kmeans(
     word_col: str = "word",
     weight_col: str = "weight",
     parity_max_iter_off_by_one: bool = True,
+    max_centroid_entries: int = 1_000_000,
 ) -> KMeansResult:
     """Lloyd's algorithm on a sparse ``(doc_id, word, weight)`` table.
 
     ``parity_max_iter_off_by_one=True`` reproduces the reference's
     at-most-(m-1)-iterations loop (App.java:122-125; honest ``max_iter``
     when False).
-    """
+
+    Memory envelope: each iteration materializes the new centroids —
+    k × |active vocabulary| (word, weight) rows — on the DRIVER (the
+    parity convergence test compares exact rounded maps). That is bounded
+    for the reference's closed adjective vocabulary but a cliff for an
+    open vocabulary, so the update refuses to collect more than
+    ``max_centroid_entries`` rows (~50 MB at the default) and points at
+    ``kmeans_ml``/``kmeans_fixedpoint``, whose centroids never leave the
+    executors."""
     feats = features.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(word_col).alias("word"),
@@ -104,10 +113,13 @@ def kmeans(
     # array feeds the literal-centroid assign (distances map-side, no
     # shuffle) and the centroid update; doc_norms feeds the join-based
     # assign fallback.
+    # entries sorted by word: the literal-assign dot product folds over
+    # this array, and a canonical fold order keeps dist2 ULP-identical
+    # across runs/partitionings (collect_list order is shuffle luck)
     docs_vec = (
         feats.groupBy("doc_id")
         .agg(
-            F.collect_list(F.struct("word", "weight")).alias("entries"),
+            F.array_sort(F.collect_list(F.struct("word", "weight"))).alias("entries"),
             F.sum(F.col("weight") * F.col("weight")).alias("x2"),
         )
         .localCheckpoint(eager=True)
@@ -128,14 +140,17 @@ def kmeans(
         # ids can miss the data and clusters silently vanish at init
         from .etl import assign_sequential_ids
 
-        positions = set(init_centroid_ids(n_docs, k, seed))
+        # reuse the draw's OWN position->cluster mapping so cluster
+        # numbering (and lowest-cluster tie-breaks) is identical whether
+        # ids are dense 1..N or sparse — rebuilding it from
+        # sorted(positions) renumbered clusters differently per path
+        pos2cluster = init_centroid_ids(n_docs, k, seed)
         ranked = assign_sequential_ids(
             doc_norms.select("doc_id"), ["doc_id"], id_col="_pos"
         )
-        pos2cluster = {p: c for c, p in enumerate(sorted(positions))}
         id2cluster = {
             r["doc_id"]: pos2cluster[r["_pos"]]
-            for r in ranked.filter(F.col("_pos").isin(list(positions))).collect()
+            for r in ranked.filter(F.col("_pos").isin(list(pos2cluster))).collect()
         }
     seed_ids = spark.createDataFrame(
         [(d, c) for d, c in id2cluster.items()], "doc_id long, cluster int"
@@ -183,8 +198,17 @@ def kmeans(
         sizes = {r["cluster"]: r["n"] for r in stats}
         sse = {r["cluster"]: r["sse"] for r in stats}
         history.append(sse)
+        new_centroid_rows = new_rows.limit(max_centroid_entries + 1).collect()
+        if len(new_centroid_rows) > max_centroid_entries:
+            raise RuntimeError(
+                f"k-means centroid update exceeds max_centroid_entries="
+                f"{max_centroid_entries} (k x |active vocab| rows collected to "
+                "the driver for the parity convergence test). For open "
+                "vocabularies use kmeans_ml or kmeans_fixedpoint, whose "
+                "centroids stay distributed."
+            )
         new_centroids: dict[int, dict[str, float]] = {}
-        for row in new_rows.collect():
+        for row in new_centroid_rows:
             c = row["cluster"]
             new_centroids.setdefault(c, {})[row["word"]] = _round10(
                 row["wsum"] / sizes[c]

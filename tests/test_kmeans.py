@@ -89,3 +89,11 @@ def test_kmeans_empty_cluster_shrinks(spark):
     assert len(res.centroids) <= 3
     clusters_used = {r["cluster"] for r in res.assignments.collect()}
     assert set(res.centroids) >= clusters_used
+
+
+def test_kmeans_centroid_bound_enforced(spark, corpus, features):
+    """The driver-side centroid materialization refuses to collect more
+    than max_centroid_entries rows and names the distributed escape
+    hatches in the error."""
+    with pytest.raises(RuntimeError, match="kmeans_ml|kmeans_fixedpoint"):
+        kmeans(spark, features, k=3, max_iter=3, seed=42, max_centroid_entries=2)
