@@ -134,6 +134,39 @@ def lsh_bands(sigs: DataFrame, rows_per_band: int = 4) -> DataFrame:
     )
 
 
+def lsh_band_hashes(sh: DataFrame, num_hashes: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """(doc_id, band, band_hash) in ONE wide aggregation — result-identical
+    to ``lsh_bands(minhash_signatures(sh))`` but without the ×num_hashes
+    row explosion: each shingle row evaluates all 16 seeded hashes as
+    COLUMNS, one groupBy(doc_id) takes the 16 MINs map-side (partial
+    agg), and band hashes are md5 over the concatenated slice — so the
+    shuffle carries |docs| rows of 16 strings instead of 16×|shingles|
+    rows (the same one-wide-agg trick that made SimHash signatures
+    cheap). The per-band explode afterwards is over k tiny structs."""
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"_s{i}")
+        for i in range(num_hashes)
+    ]
+    wide = sh.groupBy("doc_id").agg(*mins)
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"_s{b * rows_per_band + j}") for j in range(rows_per_band)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return wide.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    )
+
+
 def minhash_candidates(bands: DataFrame) -> DataFrame:
     """Candidate pairs: documents sharing any (band, band_hash) bucket.
 
@@ -404,16 +437,14 @@ def minhash_near_dups(
     # — pin it once instead of re-tokenizing the corpus per consumer
     sh = shingles(df, id_col, text_col, shingle_size).localCheckpoint(eager=False)
     if not cascade:
-        cands = minhash_candidates(lsh_bands(minhash_signatures(sh, num_hashes), rows_per_band))
+        cands = minhash_candidates(lsh_band_hashes(sh, num_hashes, rows_per_band))
         return jaccard_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
 
     groups = _fingerprint_groups(sh).localCheckpoint(eager=False)
     rep_sh = sh.join(
         groups.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
     ).localCheckpoint(eager=False)
-    cands = minhash_candidates(
-        lsh_bands(minhash_signatures(rep_sh, num_hashes), rows_per_band)
-    )
+    cands = minhash_candidates(lsh_band_hashes(rep_sh, num_hashes, rows_per_band))
     rep_pairs = (
         jaccard_pairs(rep_sh, cands)
         .filter(F.col("jaccard") >= threshold)
