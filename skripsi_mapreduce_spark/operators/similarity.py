@@ -174,6 +174,85 @@ def lsh_topk_cosine(
     return topk_cosine(cands, query_vec, k, id_col, vec_col)
 
 
+def ivf_index(
+    emb: DataFrame,
+    n_list: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, dict[int, list[float]]]:
+    """IVF coarse quantizer: assign every vector to its nearest of
+    ``n_list`` coarse centroids (its inverted list). Returns the indexed
+    DataFrame (+ ``list_id`` column) and the centroid table.
+
+    Centroids are the ``n_list`` vectors with the smallest
+    ``(md5(id), id)`` — a deterministic, engine-portable seed pick (the
+    same device as kmeans_fixedpoint's init). IVF-flat quality is
+    dominated by n_probe, and a deterministic index beats a marginally
+    tighter nondeterministic one for reproducible pipelines; callers
+    wanting trained centroids can refine with kmeans_ml and re-assign.
+
+    Assignment is n_list fused zip_with folds against LITERAL centroid
+    arrays — map-side, shuffle-free, whole-stage codegen. At scale,
+    WRITE the table partitioned/bucketed by ``list_id``: a probe then
+    scans n_probe/n_list of the data (partition pruning), which is the
+    entire point of IVF."""
+    seed_rows = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), "_id")
+        .limit(n_list)
+        .collect()
+    )
+    centroids = {i: [float(x) for x in r["_v"]] for i, r in enumerate(seed_rows)}
+    cand = []
+    for lid in sorted(centroids):
+        c = centroids[lid]
+        c2 = sum(x * x for x in c)
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.lit(c).cast("array<double>"),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        # ||v||² is constant across candidates — argmin only needs
+        # ||c||² − 2·v·c; ties break to the lowest list id (struct order)
+        cand.append(
+            F.struct((F.lit(c2) - 2 * dot).alias("key"), F.lit(lid).alias("lid"))
+        )
+    best = F.array_min(F.array(*cand))
+    return emb.withColumn("list_id", best["lid"]), centroids
+
+
+def ivf_topk_cosine(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_list: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: probe the ``n_probe`` inverted lists
+    whose centroids are nearest the query, exact re-rank inside them.
+    The complement of the LSH path: data-dependent partitions (clusters)
+    instead of data-oblivious hyperplanes — better list balance on
+    clustered corpora, same pruning arithmetic (probes scan
+    n_probe/n_list of the table when stored partitioned by list)."""
+    indexed, centroids = ivf_index(emb, n_list, id_col, vec_col)
+    q2 = sum(x * x for x in query_vec)
+
+    def _key(c: list[float]) -> float:
+        return q2 + sum(x * x for x in c) - 2 * sum(a * b for a, b in zip(query_vec, c))
+
+    probe_ids = sorted(sorted(centroids), key=lambda lid: (_key(centroids[lid]), lid))[
+        :n_probe
+    ]
+    cands = indexed.filter(F.col("list_id").isin(probe_ids))
+    return topk_cosine(cands, query_vec, k, id_col, vec_col)
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.99,

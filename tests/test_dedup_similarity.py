@@ -282,3 +282,27 @@ def test_media_roundtrip_binary_struct(spark, tmp_path):
         (r["media_id"], bytes(r["content"]), r["meta"]["mime"]) for r in back.collect()
     )
     assert a == b
+
+
+def test_ivf_index_partitions_all_rows(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    indexed, centroids = sim.ivf_index(emb, n_list=8)
+    assert len(centroids) == 8
+    n = emb.count()
+    assert indexed.count() == n  # every vector lands in exactly one list
+    lists = {r["list_id"] for r in indexed.select("list_id").distinct().collect()}
+    assert lists <= set(range(8))
+
+
+def test_ivf_topk_self_hit_subset_and_probe_scaling(spark):
+    """The query's own vector is always found (its list is the nearest
+    probe by definition); results are a subset of brute force; probing
+    every list equals brute force exactly."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    got = [r["vec_id"] for r in sim.ivf_topk_cosine(emb, q, k=10, n_list=8, n_probe=2).collect()]
+    assert 0 in got
+    brute = [r["vec_id"] for r in sim.topk_cosine(emb, q, k=500).collect()]
+    assert set(got) <= set(brute)
+    full = [r["vec_id"] for r in sim.ivf_topk_cosine(emb, q, k=10, n_list=8, n_probe=8).collect()]
+    assert full == brute[:10]  # all lists probed == exact
