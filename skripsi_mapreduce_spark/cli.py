@@ -11,11 +11,22 @@ Differences from the reference (all documented in SURVEY.md §8):
   <out>/clusters) instead of hard-coded HDFS paths (Q9); N is returned
   in-process instead of via a WebHDFS side file (O14).
 
+Beyond the reference's stages, the engine's training-data operators are
+exposed as additional algorithm ids (the reference CLI shape, extended):
+``-a 4`` dedup (--method exact|minhash|simhash|ngram|embedding),
+``-a 5`` text analysis (stats + quality + langid + fingerprint, one
+joined table), ``-a 6`` similarity top-k (--method brute|lsh|ivf).
+
 Usage:
     python -m skripsi_mapreduce_spark -a 1 -i reviews.json -o outdir \
         --adjectives adj.txt --stopwords stopwords_en.txt
     python -m skripsi_mapreduce_spark -a 2 -o outdir -k 8
     python -m skripsi_mapreduce_spark -a 3 -o outdir -k 8 -m 10
+    python -m skripsi_mapreduce_spark -a 4 -i docs.parquet -o outdir \
+        --method minhash --threshold 0.8
+    python -m skripsi_mapreduce_spark -a 5 -i docs.parquet -o outdir
+    python -m skripsi_mapreduce_spark -a 6 -i emb.parquet -o outdir \
+        --method ivf --query-id 0 --topk 10
 """
 
 from __future__ import annotations
@@ -37,7 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="skripsi_mapreduce_spark")
     p.add_argument("-i", "--input", help="JSON-lines reviews path (stage 1)")
     p.add_argument("-o", "--output", required=True, help="output directory")
-    p.add_argument("-a", "--algorithm", type=int, required=True, choices=[1, 2, 3])
+    p.add_argument("-a", "--algorithm", type=int, required=True, choices=[1, 2, 3, 4, 5, 6])
     p.add_argument("-k", type=int, default=8, help="number of clusters")
     p.add_argument("-m", type=int, default=10, help="max iterations (reference runs m-1)")
     p.add_argument("-name", "--name", default="job", help="job name")
@@ -47,7 +58,83 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-maxdf", "--max-df", type=float, default=None)
     p.add_argument("-f", "--max-features", type=int, default=None)
     p.add_argument("-seed", "--seed", type=int, default=42)
+    p.add_argument(
+        "--method",
+        default=None,
+        help="-a 4: exact|minhash|simhash|ngram|embedding; -a 6: brute|lsh|ivf",
+    )
+    p.add_argument("--threshold", type=float, default=0.8, help="-a 4 similarity threshold")
+    p.add_argument("--max-hamming", type=int, default=8, help="-a 4 simhash Hamming radius")
+    p.add_argument("--query-id", type=int, default=0, help="-a 6 query vector id")
+    p.add_argument("--topk", type=int, default=10, help="-a 6 k")
+    p.add_argument("--n-planes", type=int, default=4, help="-a 6 lsh hyperplanes")
+    p.add_argument("--n-list", type=int, default=16, help="-a 6 ivf coarse lists")
+    p.add_argument("--n-probe", type=int, default=4, help="-a 6 ivf probed lists")
     return p
+
+
+def _run_dedup(spark, args, out: str) -> dict:
+    from .operators import dedup as dd
+    from .operators import similarity as sim
+
+    docs = spark.read.parquet(args.input)
+    method = args.method or "exact"
+    if method == "exact":
+        res = dd.exact_duplicate_groups(docs)
+    elif method == "minhash":
+        res = dd.minhash_near_dups(docs, threshold=args.threshold)
+    elif method == "simhash":
+        res = dd.simhash_near_dups(dd.simhash64(docs), max_hamming=args.max_hamming)
+    elif method == "ngram":
+        res = dd.ngram_near_dups(docs, threshold=args.threshold, shingle_size=2)
+    elif method == "embedding":
+        res = sim.embedding_near_dups(docs, threshold=args.threshold, n_planes=4)
+    else:
+        raise SystemExit(f"unknown dedup method: {method}")
+    from .io import write_parquet
+
+    write_parquet(res, os.path.join(out, f"dedup_{method}"))
+    return {"stage": 4, "method": method, "rows": spark.read.parquet(
+        os.path.join(out, f"dedup_{method}")).count()}
+
+
+def _run_text_analysis(spark, args, out: str) -> dict:
+    from .io import write_parquet
+    from .operators import text_analysis as ta
+
+    docs = spark.read.parquet(args.input)
+    joined = (
+        ta.token_stats(docs)
+        .join(ta.quality_score(docs), "doc_id")
+        .join(ta.lang_id(docs), "doc_id")
+        .join(ta.fingerprint(docs), "doc_id")
+    )
+    write_parquet(joined, os.path.join(out, "text_analysis"))
+    return {"stage": 5, "rows": spark.read.parquet(os.path.join(out, "text_analysis")).count()}
+
+
+def _run_similarity(spark, args, out: str) -> dict:
+    from .io import write_parquet
+    from .operators import similarity as sim
+
+    emb = spark.read.parquet(args.input)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == args.query_id).head()["embedding"]
+    ]
+    method = args.method or "brute"
+    if method == "brute":
+        res = sim.topk_cosine(emb, qvec, k=args.topk)
+    elif method == "lsh":
+        res = sim.lsh_topk_cosine(emb, qvec, k=args.topk, n_planes=args.n_planes)
+    elif method == "ivf":
+        res = sim.ivf_topk_cosine(
+            emb, qvec, k=args.topk, n_list=args.n_list, n_probe=args.n_probe
+        )
+    else:
+        raise SystemExit(f"unknown similarity method: {method}")
+    write_parquet(res, os.path.join(out, f"topk_{method}"))
+    return {"stage": 6, "method": method, "k": args.topk}
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -91,6 +178,12 @@ def main(argv: list[str] | None = None) -> int:
         )
         write_parquet(feats, os.path.join(out, "features"))
         print(json.dumps({"stage": 2, "n_docs": n, "feature_rows": feats.count()}))
+    elif args.algorithm in (4, 5, 6):
+        if not args.input:
+            print(f"error: -a {args.algorithm} requires -i <input.parquet>", file=sys.stderr)
+            return 2
+        runner = {4: _run_dedup, 5: _run_text_analysis, 6: _run_similarity}[args.algorithm]
+        print(json.dumps(runner(spark, args, out)))
     else:
         from .operators.kmeans import kmeans
 

@@ -105,3 +105,40 @@ def test_read_any_formats(spark, tmp_path):
     if not avro_available(spark):
         with pytest.raises(RuntimeError):
             read_any(spark, pq, "avro")
+
+
+def test_cli_extension_stages(spark, tmp_path):
+    """-a 4/5/6: the training-data operator surface is reachable from the
+    reference-shaped CLI."""
+    import json as _json
+
+    from skripsi_mapreduce_spark.cli import main as cli_main
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    dpath = str(tmp_path / "docs.parquet")
+    docs.write.parquet(dpath)
+    out = str(tmp_path / "out")
+
+    assert cli_main(["-a", "4", "-i", dpath, "-o", out, "--method", "exact"]) == 0
+    got = spark.read.parquet(f"{out}/dedup_exact").collect()
+    assert len(got) == 1 and got[0]["keep_id"] == 1
+
+    assert cli_main(["-a", "5", "-i", dpath, "-o", out]) == 0
+    ta_rows = spark.read.parquet(f"{out}/text_analysis")
+    assert ta_rows.count() == 3 and "quality" in ta_rows.columns
+
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    epath = str(tmp_path / "emb.parquet")
+    emb.write.parquet(epath)
+    for method in ("brute", "ivf"):
+        assert cli_main(
+            ["-a", "6", "-i", epath, "-o", out, "--method", method, "--query-id", "0"]
+        ) == 0
+        top = spark.read.parquet(f"{out}/topk_{method}").collect()
+        assert any(r["vec_id"] == 0 for r in top)  # self hit
