@@ -65,6 +65,18 @@ class _Cluster:
 
         return kmeans(self._eng.spark, features, k=k, max_iter=max_iter, seed=seed, **kw)
 
+    def kmeans_fixedpoint(self, weights: DataFrame, k: int = 5, **kw) -> DataFrame:
+        """Oracle-exact int64 Lloyd over e4-scaled weights (md5-min init,
+        fixed assignment passes); centroids never touch the driver."""
+        from .operators.kmeans import kmeans_fixedpoint
+
+        return kmeans_fixedpoint(weights, k=k, **kw)
+
+    def kmeans_ml(self, features: DataFrame, k: int, max_iter: int, seed: int = 42, **kw):
+        from .operators.kmeans import kmeans_ml
+
+        return kmeans_ml(self._eng.spark, features, k=k, max_iter=max_iter, seed=seed, **kw)
+
 
 class _Dedup:
     def __init__(self, eng: "Engine"):
@@ -95,10 +107,10 @@ class _Dedup:
 
         return simhash64(df, **kw)
 
-    def simhash_pairs(self, sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    def simhash_pairs(self, sigs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
         from .operators.dedup import simhash_near_dups
 
-        return simhash_near_dups(sigs, max_hamming)
+        return simhash_near_dups(sigs, max_hamming, **kw)
 
     def embedding_cosine(self, emb: DataFrame, threshold: float = 0.99, **kw) -> DataFrame:
         from .operators.similarity import embedding_near_dups
@@ -119,6 +131,11 @@ class _Sim:
         from .operators.similarity import lsh_topk_cosine
 
         return lsh_topk_cosine(emb, list(query_vec), k=k, n_planes=n_planes, **kw)
+
+    def topk_ivf(self, emb: DataFrame, query_vec, k: int = 10, **kw) -> DataFrame:
+        from .operators.similarity import ivf_topk_cosine
+
+        return ivf_topk_cosine(emb, list(query_vec), k=k, **kw)
 
 
 class _Stream:
