@@ -134,15 +134,14 @@ def lsh_bands(sigs: DataFrame, rows_per_band: int = 4) -> DataFrame:
     )
 
 
-def lsh_band_hashes(sh: DataFrame, num_hashes: int = 16, rows_per_band: int = 4) -> DataFrame:
-    """(doc_id, band, band_hash) in ONE wide aggregation — result-identical
-    to ``lsh_bands(minhash_signatures(sh))`` but without the ×num_hashes
-    row explosion: each shingle row evaluates all 16 seeded hashes as
-    COLUMNS, one groupBy(doc_id) takes the 16 MINs map-side (partial
-    agg), and band hashes are md5 over the concatenated slice — so the
-    shuffle carries |docs| rows of 16 strings instead of 16×|shingles|
-    rows (the same one-wide-agg trick that made SimHash signatures
-    cheap). The per-band explode afterwards is over k tiny structs."""
+def _band_hash_wide(sh: DataFrame, num_hashes: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """(doc_id, bands: array<string>) — per-document ordered band hashes in
+    ONE wide aggregation: each shingle row evaluates all ``num_hashes``
+    seeded hashes as COLUMNS, one groupBy(doc_id) takes the MINs map-side
+    (partial agg), and band hashes are md5 over the concatenated slice —
+    so the shuffle carries |docs| rows of 16 strings instead of
+    16×|shingles| exploded rows (the same one-wide-agg trick that made
+    SimHash signatures cheap)."""
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"_s{i}")
         for i in range(num_hashes)
@@ -151,20 +150,112 @@ def lsh_band_hashes(sh: DataFrame, num_hashes: int = 16, rows_per_band: int = 4)
     n_bands = num_hashes // rows_per_band
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).cast("bigint").alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",", *[F.col(f"_s{b * rows_per_band + j}") for j in range(rows_per_band)]
-                    )
-                ).alias("band_hash"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"_s{b * rows_per_band + j}") for j in range(rows_per_band)]
+                )
             )
             for b in range(n_bands)
         ]
     )
-    return wide.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    return wide.select("doc_id", bands.alias("bands"))
+
+
+def lsh_band_hashes(sh: DataFrame, num_hashes: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """(doc_id, band, band_hash) — long form of :func:`_band_hash_wide`,
+    result-identical to ``lsh_bands(minhash_signatures(sh))``."""
+    wide = _band_hash_wide(sh, num_hashes, rows_per_band)
+    return wide.select("doc_id", F.posexplode("bands").alias("band", "band_hash")).select(
+        "doc_id", F.col("band").cast("bigint").alias("band"), "band_hash"
     )
+
+
+def _lsh_verified_pairs(
+    sh: DataFrame,
+    num_hashes: int,
+    rows_per_band: int,
+    threshold: float,
+    bitmap_max_vocab: int = BITMAP_MAX_VOCAB,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs that share >= 1 LSH band bucket AND
+    have exact Jaccard >= threshold — the verified-candidate step, with a
+    COST-BASED physical choice:
+
+    - **bucket join** (the general/scale path): self-join on
+      (band, band_hash), distinct, then the exact kernel on candidates.
+      Work ∝ Σ|bucket|² — tiny on long-tail corpora, the whole point of
+      LSH.
+    - **fused all-pairs** (small duplicate-heavy sets): when the bitmap
+      kernel applies and n(n-1)/2 is within 4× of the bucket join's own
+      pair volume (Σ c·(c-1)/2, estimated from bucket counts — one cheap
+      aggregate), the bucket join buys little: its shuffle + distinct +
+      two hash joins cost more per pair than a broadcast-nested-loop row.
+      Then ONE pass over bitmap×band rows computes popcount-Jaccard and
+      the band-agreement residual (zip_with equality over the two 4-hash
+      arrays) together — no candidate materialization at all. Chosen on
+      measured sf0.1 documents (3.9k reps, mega-buckets: 3.2M candidate
+      pairs vs 7.5M all pairs), where it halves the stage.
+
+    Both branches return identical rows (band agreement and exact
+    Jaccard are computed, not approximated, in each)."""
+    wide = _band_hash_wide(sh, num_hashes, rows_per_band).localCheckpoint(eager=False)
+    bm = _shingle_bitmaps(sh, bitmap_max_vocab)
+    if bm is not None:
+        n_docs = wide.count()
+        bucket_pairs = (
+            wide.select(F.explode("bands").alias("h"))
+            .groupBy("h")
+            .agg(F.count("*").alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("p"))
+            .head()["p"]
+            or 0
+        )
+        if n_docs * (n_docs - 1) / 2 <= 4 * bucket_pairs:
+            both = bm.join(wide, "doc_id")
+            a = both.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("bm").alias("ba"),
+                F.col("n").alias("na"),
+                F.col("bands").alias("bba"),
+            )
+            b = both.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("bm").alias("bb"),
+                F.col("n").alias("nb"),
+                F.col("bands").alias("bbb"),
+            )
+            npart = sh.sparkSession.sparkContext.defaultParallelism
+            pairs = a.repartition(npart).join(b, F.col("id_a") < F.col("id_b"))
+            shares_band = F.exists(
+                F.zip_with("bba", "bbb", lambda x, y: x == y), lambda v: v
+            )
+            overlap = F.aggregate(
+                F.zip_with("ba", "bb", lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            return (
+                pairs.filter(shares_band)
+                .select(
+                    "id_a",
+                    "id_b",
+                    "na",
+                    "nb",
+                    overlap.alias("o"),
+                )
+                .filter(F.col("o") > 0)
+                .select(
+                    "id_a",
+                    "id_b",
+                    (F.col("o") / (F.col("na") + F.col("nb") - F.col("o"))).alias("jaccard"),
+                )
+                .filter(F.col("jaccard") >= threshold)
+            )
+    bands_long = wide.select(
+        "doc_id", F.posexplode("bands").alias("band", "band_hash")
+    )
+    cands = minhash_candidates(bands_long)
+    return jaccard_pairs(sh, cands, bitmap_max_vocab).filter(F.col("jaccard") >= threshold)
 
 
 def minhash_candidates(bands: DataFrame) -> DataFrame:
@@ -437,18 +528,14 @@ def minhash_near_dups(
     # — pin it once instead of re-tokenizing the corpus per consumer
     sh = shingles(df, id_col, text_col, shingle_size).localCheckpoint(eager=False)
     if not cascade:
-        cands = minhash_candidates(lsh_band_hashes(sh, num_hashes, rows_per_band))
-        return jaccard_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
+        return _lsh_verified_pairs(sh, num_hashes, rows_per_band, threshold)
 
     groups = _fingerprint_groups(sh).localCheckpoint(eager=False)
     rep_sh = sh.join(
         groups.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
     ).localCheckpoint(eager=False)
-    cands = minhash_candidates(lsh_band_hashes(rep_sh, num_hashes, rows_per_band))
-    rep_pairs = (
-        jaccard_pairs(rep_sh, cands)
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "jaccard")
+    rep_pairs = _lsh_verified_pairs(rep_sh, num_hashes, rows_per_band, threshold).select(
+        F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "jaccard"
     )
     return _cascade_output(groups, rep_pairs, threshold)
 
