@@ -297,7 +297,7 @@ def kmeans_fixedpoint(
     d2 = (
         w.groupBy("doc_id")
         .agg(F.sum(F.col("w") * F.col("w")).alias("x2"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # cached at first use, reused per pass
     )
 
     assign = None
@@ -305,7 +305,7 @@ def kmeans_fixedpoint(
         assign = _assign_fixedpoint(w, d2, cent)
         if p == n_assign_passes - 1:
             break
-        assign = assign.localCheckpoint(eager=True)  # feeds sizes + update
+        assign = assign.localCheckpoint(eager=False)  # feeds sizes + update
         csize = assign.groupBy("cluster").agg(F.count("*").alias("n"))
         cent = (
             w.join(assign.select("doc_id", "cluster"), "doc_id")
@@ -318,7 +318,7 @@ def kmeans_fixedpoint(
                 F.expr("(2 * s + n) DIV (2 * n)").cast("long").alias("cw"),
             )
             .filter(F.col("cw") > 0)
-            .localCheckpoint(eager=True)  # cut per-iteration lineage
+            .localCheckpoint(eager=False)  # cut per-iteration lineage
         )
     return (
         assign.groupBy("cluster")

@@ -69,7 +69,11 @@ def _tfidf_weight_e4(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()
     toks = tokens_long(docs, stopwords=STOP)
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    dfreq = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # df = #docs containing the word = tf's group count per word — derived
+    # from tf rather than re-aggregating toks, so the expensive
+    # tokenization feeds ONE exchange and Catalyst's ReusedExchange serves
+    # the second aggregate from the same shuffle files
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     idf = (F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)).alias(
         "idf"
     )
