@@ -46,6 +46,8 @@ def assign_sequential_ids(
     order_cols: list[str],
     id_col: str = "id",
     num_partitions: int | None = None,
+    *,
+    with_total: bool = False,
 ) -> DataFrame:
     """Global 1..N ids in ``order_cols`` order, without a global window.
 
@@ -57,6 +59,10 @@ def assign_sequential_ids(
     driver). Global rank = offset[pid] + local rank, exact regardless of
     where the sampled range boundaries fall, provided the order key is a
     total order (callers must include a tiebreak column).
+
+    ``with_total=True`` returns ``(df, n_rows)`` — the total falls out of
+    the per-partition counts this operator collects anyway, saving
+    callers (e.g. NTILE bucketing) a separate count job.
     """
     if num_partitions is None:
         num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 1)
@@ -74,10 +80,10 @@ def assign_sequential_ids(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
-        ranged.withColumn(id_col, F.row_number().over(w) + offset_map[F.col("_pid")])
-        .drop("_pid")
+    out = ranged.withColumn(id_col, F.row_number().over(w) + offset_map[F.col("_pid")]).drop(
+        "_pid"
     )
+    return (out, acc) if with_total else out
 
 
 def extract_transform(

@@ -141,10 +141,11 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes from a metadata-only parquet count."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     k = 4
-    n_rows = o.count()
+    ranked, n_rows = assign_sequential_ids(
+        o, ["o_totalprice", "o_orderkey"], id_col="_rk", with_total=True
+    )
     size_small, n_big = divmod(n_rows, k)  # first n_big buckets get size_small+1
     boundary = n_big * (size_small + 1)  # last rank in the "big bucket" zone
-    ranked = assign_sequential_ids(o, ["o_totalprice", "o_orderkey"], id_col="_rk")
     r = F.col("_rk")
     quartile = (
         F.when(r <= boundary, F.floor((r - 1) / (size_small + 1)))
