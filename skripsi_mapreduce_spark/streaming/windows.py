@@ -116,6 +116,34 @@ def sessionized_counts(events: DataFrame, gap: str = "30 minutes", watermark: st
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact deduplication — the ingestion twin of the batch
+    D1 operator: keep the FIRST arrival per key (e.g. a content digest)
+    and drop replays.
+
+    ``within_watermark=True`` uses ``dropDuplicatesWithinWatermark``:
+    state per key is evicted once the watermark passes its event time, so
+    state is bounded by the replay horizon — the only formulation that
+    survives an unbounded stream (plain dropDuplicates keeps every key
+    forever). Duplicates arriving later than the watermark are NOT
+    caught; that is the documented contract (late replays land in the
+    batch dedup pass downstream — the standard lambda-ish split).
+
+    Scale: state lives in the state store (RocksDB on a cluster), keyed
+    by ``key_cols`` — shuffle carries digests, never documents, same as
+    the batch path."""
+    wm = stream.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(key_cols)
+    return wm.dropDuplicates(key_cols)
+
+
 def run_to_memory_sink(df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregation over all available input synchronously
     and return the sink contents as a batch DataFrame (test/audit path)."""

@@ -134,3 +134,47 @@ def test_tumbling_stream_at_sf001_runs_incrementally(spark):
     finally:
         q.stop()
     assert spark.sql("SELECT COUNT(*) c FROM t_append").head()["c"] >= 0
+
+
+def test_streaming_dedup_drops_replays(spark, tmp_path):
+    """streaming_dedup keeps the first arrival per content digest and
+    drops replays inside the watermark horizon; result equals the batch
+    dedup of the same input."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from skripsi_mapreduce_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        run_to_memory_sink,
+        streaming_dedup,
+    )
+
+    base = 1_700_000_000
+    rows = [
+        (1, base, 1, "doc-a", 1.0),
+        (2, base + 60, 1, "doc-b", 1.0),
+        (3, base + 120, 2, "doc-a", 1.0),  # replay of doc-a content
+        (4, base + 180, 2, "doc-c", 1.0),
+        (5, base + 240, 3, "doc-b", 1.0),  # replay of doc-b content
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * 1_000_000_000 for r in rows], pa.int64()),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path / "dstream"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "part1.parquet"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(str(d))
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = streaming_dedup(ev, ["event_type"], watermark="10 minutes")
+    got = run_to_memory_sink(deduped, "t_dedup", output_mode="append")
+    kept = sorted(r["event_id"] for r in got.collect())
+    assert kept == [1, 2, 4]  # first arrival per digest wins
