@@ -157,6 +157,11 @@ class _Stream:
 
         return sessionized_counts(events, **kw)
 
+    def dedup(self, stream: DataFrame, key_cols: list[str], **kw) -> DataFrame:
+        from .streaming.windows import streaming_dedup
+
+        return streaming_dedup(stream, key_cols, **kw)
+
 
 class Engine:
     """Facade bundling the engine's operator namespaces over one session."""

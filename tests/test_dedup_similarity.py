@@ -306,3 +306,15 @@ def test_ivf_topk_self_hit_subset_and_probe_scaling(spark):
     assert set(got) <= set(brute)
     full = [r["vec_id"] for r in sim.ivf_topk_cosine(emb, q, k=10, n_list=8, n_probe=8).collect()]
     assert full == brute[:10]  # all lists probed == exact
+
+
+def test_band_hash_wide_equals_long_form(spark, docs):
+    """The one-wide-agg band hashes must equal the explode-based
+    signatures path exactly (same md5 family, same band slicing)."""
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = dd.shingles(df, size=1)
+    wide = sorted(map(tuple, dd.lsh_band_hashes(sh, 16, 4).collect()))
+    long_ = sorted(
+        map(tuple, dd.lsh_bands(dd.minhash_signatures(sh, 16), 4).collect())
+    )
+    assert wide == long_ and len(wide) == 6 * 4
