@@ -690,14 +690,31 @@ def simhash_near_dups(sim: DataFrame, max_hamming: int = 3, block: bool = True) 
             "slice_idx",
             "slice_val",
         )
-        # a pair can agree on several slices -> distinct after the verify
-        pairs = a.join(b, ["slice_idx", "slice_val"]).filter(F.col("id_a") < F.col("id_b"))
+        # canonical witness instead of a distinct shuffle: a pair agreeing
+        # on several slices is emitted only from the FIRST agreeing one —
+        # the row's own slice_idx qualifies iff every earlier slice
+        # disagrees (recomputed from the carried signatures, pure codegen)
+        def _slice(side: str, lane: str, off: int, width: int):
+            return F.expr(f"(h{side}_{lane} div {1 << off}) % {1 << width}")
+
+        witness = F.lit(True)
+        for i in range(len(slices) - 1, 0, -1):
+            earlier_disagree = F.lit(True)
+            for lane, off, width in slices[:i]:
+                earlier_disagree = earlier_disagree & (
+                    _slice("a", lane, off, width) != _slice("b", lane, off, width)
+                )
+            witness = F.when(F.col("slice_idx") == i, earlier_disagree).otherwise(witness)
+        pairs = (
+            a.join(b, ["slice_idx", "slice_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(witness)
+        )
     hamming = F.bit_count(F.col("ha_hi").bitwiseXOR(F.col("hb_hi"))) + F.bit_count(
         F.col("ha_lo").bitwiseXOR(F.col("hb_lo"))
     )
-    out = (
+    return (
         pairs.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    return out.distinct() if block else out

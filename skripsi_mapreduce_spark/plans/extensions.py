@@ -213,6 +213,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash pairs within Hamming distance 8."""
     docs = load_table(spark, sf_dir, "documents")
+    # no checkpoint on the signatures: both sides of the blocking
+    # self-join share the signature aggregation's shuffle via
+    # ReusedExchange, which beats materializing the table (measured)
     sig = dd.simhash64(docs)
     return dd.simhash_near_dups(sig, max_hamming=8).orderBy("id_a", "id_b")
 
