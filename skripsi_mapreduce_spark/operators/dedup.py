@@ -251,10 +251,29 @@ def _lsh_verified_pairs(
                 )
                 .filter(F.col("jaccard") >= threshold)
             )
-    bands_long = wide.select(
-        "doc_id", F.posexplode("bands").alias("band", "band_hash")
+    # scale path: equi-join on the exploded (band, band_hash) — with the
+    # full band array carried on both sides, a canonical-witness filter
+    # (emit a pair only from its FIRST agreeing band) replaces the
+    # distinct shuffle over the candidate set
+    a = wide.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("bands").alias("bands_a"),
+        F.posexplode("bands").alias("band", "band_hash"),
     )
-    cands = minhash_candidates(bands_long)
+    b = wide.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("bands").alias("bands_b"),
+        F.posexplode("bands").alias("band", "band_hash"),
+    )
+    first_agree = F.array_position(
+        F.zip_with("bands_a", "bands_b", lambda x, y: x == y), True
+    )
+    cands = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(first_agree == F.col("band") + 1)  # array_position is 1-indexed
+        .select("id_a", "id_b")
+    )
     return jaccard_pairs(sh, cands, bitmap_max_vocab).filter(F.col("jaccard") >= threshold)
 
 

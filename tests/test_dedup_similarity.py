@@ -318,3 +318,29 @@ def test_band_hash_wide_equals_long_form(spark, docs):
         map(tuple, dd.lsh_bands(dd.minhash_signatures(sh, 16), 4).collect())
     )
     assert wide == long_ and len(wide) == 6 * 4
+
+
+def test_lsh_verified_pairs_paths_identical(spark):
+    """The fused all-pairs branch, the bucket-join branch (forced via
+    bitmap_max_vocab=0), and the legacy candidates+verify composition all
+    return the same verified pairs."""
+    from skripsi_mapreduce_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sh = dd.shingles(docs, "doc_id", "text", 1).localCheckpoint(eager=True)
+    fused = sorted(
+        map(tuple, dd._lsh_verified_pairs(sh, 16, 4, 0.8).collect())
+    )
+    bucket = sorted(
+        map(tuple, dd._lsh_verified_pairs(sh, 16, 4, 0.8, bitmap_max_vocab=0).collect())
+    )
+    legacy_cands = dd.minhash_candidates(dd.lsh_band_hashes(sh, 16, 4))
+    legacy = sorted(
+        map(
+            tuple,
+            dd.jaccard_pairs(sh, legacy_cands)
+            .filter(F.col("jaccard") >= 0.8)
+            .collect(),
+        )
+    )
+    assert fused == bucket == legacy and len(fused) > 0
