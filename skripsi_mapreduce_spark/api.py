@@ -187,6 +187,18 @@ class Engine:
 
         return asof_join(left, right, key, **kw)
 
+    def prepare_corpus(self, docs: DataFrame, **kw) -> DataFrame:
+        """The standard corpus-prep composition: sample -> quality ->
+        language -> exact dedup -> near dedup -> chunk."""
+        from .operators.pipeline import prepare_corpus
+
+        return prepare_corpus(docs, **kw)
+
+    def sample(self, df: DataFrame, fraction: float, key_col: str = "doc_id", **kw) -> DataFrame:
+        from .operators.pipeline import deterministic_sample
+
+        return deterministic_sample(df, fraction, key_col, **kw)
+
     def table(self, sf_dir: str, name: str) -> DataFrame:
         from .io import load_table
 

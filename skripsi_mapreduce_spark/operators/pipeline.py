@@ -1,0 +1,121 @@
+"""End-to-end training-corpus preparation — the composition the other
+operator families exist for: deterministic sample → quality filter →
+language filter → exact dedup → near-dedup → chunk.
+
+Every stage is one of the engine's scan-speed operators; the composition
+stays a single lazy DataFrame plan until the caller materializes it, so
+Catalyst pushes the cheap row-level filters (quality, language, sample)
+below everything it can, and the only shuffles are the ones the dedup
+stages inherently need. At 100 TB this ordering matters: sampling and
+quality filtering first shrink the corpus BEFORE any shuffle.
+
+Stage toggles accept None to skip — the defaults mirror the standard
+web-corpus recipe (C4/Gopher-style filter, exact then near dedup,
+fixed-size token windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Reproducible, engine-portable row sample: keep rows whose
+    ``md5(salt || key)`` falls under ``fraction`` of the hash space.
+
+    Unlike ``df.sample`` the decision is a pure function of the key —
+    stable across runs, partitionings, engines, and retries (the property
+    a training pipeline needs so a re-run reproduces the exact corpus).
+    Uses the first 15 hex digits (60 bits) of md5 as the uniform draw."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    space = float(1 << 60)
+    draw = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("double")
+    return df.filter(draw < F.lit(fraction * space))
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_fraction: float | None = None,
+    min_quality: float | None = 0.5,
+    languages: list[str] | None = None,
+    exact_dedup: bool = True,
+    near_dedup_threshold: float | None = 0.8,
+    chunk_tokens: int | None = None,
+) -> DataFrame:
+    """The standard corpus-prep pipeline over ``(doc_id, text)``.
+
+    Stages, in the order that minimizes shuffled bytes:
+
+    1. ``sample_fraction`` — deterministic hash sample (narrow filter).
+    2. ``min_quality`` — keep docs with composite quality >= threshold
+       (text_analysis.quality_score; narrow, scan-speed).
+    3. ``languages`` — keep docs whose predicted language is in the list
+       (text_analysis.lang_id; narrow).
+    4. ``exact_dedup`` — one survivor per content digest, lowest id wins
+       (digest-keyed shuffle, never text).
+    5. ``near_dedup_threshold`` — MinHash+LSH near-duplicate groups;
+       the LOWEST doc_id in each connected pair is kept, the rest drop
+       (conservative: a doc is removed if it near-matches ANY kept or
+       dropped doc with a smaller id — one pass, no transitive-closure
+       iteration; at 100 TB replace with a union-find over pairs if
+       exact cluster semantics are needed).
+    6. ``chunk_tokens`` — explode into fixed-size token windows
+       (doc_id, chunk_idx, chunk_text).
+
+    Returns the surviving documents (or chunks when ``chunk_tokens``).
+    """
+    from . import dedup as dd
+    from . import text_analysis as ta
+
+    out = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    if sample_fraction is not None:
+        out = deterministic_sample(out, sample_fraction, "doc_id")
+    if min_quality is not None:
+        q = ta.quality_score(out).select("doc_id", "quality")
+        out = out.join(q.filter(F.col("quality") >= min_quality).select("doc_id"), "doc_id")
+    if languages:
+        lang = ta.lang_id(out).select("doc_id", "lang_pred")
+        out = out.join(
+            lang.filter(F.col("lang_pred").isin(languages)).select("doc_id"), "doc_id"
+        )
+    if exact_dedup:
+        out = dd.dedup_exact(out, ["text"])
+    if near_dedup_threshold is not None:
+        # survivors-by-lowest-id: drop every doc that appears as the
+        # GREATER id of a qualifying near-dup pair
+        pairs = dd.minhash_near_dups(out, threshold=near_dedup_threshold)
+        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        out = out.join(losers, "doc_id", "left_anti")
+    if chunk_tokens is not None:
+        from ..functions.text import tokenize_col
+
+        toks = out.select("doc_id", tokenize_col("text").alias("t"))
+        idx = F.when(
+            F.size("t") > 0,
+            F.sequence(F.lit(0), F.ceil(F.size("t") / chunk_tokens).cast("int") - 1),
+        ).otherwise(F.array().cast("array<int>"))
+        out = (
+            toks.select("doc_id", F.explode(idx).alias("chunk_idx"), "t")
+            .select(
+                "doc_id",
+                "chunk_idx",
+                F.array_join(
+                    F.slice("t", F.col("chunk_idx") * chunk_tokens + 1, chunk_tokens), " "
+                ).alias("chunk_text"),
+            )
+            .filter(F.col("chunk_text") != "")
+        )
+    return out
