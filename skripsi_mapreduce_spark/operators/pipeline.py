@@ -53,6 +53,7 @@ def prepare_corpus(
     languages: list[str] | None = None,
     exact_dedup: bool = True,
     near_dedup_threshold: float | None = 0.8,
+    near_dedup_transitive: bool = False,
     chunk_tokens: int | None = None,
 ) -> DataFrame:
     """The standard corpus-prep pipeline over ``(doc_id, text)``.
@@ -66,12 +67,14 @@ def prepare_corpus(
        (text_analysis.lang_id; narrow).
     4. ``exact_dedup`` — one survivor per content digest, lowest id wins
        (digest-keyed shuffle, never text).
-    5. ``near_dedup_threshold`` — MinHash+LSH near-duplicate groups;
-       the LOWEST doc_id in each connected pair is kept, the rest drop
-       (conservative: a doc is removed if it near-matches ANY kept or
-       dropped doc with a smaller id — one pass, no transitive-closure
-       iteration; at 100 TB replace with a union-find over pairs if
-       exact cluster semantics are needed).
+    5. ``near_dedup_threshold`` — MinHash+LSH near-duplicate pairs, then
+       one of two survivor rules:
+       - default (one-pass): drop every doc that is the GREATER id of
+         any qualifying pair. No iteration; may keep more than one doc
+         per transitive cluster when a mid-id doc only pairs upward.
+       - ``near_dedup_transitive=True``: exact transitive clusters via
+         distributed connected components (operators/components.py);
+         exactly the smallest member of each cluster survives.
     6. ``chunk_tokens`` — explode into fixed-size token windows
        (doc_id, chunk_idx, chunk_text).
 
@@ -94,10 +97,15 @@ def prepare_corpus(
     if exact_dedup:
         out = dd.dedup_exact(out, ["text"])
     if near_dedup_threshold is not None:
-        # survivors-by-lowest-id: drop every doc that appears as the
-        # GREATER id of a qualifying near-dup pair
         pairs = dd.minhash_near_dups(out, threshold=near_dedup_threshold)
-        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        if near_dedup_transitive:
+            from .components import duplicate_groups
+
+            losers = duplicate_groups(pairs).filter(~F.col("is_keeper")).select("doc_id")
+        else:
+            # survivors-by-lowest-id: drop every doc that appears as the
+            # GREATER id of a qualifying near-dup pair
+            losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
         out = out.join(losers, "doc_id", "left_anti")
     if chunk_tokens is not None:
         from ..functions.text import tokenize_col

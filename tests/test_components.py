@@ -1,0 +1,62 @@
+"""Distributed connected components vs a Python union-find oracle."""
+
+from __future__ import annotations
+
+import random
+
+from skripsi_mapreduce_spark.operators.components import (
+    connected_components,
+    duplicate_groups,
+)
+
+
+def _py_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == _py_components(edges)
+
+
+def test_components_basic_shapes(spark):
+    _check(spark, [(1, 2), (2, 3), (3, 4)])  # chain
+    _check(spark, [(1, 2), (1, 3), (1, 4)])  # star from min
+    _check(spark, [(10, 4), (10, 7)])  # star from max
+    _check(spark, [(1, 2), (3, 4), (5, 6)])  # three pairs
+    _check(spark, [(8, 9), (9, 8), (8, 9)])  # duplicate/reversed edges
+
+
+def test_components_long_chain_and_random(spark):
+    chain = [(i, i + 1) for i in range(1, 60)]
+    _check(spark, chain)
+    rng = random.Random(11)
+    nodes = list(range(1, 120))
+    edges = [tuple(rng.sample(nodes, 2)) for _ in range(150)]
+    _check(spark, edges)
+
+
+def test_duplicate_groups_vs_onepass_divergence(spark):
+    """Component {2,3,10} with edges (3,10),(2,10): node 3 never appears
+    as a greater pair id, so the one-pass rule keeps BOTH 2 and 3; the
+    transitive rule keeps exactly the minimum."""
+    pairs = spark.createDataFrame([(3, 10), (2, 10)], "id_a long, id_b long")
+    groups = {
+        (r["doc_id"], r["group_id"], r["is_keeper"])
+        for r in duplicate_groups(pairs).collect()
+    }
+    assert groups == {(2, 2, True), (3, 2, False), (10, 2, False)}
