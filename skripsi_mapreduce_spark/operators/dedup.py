@@ -211,6 +211,8 @@ def _lsh_verified_pairs(
             or 0
         )
         if n_docs * (n_docs - 1) / 2 <= 4 * bucket_pairs:
+            # same lossless size bound as _jaccard_pairs_bitmap, applied
+            # as a join-condition prune before the per-pair work
             both = bm.join(wide, "doc_id")
             a = both.select(
                 F.col("doc_id").alias("id_a"),
@@ -224,8 +226,13 @@ def _lsh_verified_pairs(
                 F.col("n").alias("nb"),
                 F.col("bands").alias("bbb"),
             )
+            size_ok = F.least(F.col("na"), F.col("nb")) >= F.lit(threshold) * F.greatest(
+                F.col("na"), F.col("nb")
+            )
             npart = sh.sparkSession.sparkContext.defaultParallelism
-            pairs = a.repartition(npart).join(b, F.col("id_a") < F.col("id_b"))
+            pairs = a.repartition(npart).join(
+                b, (F.col("id_a") < F.col("id_b")) & size_ok
+            )
             shares_band = F.exists(
                 F.zip_with("bba", "bbb", lambda x, y: x == y), lambda v: v
             )
@@ -274,7 +281,9 @@ def _lsh_verified_pairs(
         .filter(first_agree == F.col("band") + 1)  # array_position is 1-indexed
         .select("id_a", "id_b")
     )
-    return jaccard_pairs(sh, cands, bitmap_max_vocab).filter(F.col("jaccard") >= threshold)
+    return jaccard_pairs(sh, cands, bitmap_max_vocab, min_jaccard=threshold).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def minhash_candidates(bands: DataFrame) -> DataFrame:
@@ -375,13 +384,22 @@ def _shingle_bitmaps(sh: DataFrame, max_vocab: int) -> DataFrame | None:
     )
 
 
-def _jaccard_pairs_bitmap(bm: DataFrame, pairs: DataFrame | None) -> DataFrame:
+def _jaccard_pairs_bitmap(
+    bm: DataFrame, pairs: DataFrame | None, min_jaccard: float | None = None
+) -> DataFrame:
     """Bitmap kernel: overlap = Σ popcount(AND) over the word arrays.
 
     All-pairs form streams one side through a broadcast nested-loop join
     (no 73M-row shingle-join intermediate); candidate form is two hash
     joins against the small bitmap table + a per-pair popcount — no
-    shuffle wider than the candidate list itself."""
+    shuffle wider than the candidate list itself.
+
+    ``min_jaccard`` pushes a LOSSLESS size bound below the popcount:
+    J(A,B) = o/(na+nb-o) <= min(na,nb)/max(na,nb), so any pair whose
+    set sizes differ by more than 1/t can be rejected with two long
+    comparisons before the per-pair bitmap fold runs — on the all-pairs
+    form that is a join-condition prune, cutting the quadratic kernel to
+    the size-compatible band."""
     overlap = F.aggregate(
         F.zip_with("ba", "bb", lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("long")),
         F.lit(0).cast("long"),
@@ -389,11 +407,17 @@ def _jaccard_pairs_bitmap(bm: DataFrame, pairs: DataFrame | None) -> DataFrame:
     )
     a = bm.select(F.col("doc_id").alias("id_a"), F.col("bm").alias("ba"), F.col("n").alias("na"))
     b = bm.select(F.col("doc_id").alias("id_b"), F.col("bm").alias("bb"), F.col("n").alias("nb"))
+    size_ok = (
+        F.least(F.col("na"), F.col("nb"))
+        >= F.lit(min_jaccard) * F.greatest(F.col("na"), F.col("nb"))
+        if min_jaccard is not None and min_jaccard > 0
+        else F.lit(True)
+    )
     if pairs is None:
         npart = bm.sparkSession.sparkContext.defaultParallelism
-        joined = a.repartition(npart).join(b, F.col("id_a") < F.col("id_b"))
+        joined = a.repartition(npart).join(b, (F.col("id_a") < F.col("id_b")) & size_ok)
     else:
-        joined = pairs.join(a, "id_a").join(b, "id_b")
+        joined = pairs.join(a, "id_a").join(b, "id_b").filter(size_ok)
     return (
         joined.select("id_a", "id_b", "na", "nb", overlap.alias("o"))
         .filter(F.col("o") > 0)
@@ -409,6 +433,7 @@ def jaccard_pairs(
     sh: DataFrame,
     pairs: DataFrame | None = None,
     bitmap_max_vocab: int = BITMAP_MAX_VOCAB,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs (or all pairs sharing >=1 shingle
     when ``pairs`` is None): (id_a, id_b, jaccard).
@@ -425,11 +450,14 @@ def jaccard_pairs(
       LSH and this join stays linear in |candidates|.
 
     Both produce jaccard = o / (|A|+|B|-o) with identical int->double
-    division, so the result is backend-invariant bit-for-bit."""
+    division, so the result is backend-invariant bit-for-bit.
+    ``min_jaccard`` (a promise that callers filter at >= that value)
+    enables the lossless size-bound prune inside the bitmap kernel —
+    rows below it may be dropped early, never rows at/above it."""
     if bitmap_max_vocab > 0:
         bm = _shingle_bitmaps(sh, bitmap_max_vocab)
         if bm is not None:
-            return _jaccard_pairs_bitmap(bm, pairs)
+            return _jaccard_pairs_bitmap(bm, pairs, min_jaccard)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     if pairs is not None:
         # Restrict BEFORE the shingle join: intersecting only candidate
@@ -575,7 +603,7 @@ def ngram_near_dups(
         groups.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
     ).localCheckpoint(eager=False)
     rep_pairs = (
-        jaccard_pairs(rep_sh)
+        jaccard_pairs(rep_sh, min_jaccard=threshold)
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "jaccard")
     )
