@@ -147,12 +147,20 @@ def _band_hash_wide(sh: DataFrame, num_hashes: int = 16, rows_per_band: int = 4)
         for i in range(num_hashes)
     ]
     wide = sh.groupBy("doc_id").agg(*mins)
-    n_bands = num_hashes // rows_per_band
+    # ceil: a trailing partial band hashes just its remainder signatures,
+    # matching lsh_bands' `i div rows_per_band` grouping exactly
+    n_bands = -(-num_hashes // rows_per_band)
     bands = F.array(
         *[
             F.md5(
                 F.concat_ws(
-                    ",", *[F.col(f"_s{b * rows_per_band + j}") for j in range(rows_per_band)]
+                    ",",
+                    *[
+                        F.col(f"_s{i}")
+                        for i in range(
+                            b * rows_per_band, min((b + 1) * rows_per_band, num_hashes)
+                        )
+                    ],
                 )
             )
             for b in range(n_bands)

@@ -318,6 +318,12 @@ def test_band_hash_wide_equals_long_form(spark, docs):
         map(tuple, dd.lsh_bands(dd.minhash_signatures(sh, 16), 4).collect())
     )
     assert wide == long_ and len(wide) == 6 * 4
+    # non-divisible config: the trailing partial band must match too
+    wide5 = sorted(map(tuple, dd.lsh_band_hashes(sh, 16, 5).collect()))
+    long5 = sorted(
+        map(tuple, dd.lsh_bands(dd.minhash_signatures(sh, 16), 5).collect())
+    )
+    assert wide5 == long5 and len(wide5) == 6 * 4  # 3 full bands + 1 partial
 
 
 def test_lsh_verified_pairs_paths_identical(spark):
