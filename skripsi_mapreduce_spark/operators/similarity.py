@@ -303,7 +303,16 @@ def embedding_near_dups(
         )
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        dim = len(emb.select(vec_col).head()[0])
+        head = emb.select(vec_col).head()
+        if head is None:  # empty input: no pairs, keep the output schema
+            return (
+                emb.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col(id_col).alias("id_b"),
+                    F.lit(0.0).alias("cosine"),
+                ).limit(0)
+            )
+        dim = len(head[0])
         with_norm = (
             emb.repartition(npart)
             .select(*base_cols, hyperplane_signs(F.col(vec_col), dim, n_planes).alias("_bkt"))

@@ -350,3 +350,10 @@ def test_lsh_verified_pairs_paths_identical(spark):
         )
     )
     assert fused == bucket == legacy and len(fused) > 0
+
+
+def test_embedding_bucketed_empty_input(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = sim.embedding_near_dups(emb, threshold=0.9, n_planes=4)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "cosine"]
