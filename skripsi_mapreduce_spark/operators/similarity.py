@@ -100,6 +100,57 @@ def topk_cosine(
     return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
 
 
+def topk_cosine_pandas(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched pandas-UDF backend for :func:`topk_cosine` — the
+    vectorized-Python alternative to the JVM higher-order-function fold.
+
+    Per Arrow batch, numpy does one (batch × dim) · (dim,) matmul with
+    the same fixed-point quantization (round half away from zero at 1e8)
+    as ``_dot_i64``, so scores are BIT-IDENTICAL to the built-in path
+    (pinned by test). Exists as the measured comparison point and as the
+    template for kernels that genuinely need numpy (the built-in path is
+    the default: no Python in the hot loop, no Arrow transfer)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    qn = _py_norm_i64(query_vec)
+    q = np.asarray(query_vec, dtype=np.float64)
+
+    def score_batches(batches):
+        for pdf in batches:
+            mat = np.vstack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            # round half away from zero == floor(|x|+0.5)*sign — matches
+            # both engines' ROUND(double) and decimal.ROUND_HALF_UP
+            prod = mat * q
+            dots = _round_half_away(prod * SCALE).sum(axis=1)
+            self2 = _round_half_away(mat * mat * SCALE).sum(axis=1)
+            nrm = np.sqrt(self2 / SCALE)
+            raw = (dots / SCALE) / (nrm * qn)
+            score = _round_half_away(raw * 1e6) / 1e6  # not np.round: banker's
+            yield pd.DataFrame({"vec_id": pdf[id_col], "score": score})
+
+    out_schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()), T.StructField("score", T.DoubleType())]
+    )
+    scored = emb.mapInPandas(score_batches, out_schema)
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
+
+
+def _round_half_away(x):
+    """numpy round-half-away-from-zero (np.round is banker's rounding)."""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
 def _plane_signs(p: int, dim: int) -> list[float]:
     """Hyperplane p's +1/-1 coordinates from md5 parity — reproducible in
     any engine with md5, no RNG state."""

@@ -357,3 +357,15 @@ def test_embedding_bucketed_empty_input(spark):
     out = sim.embedding_near_dups(emb, threshold=0.9, n_planes=4)
     assert out.count() == 0
     assert out.columns == ["id_a", "id_b", "cosine"]
+
+
+def test_topk_pandas_backend_matches_builtin(spark):
+    """The Arrow/numpy backend must produce bit-identical scores and
+    ordering to the JVM higher-order-function path."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    builtin = [(r["vec_id"], r["score"]) for r in sim.topk_cosine(emb, q, k=25).collect()]
+    pandas_ = [
+        (r["vec_id"], r["score"]) for r in sim.topk_cosine_pandas(emb, q, k=25).collect()
+    ]
+    assert builtin == pandas_
