@@ -44,6 +44,68 @@ def deterministic_sample(
     return df.filter(draw < F.lit(fraction * space))
 
 
+# PII patterns: conservative, precision-first (a training-corpus scrub
+# prefers missing an odd formatting to mangling prose). RE2-compatible —
+# no lookarounds — so the same patterns run in any engine.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{1,3}[-. (]{1,2}\d{3}[-. )]{1,2}\d{3}[-. ]?\d{4}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: list[str] | None = None,
+    replacement: str = "[{kind}]",
+) -> DataFrame:
+    """Replace PII spans in ``text_col`` with typed placeholders
+    (``[email]``, ``[phone]``, …) — chained ``regexp_replace`` built-ins,
+    scan-speed, no Python. ``kinds`` selects a subset of
+    :data:`PII_PATTERNS`; order is deterministic (dict order)."""
+    out = df
+    col = F.col(text_col)
+    for kind, pattern in PII_PATTERNS.items():
+        if kinds is not None and kind not in kinds:
+            continue
+        col = F.regexp_replace(col, pattern, replacement.format(kind=kind))
+    return out.withColumn(text_col, col)
+
+
+def contamination_check(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    shingle_size: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination scan: which training documents contain a
+    verbatim ``shingle_size``-gram from the evaluation set?
+
+    Returns (doc_id, eval_id, n_shared_ngrams) for every contaminated
+    (train, eval) pair. The equi-join is on md5 of the n-gram — shuffle
+    carries digests; the eval side is tiny and broadcast. Long n-grams
+    (8 words is the common contamination convention) make coincidental
+    overlap vanishingly rare, so any hit is a real leak."""
+    from . import dedup as dd
+
+    train_sh = dd.shingles(docs, id_col, text_col, shingle_size).select(
+        "doc_id", F.md5("shingle").alias("h")
+    )
+    eval_sh = dd.shingles(eval_docs, eval_id_col, eval_text_col, shingle_size).select(
+        F.col("doc_id").alias("eval_id"), F.md5("shingle").alias("h")
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "h")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared_ngrams"))
+    )
+
+
 def prepare_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -59,3 +59,40 @@ def test_prepare_corpus_chunking_stage(spark):
     )
     chunks = sorted((r["chunk_idx"], len(r["chunk_text"].split())) for r in out.collect())
     assert chunks == [(0, 32), (1, 32), (2, 6)]
+
+
+def test_scrub_pii_replaces_typed_spans(spark):
+    from skripsi_mapreduce_spark.operators.pipeline import scrub_pii
+
+    rows = [
+        (1, "contact alice@example.com or +1 (555) 123-4567 today"),
+        (2, "server at 192.168.1.100 holds ssn 123-45-6789"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in scrub_pii(df).collect()}
+    assert "[email]" in got[1] and "alice@" not in got[1]
+    assert "[phone]" in got[1] and "555" not in got[1]
+    assert "[ipv4]" in got[2] and "192.168" not in got[2]
+    assert "[ssn]" in got[2] and "6789" not in got[2]
+    assert got[3] == "no pii here at all"
+    only_email = {r["doc_id"]: r["text"] for r in scrub_pii(df, kinds=["email"]).collect()}
+    assert "[email]" in only_email[1] and "555" in only_email[1].replace("[phone]", "555")
+
+
+def test_contamination_check_finds_verbatim_ngrams(spark):
+    from skripsi_mapreduce_spark.operators.pipeline import contamination_check
+
+    eval_q = "what is the capital of france and why does it matter to anyone"
+    train = [
+        (1, "some prefix text then " + eval_q + " plus a suffix"),  # contaminated
+        (2, "completely unrelated training document about cooking pasta dishes well"),
+    ]
+    docs = spark.createDataFrame(train, "doc_id long, text string")
+    evals = spark.createDataFrame([(100, eval_q)], "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["eval_id"]): r["n_shared_ngrams"]
+        for r in contamination_check(docs, evals, shingle_size=8).collect()
+    }
+    assert set(got) == {(1, 100)}
+    assert got[(1, 100)] >= 4  # several 8-gram windows of the query leak
