@@ -199,6 +199,21 @@ class Engine:
 
         return deterministic_sample(df, fraction, key_col, **kw)
 
+    def scrub_pii(self, df: DataFrame, **kw) -> DataFrame:
+        from .operators.pipeline import scrub_pii
+
+        return scrub_pii(df, **kw)
+
+    def contamination_check(self, docs: DataFrame, eval_docs: DataFrame, **kw) -> DataFrame:
+        from .operators.pipeline import contamination_check
+
+        return contamination_check(docs, eval_docs, **kw)
+
+    def duplicate_groups(self, pairs: DataFrame, **kw) -> DataFrame:
+        from .operators.components import duplicate_groups
+
+        return duplicate_groups(pairs, **kw)
+
     def table(self, sf_dir: str, name: str) -> DataFrame:
         from .io import load_table
 
