@@ -96,3 +96,14 @@ def test_contamination_check_finds_verbatim_ngrams(spark):
     }
     assert set(got) == {(1, 100)}
     assert got[(1, 100)] >= 4  # several 8-gram windows of the query leak
+
+
+def test_deterministic_sample_is_nested(spark):
+    """Smaller fractions are strict subsets of larger ones (threshold
+    form over the same hash draw) — so a 1% corpus study extends to the
+    10% corpus without re-drawing."""
+    df = spark.range(1, 5_001).withColumnRenamed("id", "doc_id")
+    s10 = {r["doc_id"] for r in deterministic_sample(df, 0.10, "doc_id").collect()}
+    s30 = {r["doc_id"] for r in deterministic_sample(df, 0.30, "doc_id").collect()}
+    s60 = {r["doc_id"] for r in deterministic_sample(df, 0.60, "doc_id").collect()}
+    assert s10 <= s30 <= s60
