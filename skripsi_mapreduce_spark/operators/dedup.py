@@ -190,14 +190,15 @@ def _lsh_verified_pairs(
     COST-BASED physical choice:
 
     - **bucket join** (the general/scale path): self-join on
-      (band, band_hash), distinct, then the exact kernel on candidates.
-      Work ∝ Σ|bucket|² — tiny on long-tail corpora, the whole point of
-      LSH.
+      (band, band_hash) with a canonical-witness filter (a pair is kept
+      only at its first agreeing band — no distinct shuffle), then the
+      exact kernel on candidates. Work ∝ Σ|bucket|² — tiny on long-tail
+      corpora, the whole point of LSH.
     - **fused all-pairs** (small duplicate-heavy sets): when the bitmap
       kernel applies and n(n-1)/2 is within 4× of the bucket join's own
       pair volume (Σ c·(c-1)/2, estimated from bucket counts — one cheap
-      aggregate), the bucket join buys little: its shuffle + distinct +
-      two hash joins cost more per pair than a broadcast-nested-loop row.
+      aggregate), the bucket join buys little: its shuffle + candidate
+      joins cost more per pair than a broadcast-nested-loop row.
       Then ONE pass over bitmap×band rows computes popcount-Jaccard and
       the band-agreement residual (zip_with equality over the two 4-hash
       arrays) together — no candidate materialization at all. Chosen on
