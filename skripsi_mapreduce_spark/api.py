@@ -187,6 +187,18 @@ class Engine:
 
         return asof_join(left, right, key, **kw)
 
+    def range_join(
+        self, left: DataFrame, right: DataFrame, lo_seconds: float, hi_seconds: float, **kw
+    ) -> DataFrame:
+        from .operators.rangejoin import range_join
+
+        return range_join(left, right, lo_seconds, hi_seconds, **kw)
+
+    def time_rollup(self, df: DataFrame, granularities: list, aggs: list, **kw) -> DataFrame:
+        from .operators.rangejoin import time_rollup
+
+        return time_rollup(df, granularities, aggs, **kw)
+
     def prepare_corpus(self, docs: DataFrame, **kw) -> DataFrame:
         """The standard corpus-prep composition: sample -> quality ->
         language -> exact dedup -> near dedup -> chunk."""
