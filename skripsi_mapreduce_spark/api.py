@@ -211,6 +211,24 @@ class Engine:
 
         return deterministic_sample(df, fraction, key_col, **kw)
 
+    def stratified_sample(self, df: DataFrame, rates: dict, **kw) -> DataFrame:
+        """Per-group deterministic sampling (domain mixing)."""
+        from .operators.pipeline import stratified_sample
+
+        return stratified_sample(df, rates, **kw)
+
+    def mix_weights(self, df: DataFrame, weights: dict, **kw) -> dict:
+        """Keep-rates that reshape the corpus to target group proportions."""
+        from .operators.pipeline import mix_weights
+
+        return mix_weights(df, weights, **kw)
+
+    def ngram_repetition(self, df: DataFrame, **kw) -> DataFrame:
+        """Gopher-style repetition quality signals per document."""
+        from .operators.text_analysis import ngram_repetition
+
+        return ngram_repetition(df, **kw)
+
     def scrub_pii(self, df: DataFrame, **kw) -> DataFrame:
         from .operators.pipeline import scrub_pii
 

@@ -32,16 +32,85 @@ def deterministic_sample(
     Unlike ``df.sample`` the decision is a pure function of the key —
     stable across runs, partitionings, engines, and retries (the property
     a training pipeline needs so a re-run reproduces the exact corpus).
-    Uses the first 15 hex digits (60 bits) of md5 as the uniform draw."""
+    Uses the first 15 hex digits (60 bits) of md5 as the uniform draw,
+    compared as integers against a driver-computed literal threshold."""
+    return df.filter(_draw60(key_col, salt) < F.lit(sample_threshold(fraction)))
+
+
+def sample_threshold(fraction: float) -> int:
+    """The 60-bit integer threshold for a keep-fraction: a row survives
+    when its md5 draw (first 15 hex digits as an int) is below this.
+    Computed ONCE driver-side and embedded as a literal in every engine,
+    so there is no cross-engine float hazard in the comparison."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    space = float(1 << 60)
-    draw = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))), 1, 15),
+    return int(round(fraction * float(1 << 60)))
+
+
+def _draw60(key_col: str, salt: str) -> F.Column:
+    """Uniform 60-bit integer draw as a pure function of (salt, key)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))), 1, 15
+        ),
         16,
         10,
-    ).cast("double")
-    return df.filter(draw < F.lit(fraction * space))
+    ).cast("long")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-group sampling — the domain-mixing primitive for
+    training corpora: keep each row of group g with probability
+    ``rates[g]`` (groups absent from ``rates`` are dropped).
+
+    Like :func:`deterministic_sample` the decision is a pure function of
+    the key, so the mix is reproducible across runs, engines, retries,
+    and partitionings, and nested: the kept set at rate r is a subset of
+    the kept set at any r' > r (useful for scaling a mix up or down
+    without churning which documents survive). A narrow filter — no
+    shuffle, pushed to the scan."""
+    thresholds = {g: sample_threshold(r) for g, r in rates.items()}
+    pairs: list[F.Column] = []
+    for g, t in sorted(thresholds.items()):
+        pairs += [F.lit(g), F.lit(t)]
+    thr = F.element_at(F.create_map(*pairs), F.col(group_col)) if pairs else F.lit(None)
+    return df.filter(_draw60(key_col, salt) < F.coalesce(thr, F.lit(0)))
+
+
+def mix_weights(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "lang",
+) -> dict[str, float]:
+    """Per-group keep-rates that reshape the corpus to target proportions.
+
+    Given target mix weights w_g (relative, need not sum to 1) and the
+    observed group counts c_g, the largest achievable total under
+    rates <= 1 is T = min_g c_g / w_g; each group keeps
+    rate_g = T * w_g / c_g. Feed the result to :func:`stratified_sample`.
+
+    Driver-side reduction: one groupBy-count collect of k rows (k =
+    number of domains — bounded, never row-scale). Groups not named in
+    ``weights`` get rate 0 (dropped)."""
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-empty and non-negative")
+    counts = {
+        row[0]: row[1]
+        for row in df.groupBy(group_col).count().collect()
+        if row[0] in weights and weights[row[0]] > 0
+    }
+    if not counts:
+        return {g: 0.0 for g in weights}
+    total = min(counts[g] / weights[g] for g in counts)
+    return {
+        g: (min(1.0, total * weights[g] / counts[g]) if g in counts else 0.0) for g in weights
+    }
 
 
 # PII patterns: conservative, precision-first (a training-corpus scrub

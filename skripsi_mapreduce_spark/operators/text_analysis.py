@@ -125,6 +125,84 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
+def ngram_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3),
+    dup_n: int = 5,
+) -> DataFrame:
+    """Repetition signals per document (Gopher/MassiveText-style filters):
+
+    - ``top{n}_frac`` for each n in ``top_ns``: the most frequent word
+      n-gram's share of all n-gram instances in the doc — high values
+      flag boilerplate / TV-schedule pages.
+    - ``dup{dup_n}_frac``: the fraction of ``dup_n``-gram instances whose
+      gram occurs more than once in the doc — high values flag
+      copy-paste-looped text.
+
+    Docs with fewer than n tokens score 0 for that signal. All signals in
+    [0, 1], surfaced via the engine-exact 4dp rounding.
+
+    Scale shape: ONE explode over all n sizes at once (each gram tagged
+    with its n), counts keyed on (doc_id, n, md5(gram)) so the shuffle
+    carries 32-byte digests instead of gram text, then one per-doc
+    conditional aggregate — two shuffles total regardless of how many n
+    sizes are requested, both keyed by doc_id-prefixed keys (no hot key
+    can exceed one document's gram count).
+    """
+    ns = sorted(set(top_ns) | {dup_n})
+    toks = _tokens(F.col(text_col))
+
+    def _grams(n: int) -> Column:
+        # md5 of the space-joined n-token window, tagged with n
+        idx = F.sequence(F.lit(1), F.size(toks) - n + 1)
+        win = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(n).alias("n"), F.md5(F.concat_ws(" ", F.slice(toks, i, n))).alias("g")
+            ),
+        )
+        return F.when(F.size(toks) >= n, win).otherwise(
+            F.array().cast("array<struct<n:int,g:string>>")
+        )
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.concat(*[_grams(n) for n in ns]).alias("grams"),
+    )
+    counts = (
+        base.select("doc_id", F.explode("grams").alias("gr"))
+        .groupBy("doc_id", F.col("gr.n").alias("n"), F.col("gr.g").alias("g"))
+        .agg(F.count("*").alias("c"))
+    )
+    aggs = []
+    for n in top_ns:
+        aggs.append(F.max(F.when(F.col("n") == n, F.col("c"))).alias(f"_top{n}"))
+        aggs.append(F.sum(F.when(F.col("n") == n, F.col("c"))).alias(f"_tot{n}"))
+    aggs.append(
+        F.sum(F.when((F.col("n") == dup_n) & (F.col("c") > 1), F.col("c")).otherwise(0)).alias(
+            "_dup"
+        )
+    )
+    aggs.append(F.sum(F.when(F.col("n") == dup_n, F.col("c"))).alias("_totd"))
+    stats = counts.groupBy("doc_id").agg(*aggs)
+
+    def _frac(num: Column, den: Column) -> Column:
+        return round_exact_double(
+            F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0)
+        )
+
+    out = base.select("doc_id", "n_words").join(stats, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "n_words",
+        *[_frac(F.col(f"_top{n}"), F.col(f"_tot{n}")).alias(f"top{n}_frac") for n in top_ns],
+        _frac(F.col("_dup"), F.col("_totd")).alias(f"dup{dup_n}_frac"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, fp) — order-invariant content fingerprint: md5 over the
     sorted distinct token set. Robust to token reordering and duplicated

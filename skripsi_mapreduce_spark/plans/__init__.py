@@ -14,6 +14,7 @@ from . import relational2  # noqa: F401  (registers into QUERIES/ORACLE)
 # untouched since round 1, still pinned by the local oracle suite every
 # run) to the tail.
 _PROMOTED = [
+    # entries round 1 never checked
     "q35_regexp",
     "q36_histogram",
     "q37_null_semantics",
@@ -21,8 +22,13 @@ _PROMOTED = [
     "q40_asof_join",
     "q41_unpivot",
     "q42_sliding_window",
+    # new in round 2 — must be adjudicated this round
+    "ta_repetition",
+    "mix_stratified",
 ]
 _TAIL = [
+    "q09_semi_join",
+    "q10_anti_join",
     "q11_range_self_join",
     "q12_cross_join",
     "q19_set_ops",

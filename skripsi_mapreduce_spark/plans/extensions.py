@@ -682,4 +682,89 @@ def kmeans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fixedpoint(w, k=5, n_assign_passes=2, weight_col="weight_e4")
 
 
+# ---------------------------------------------------------------------------
+# Repetition signals — Gopher/MassiveText-style quality filters
+# ---------------------------------------------------------------------------
+@query(
+    "ta_repetition",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{ASCII_TOKEN}') AS t
+        FROM documents),
+    base AS (SELECT doc_id, CAST(LEN(t) AS BIGINT) AS n_words, t FROM toks),
+    grams AS (
+        SELECT doc_id, v.n, md5(array_to_string(list_slice(t, i, i + v.n - 1), ' ')) AS g
+        FROM base, (VALUES (2), (3), (5)) v(n),
+             UNNEST(range(1, LEN(t) - v.n + 2)) r(i)
+        WHERE LEN(t) >= v.n),
+    counts AS (SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY ALL),
+    stats AS (
+        SELECT doc_id,
+               MAX(CASE WHEN n = 2 THEN c END) AS top2,
+               SUM(CASE WHEN n = 2 THEN c END) AS tot2,
+               MAX(CASE WHEN n = 3 THEN c END) AS top3,
+               SUM(CASE WHEN n = 3 THEN c END) AS tot3,
+               SUM(CASE WHEN n = 5 AND c > 1 THEN c ELSE 0 END) AS dup5,
+               SUM(CASE WHEN n = 5 THEN c END) AS tot5
+        FROM counts GROUP BY doc_id)
+    SELECT b.doc_id, b.n_words,
+           {e_int_sql('CASE WHEN tot2 > 0 THEN CAST(top2 AS DOUBLE) / CAST(tot2 AS DOUBLE) ELSE 0.0 END')} AS top2_frac_e4,
+           {e_int_sql('CASE WHEN tot3 > 0 THEN CAST(top3 AS DOUBLE) / CAST(tot3 AS DOUBLE) ELSE 0.0 END')} AS top3_frac_e4,
+           {e_int_sql('CASE WHEN tot5 > 0 THEN CAST(dup5 AS DOUBLE) / CAST(tot5 AS DOUBLE) ELSE 0.0 END')} AS dup5_frac_e4
+    FROM base b LEFT JOIN stats s USING (doc_id) ORDER BY doc_id
+    """,
+)
+def ta_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram repetition signals (top-2/3-gram share, duplicated
+    5-gram fraction) — the boilerplate/copy-loop filters of the standard
+    web-corpus recipe. operators/text_analysis.ngram_repetition."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = ta.ngram_repetition(docs, top_ns=(2, 3), dup_n=5)
+    return out.select(
+        "doc_id",
+        "n_words",
+        e_int(F.col("top2_frac")).alias("top2_frac_e4"),
+        e_int(F.col("top3_frac")).alias("top3_frac_e4"),
+        e_int(F.col("dup5_frac")).alias("dup5_frac_e4"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Domain mixing — deterministic per-group (stratified) sampling
+# ---------------------------------------------------------------------------
+_MIX_RATES = {"en": 0.25, "es": 0.75, "de": 0.5, "fr": 1.0, "zh": 0.4}
+
+
+def _mix_case_sql() -> str:
+    from ..operators.pipeline import sample_threshold
+
+    arms = " ".join(
+        f"WHEN '{g}' THEN {sample_threshold(r)}" for g, r in sorted(_MIX_RATES.items())
+    )
+    return f"CASE lang {arms} ELSE 0 END"
+
+
+@query(
+    "mix_stratified",
+    rf"""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          < {_mix_case_sql()}
+    ORDER BY doc_id
+    """,
+)
+def mix_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified domain mix: per-language deterministic keep-rates, the
+    reshaping primitive a training pipeline uses to hit a target corpus
+    mix. Pure narrow filter (md5 draw vs literal integer thresholds) —
+    the decision is a pure function of doc_id, so the surviving corpus is
+    identical across engines, runs, and partitionings.
+    operators/pipeline.stratified_sample (+ mix_weights for deriving the
+    rates from target proportions)."""
+    from ..operators.pipeline import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, _MIX_RATES).select("doc_id", "lang").orderBy("doc_id")
+
+
 __all__ = ["QUERIES", "ORACLE"]

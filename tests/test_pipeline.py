@@ -7,7 +7,9 @@ from pyspark.sql import functions as F
 
 from skripsi_mapreduce_spark.operators.pipeline import (
     deterministic_sample,
+    mix_weights,
     prepare_corpus,
+    stratified_sample,
 )
 
 
@@ -107,3 +109,77 @@ def test_deterministic_sample_is_nested(spark):
     s30 = {r["doc_id"] for r in deterministic_sample(df, 0.30, "doc_id").collect()}
     s60 = {r["doc_id"] for r in deterministic_sample(df, 0.60, "doc_id").collect()}
     assert s10 <= s30 <= s60
+
+
+def test_stratified_sample_boundary_rates(spark):
+    df = spark.range(1, 2_001).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    kept = stratified_sample(df, {"en": 1.0}, "lang").collect()
+    assert {r["lang"] for r in kept} == {"en"}
+    assert len(kept) == 1000  # rate 1.0 keeps every row of the group
+    assert stratified_sample(df, {"en": 0.0, "de": 0.0}, "lang").count() == 0
+    # groups absent from the rates dict are dropped entirely
+    assert stratified_sample(df, {"de": 1.0}, "lang").count() == 1000
+
+
+def test_stratified_sample_nested_and_calibrated(spark):
+    df = spark.range(1, 10_001).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    lo = {r["doc_id"] for r in stratified_sample(df, {"en": 0.2, "fr": 0.5}).collect()}
+    hi = {r["doc_id"] for r in stratified_sample(df, {"en": 0.6, "fr": 0.9}).collect()}
+    assert lo <= hi  # raising rates only adds documents
+    n_en = sum(1 for d in lo if d % 3 == 0)
+    n_fr = len(lo) - n_en
+    assert 0.15 < n_en / 3333 < 0.25 and 0.45 < n_fr / 6667 < 0.55
+
+
+def test_mix_weights_math(spark):
+    # counts: en=600, de=300, fr=100; target mix 1:1:1 -> bottleneck fr
+    df = spark.range(1, 1_001).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") <= 600, "en")
+        .when(F.col("id") <= 900, "de")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    rates = mix_weights(df, {"en": 1.0, "de": 1.0, "fr": 1.0})
+    # T = min(600, 300, 100) = 100 -> rates 100/600, 100/300, 100/100
+    assert rates["fr"] == 1.0
+    assert abs(rates["en"] - 100 / 600) < 1e-12
+    assert abs(rates["de"] - 100 / 300) < 1e-12
+    # group not named in weights -> rate 0
+    rates2 = mix_weights(df, {"en": 2.0, "de": 1.0})
+    assert abs(rates2["en"] - 1.0) < 1e-12  # 600/2=300 vs 300/1=300 -> en binds
+    assert rates2["de"] == 1.0
+
+
+def test_ngram_repetition_known_values(spark):
+    from skripsi_mapreduce_spark.operators.text_analysis import ngram_repetition
+
+    rows = [
+        # tokens [aa bb aa bb aa bb]: bigrams "aa bb"x3 "bb aa"x2 -> top2 3/5;
+        # trigrams "aa bb aa"x2 "bb aa bb"x2 -> top3 2/4; 5-grams unique -> dup5 0
+        (1, "aa bb aa bb aa bb"),
+        # 7x "cc": bigram top 6/6; 5-grams: one gram x3 -> dup5 3/3
+        (2, "cc cc cc cc cc cc cc"),
+        # too short for any gram
+        (3, "dd"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in ngram_repetition(df).collect()}
+    assert out[1]["n_words"] == 6
+    assert abs(out[1]["top2_frac"] - 0.6) < 1e-9
+    assert abs(out[1]["top3_frac"] - 0.5) < 1e-9
+    assert out[1]["dup5_frac"] == 0.0
+    assert out[2]["top2_frac"] == 1.0 and out[2]["dup5_frac"] == 1.0
+    assert out[3] == {
+        "doc_id": 3,
+        "n_words": 1,
+        "top2_frac": 0.0,
+        "top3_frac": 0.0,
+        "dup5_frac": 0.0,
+    }
