@@ -229,6 +229,24 @@ class Engine:
 
         return ngram_repetition(df, **kw)
 
+    def cross_doc_duplication(self, df: DataFrame, **kw) -> DataFrame:
+        """Per-doc fraction of k-token windows shared with other docs."""
+        from .operators.text_analysis import cross_doc_duplication
+
+        return cross_doc_duplication(df, **kw)
+
+    def duplicated_passages(self, df: DataFrame, **kw) -> DataFrame:
+        """The repeated k-token windows themselves, with doc counts."""
+        from .operators.text_analysis import duplicated_passages
+
+        return duplicated_passages(df, **kw)
+
+    def unigram_logprob(self, df: DataFrame, **kw) -> DataFrame:
+        """Mean negative log-likelihood under the corpus unigram model."""
+        from .operators.text_analysis import unigram_logprob
+
+        return unigram_logprob(df, **kw)
+
     def scrub_pii(self, df: DataFrame, **kw) -> DataFrame:
         from .operators.pipeline import scrub_pii
 

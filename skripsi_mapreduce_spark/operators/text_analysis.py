@@ -212,3 +212,122 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.col(id_col).alias("doc_id"),
         F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("fp"),
     )
+
+
+def cross_doc_duplication(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 6
+) -> DataFrame:
+    """Cross-document duplicated-passage signal (the detection half of
+    exact-substring dedup, per "Deduplicating Training Data Makes
+    Language Models Better"): for each doc, the fraction of its distinct
+    ``k``-token windows that also occur in at least one OTHER document.
+
+    Returns (doc_id, n_grams, n_shared, crossdup_frac). Docs shorter
+    than ``k`` tokens score 0. Companion :func:`duplicated_passages`
+    surfaces the repeated windows themselves for inspection.
+
+    Scale shape: distinct per-doc shingling (dedup.shingles), then two
+    digest-keyed aggregations — the shuffle carries 32-byte md5 digests,
+    never window text, and both aggregates get map-side partial
+    combining. The doc-frequency join is digest-equi (near-unique keys,
+    no skew)."""
+    from .dedup import shingles
+
+    sh = shingles(df, id_col, text_col, k).select("doc_id", F.md5("shingle").alias("h"))
+    # shingle sets are distinct per doc, so count(*) per digest = #docs
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("bigint").alias("n_shared"),
+        )
+    )
+    out = df.select(F.col(id_col).alias("doc_id")).join(per_doc, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+        round_exact_double(
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_shared").cast("double") / F.col("n_grams").cast("double"),
+            ).otherwise(0.0)
+        ).alias("crossdup_frac"),
+    )
+
+
+def duplicated_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The repeated ``k``-token windows themselves: (passage, n_docs,
+    example_doc_id) for every window appearing in >= ``min_docs``
+    documents — the inspection/report companion to
+    :func:`cross_doc_duplication`. Groups on window text (needed in the
+    output); for corpora where the report itself is huge, raise ``k`` or
+    ``min_docs`` — the HAVING prunes inside the aggregate."""
+    from .dedup import shingles
+
+    sh = shingles(df, id_col, text_col, k)
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .withColumnRenamed("shingle", "passage")
+    )
+
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc mean negative log-likelihood under the corpus's own
+    unigram model — the cheap stand-in for the CCNet/KenLM perplexity
+    filter: p(w) = corpus count of w / total tokens, and a document
+    scores nll = -(1/n) * sum_i ln p(w_i). LOW values = made of common
+    words (boilerplate-ish); HIGH values = rare-token soup (noise).
+
+    Returns (doc_id, n_words, nll). Two-pass by nature (the model is an
+    aggregate of the same corpus being scored): tf per (doc, word), the
+    word-count model from a second aggregate of tf, then one join back
+    on word. Cross-engine exactness: each word's ln p is rounded to 8dp
+    and summed as DECIMAL scaled by tf — order-independent, so the
+    shuffle schedule can't move the result.
+
+    Scale: the model table is vocabulary-sized (zipfian-small vs the
+    corpus); at 100 TB the join on word broadcasts the model. Empty docs
+    score 0."""
+    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(_tokens(F.col(text_col))).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    cw = tf.groupBy("word").agg(F.sum("tf").alias("cw"))
+    tot = cw.agg(F.sum("cw").alias("t"))
+    # widths chosen so the product (12,0)x(18,8) -> (31,8) stays under
+    # both engines' 38-digit decimal cap (a wider product would make
+    # Spark silently shave scale to fit)
+    lnp = F.round(F.log(F.col("cw").cast("double") / F.col("t").cast("double")), 8).cast(
+        "decimal(18,8)"
+    )
+    model = cw.crossJoin(F.broadcast(tot)).select("word", lnp.alias("lnp"))
+    per = (
+        tf.join(F.broadcast(model), "word")
+        .groupBy("doc_id")
+        .agg(
+            (-(F.sum(F.col("tf").cast("decimal(12,0)") * F.col("lnp")))).alias("s"),
+            F.sum("tf").cast("bigint").alias("n_words"),
+        )
+    )
+    out = df.select(F.col(id_col).alias("doc_id")).join(per, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+        round_exact_double(
+            F.when(
+                F.col("n_words") > 0, F.col("s").cast("double") / F.col("n_words").cast("double")
+            ).otherwise(0.0)
+        ).alias("nll"),
+    )

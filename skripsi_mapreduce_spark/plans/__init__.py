@@ -25,10 +25,14 @@ _PROMOTED = [
     # new in round 2 — must be adjudicated this round
     "ta_repetition",
     "mix_stratified",
+    "ta_crossdup",
+    "ta_unigram_lp",
 ]
 _TAIL = [
     "q09_semi_join",
     "q10_anti_join",
+    "q13_scalar_subquery",
+    "q14_correlated_subquery",
     "q11_range_self_join",
     "q12_cross_join",
     "q19_set_ops",

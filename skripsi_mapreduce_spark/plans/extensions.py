@@ -730,6 +730,81 @@ def ta_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-document duplicated passages — exact-substring dedup signal
+# ---------------------------------------------------------------------------
+@query(
+    "ta_crossdup",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{ASCII_TOKEN}') AS t
+        FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 5), ' ') AS shingle
+        FROM toks, UNNEST(range(1, LEN(t) - 4)) r(i)
+        WHERE LEN(t) >= 6),
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+    per AS (
+        SELECT doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_shared
+        FROM sh JOIN dfreq USING (shingle) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+           {e_int_sql('CASE WHEN n_grams > 0 THEN CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) ELSE 0.0 END')} AS crossdup_frac_e4
+    FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id
+    """,
+)
+def ta_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of distinct 6-token windows shared with another
+    document — the detection half of exact-substring dedup.
+    operators/text_analysis.cross_doc_duplication."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = ta.cross_doc_duplication(docs, k=6)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_shared",
+        e_int(F.col("crossdup_frac")).alias("crossdup_frac_e4"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM negative log-likelihood — perplexity-proxy quality filter
+# ---------------------------------------------------------------------------
+@query(
+    "ta_unigram_lp",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS word
+        FROM documents),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    cw AS (SELECT word, SUM(tf) AS cw FROM tf GROUP BY 1),
+    tot AS (SELECT SUM(cw) AS t FROM cw),
+    model AS (
+        SELECT word,
+               CAST(ROUND(LN(CAST(cw AS DOUBLE) / CAST(t AS DOUBLE)), 8) AS DECIMAL(18,8)) AS lnp
+        FROM cw CROSS JOIN tot),
+    per AS (
+        SELECT doc_id, -SUM(CAST(tf AS DECIMAL(12,0)) * lnp) AS s, SUM(tf) AS n
+        FROM tf JOIN model USING (word) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_words,
+           {e_int_sql('CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END')} AS nll_e4
+    FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id
+    """,
+)
+def ta_unigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean negative log-likelihood under the corpus's own unigram model
+    (CCNet-style perplexity-filter stand-in).
+    operators/text_analysis.unigram_logprob."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = ta.unigram_logprob(docs)
+    return out.select(
+        "doc_id", "n_words", e_int(F.col("nll")).alias("nll_e4")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Domain mixing — deterministic per-group (stratified) sampling
 # ---------------------------------------------------------------------------
 _MIX_RATES = {"en": 0.25, "es": 0.75, "de": 0.5, "fr": 1.0, "zh": 0.4}
