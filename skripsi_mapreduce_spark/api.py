@@ -206,6 +206,13 @@ class Engine:
 
         return prepare_corpus(docs, **kw)
 
+    def corpus_filter(self, docs: DataFrame, **kw) -> DataFrame:
+        """Narrow-only corpus-prep prefix — also runs on a readStream
+        source for ingestion-time filtering."""
+        from .operators.pipeline import corpus_filter
+
+        return corpus_filter(docs, **kw)
+
     def sample(self, df: DataFrame, fraction: float, key_col: str = "doc_id", **kw) -> DataFrame:
         from .operators.pipeline import deterministic_sample
 

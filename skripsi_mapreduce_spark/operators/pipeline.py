@@ -175,6 +175,37 @@ def contamination_check(
     )
 
 
+def corpus_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_fraction: float | None = None,
+    min_quality: float | None = None,
+    languages: list[str] | None = None,
+    pii: bool = False,
+) -> DataFrame:
+    """The narrow-only prefix of corpus prep: deterministic sample →
+    quality filter → language filter → optional PII scrub, all inline
+    column expressions — no join, no shuffle, no state.
+
+    Because every stage is narrow, the SAME function works on a
+    streaming DataFrame (``spark.readStream`` source): ingestion-time
+    filtering for a continuously-arriving corpus, with batch/stream
+    parity pinned in tests/test_streaming.py. Returns (doc_id, text)."""
+    from . import text_analysis as ta
+
+    out = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    if sample_fraction is not None:
+        out = deterministic_sample(out, sample_fraction, "doc_id")
+    if min_quality is not None:
+        out = out.filter(ta.quality_columns(F.col("text"))["quality"] >= min_quality)
+    if languages:
+        out = out.filter(ta.lang_columns(F.col("text"))["lang_pred"].isin(languages))
+    if pii:
+        out = scrub_pii(out)
+    return out
+
+
 def prepare_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -212,19 +243,16 @@ def prepare_corpus(
     Returns the surviving documents (or chunks when ``chunk_tokens``).
     """
     from . import dedup as dd
-    from . import text_analysis as ta
 
-    out = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    if sample_fraction is not None:
-        out = deterministic_sample(out, sample_fraction, "doc_id")
-    if min_quality is not None:
-        q = ta.quality_score(out).select("doc_id", "quality")
-        out = out.join(q.filter(F.col("quality") >= min_quality).select("doc_id"), "doc_id")
-    if languages:
-        lang = ta.lang_id(out).select("doc_id", "lang_pred")
-        out = out.join(
-            lang.filter(F.col("lang_pred").isin(languages)).select("doc_id"), "doc_id"
-        )
+    # the narrow prefix — inline column-expression filters, no joins
+    out = corpus_filter(
+        docs,
+        id_col,
+        text_col,
+        sample_fraction=sample_fraction,
+        min_quality=min_quality,
+        languages=languages,
+    )
     if exact_dedup:
         out = dd.dedup_exact(out, ["text"])
     if near_dedup_threshold is not None:

@@ -48,13 +48,10 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic quality features + composite score in [0,1].
-
-    Features follow the usual web-corpus filters (Gopher/C4-style):
-    document length, mean word length, alphabetic character ratio,
-    punctuation density, stopword ratio."""
-    text = F.col(text_col)
+def quality_columns(text: Column) -> dict[str, Column]:
+    """The quality feature/score expressions over a text column — exposed
+    separately from :func:`quality_score` so narrow consumers (streaming
+    filters, inline predicates) can use them without a join."""
     toks = _tokens(text)
     n_chars = F.length(text).cast("double")
     n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
@@ -79,27 +76,33 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         + 0.15 * F.least(stop_ratio * 3, F.lit(1.0))
         + 0.1 * wl_score
     )
+    # ratios of small integers can land exactly on 4dp half-boundaries
+    # (e.g. 3/160) where plain ROUND(double) diverges across engines —
+    # scale-0 rounding after *10^4 is engine-exact (functions/numeric.py)
+    return {
+        "alpha_ratio": round_exact_double(alpha_ratio),
+        "punct_ratio": round_exact_double(punct_ratio),
+        "stop_ratio": round_exact_double(stop_ratio),
+        "mean_word_len": round_exact_double(mean_word_len),
+        "quality": round_exact_double(score),
+    }
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score in [0,1].
+
+    Features follow the usual web-corpus filters (Gopher/C4-style):
+    document length, mean word length, alphabetic character ratio,
+    punctuation density, stopword ratio."""
+    cols = quality_columns(F.col(text_col))
     return df.select(
-        F.col(id_col).alias("doc_id"),
-        # ratios of small integers can land exactly on 4dp half-boundaries
-        # (e.g. 3/160) where plain ROUND(double) diverges across engines —
-        # scale-0 rounding after *10^4 is engine-exact (functions/numeric.py)
-        round_exact_double(alpha_ratio).alias("alpha_ratio"),
-        round_exact_double(punct_ratio).alias("punct_ratio"),
-        round_exact_double(stop_ratio).alias("stop_ratio"),
-        round_exact_double(mean_word_len).alias("mean_word_len"),
-        round_exact_double(score).alias("quality"),
+        F.col(id_col).alias("doc_id"), *[c.alias(name) for name, c in cols.items()]
     )
 
 
-def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, lang_pred, lang_score) — marker-word language heuristic.
-
-    Scores each language by its marker-word count over the token list;
-    argmax wins, ties broken by language code ascending, zero matches ->
-    'und'. CJK is detected first by script range (\\u4e00-\\u9fff density),
-    which needs no tokenization."""
-    text = F.col(text_col)
+def lang_columns(text: Column) -> dict[str, Column]:
+    """The language-id expressions over a text column (lang_pred,
+    lang_score) — exposed for narrow consumers like streaming filters."""
     toks = _tokens(text)
     n_words = F.size(toks)
     def _marker_count(markers: list[str]):
@@ -118,10 +121,19 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     pred = F.when(best_score <= 0, F.lit("und")).otherwise(pred)
     pred = F.when(n_cjk * 2 > F.length(text), F.lit("zh")).otherwise(pred)
     conf = F.when(n_words > 0, best_score.cast("double") / n_words.cast("double")).otherwise(0.0)
+    return {"lang_pred": pred, "lang_score": round_exact_double(conf)}
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred, lang_score) — marker-word language heuristic.
+
+    Scores each language by its marker-word count over the token list;
+    argmax wins, ties broken by language code ascending, zero matches ->
+    'und'. CJK is detected first by script range (\\u4e00-\\u9fff density),
+    which needs no tokenization."""
+    cols = lang_columns(F.col(text_col))
     return df.select(
-        F.col(id_col).alias("doc_id"),
-        pred.alias("lang_pred"),
-        round_exact_double(conf).alias("lang_score"),
+        F.col(id_col).alias("doc_id"), *[c.alias(name) for name, c in cols.items()]
     )
 
 

@@ -178,3 +178,47 @@ def test_streaming_dedup_drops_replays(spark, tmp_path):
     got = run_to_memory_sink(deduped, "t_dedup", output_mode="append")
     kept = sorted(r["event_id"] for r in got.collect())
     assert kept == [1, 2, 4]  # first arrival per digest wins
+
+
+def test_streaming_corpus_filter_equals_batch(spark, tmp_path):
+    """corpus_filter is narrow-only, so the SAME function runs on a file
+    stream and produces exactly the batch survivors (ingestion-time
+    corpus filtering)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from skripsi_mapreduce_spark.operators.pipeline import corpus_filter
+    from skripsi_mapreduce_spark.streaming.windows import run_to_memory_sink
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and it is a fine day in the sun"),
+        (2, "der hund und die katze sind nicht mit dem vogel ein gutes team heute"),
+        (3, "!!! ??? ###"),  # junk -> quality filter drops
+        (4, "the cat sat on the mat and it is a good mat that the cat likes to sit on"),
+        (5, "el perro y el gato son los animales que la casa es una buena"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    d = tmp_path / "docstream"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "part1.parquet"))
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    kwargs = dict(min_quality=0.5, languages=["en", "de"])
+    batch = corpus_filter(spark.read.schema(schema).parquet(str(d)), **kwargs)
+    stream = corpus_filter(
+        spark.readStream.schema(schema).format("parquet").load(str(d)), **kwargs
+    )
+    got = run_to_memory_sink(stream, "t_corpus_filter", output_mode="append")
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in batch.collect()
+    )
+    # the junk doc must actually have been filtered, not passed through
+    assert 3 not in {r["doc_id"] for r in got.collect()}
