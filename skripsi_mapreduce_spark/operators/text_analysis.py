@@ -312,19 +312,21 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     shuffle schedule can't move the result.
 
     Scale: the model table is vocabulary-sized (zipfian-small vs the
-    corpus); at 100 TB the join on word broadcasts the model. Empty docs
-    score 0."""
+    corpus); at 100 TB the join on word broadcasts the model. The total
+    token count is a one-scalar driver reduction (same convention as
+    TF-IDF's document count), so the scoring pass re-reads ONLY the tf
+    exchange (ReusedExchange), not the corpus. Empty docs score 0."""
     toks = df.select(F.col(id_col).alias("doc_id"), F.explode(_tokens(F.col(text_col))).alias("word"))
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     cw = tf.groupBy("word").agg(F.sum("tf").alias("cw"))
-    tot = cw.agg(F.sum("cw").alias("t"))
+    t_total = cw.agg(F.sum("cw")).collect()[0][0] or 0
     # widths chosen so the product (12,0)x(18,8) -> (31,8) stays under
     # both engines' 38-digit decimal cap (a wider product would make
     # Spark silently shave scale to fit)
-    lnp = F.round(F.log(F.col("cw").cast("double") / F.col("t").cast("double")), 8).cast(
+    lnp = F.round(F.log(F.col("cw").cast("double") / F.lit(float(max(t_total, 1)))), 8).cast(
         "decimal(18,8)"
     )
-    model = cw.crossJoin(F.broadcast(tot)).select("word", lnp.alias("lnp"))
+    model = cw.select("word", lnp.alias("lnp"))
     per = (
         tf.join(F.broadcast(model), "word")
         .groupBy("doc_id")

@@ -94,3 +94,39 @@ def test_q34_ntile_no_single_partition_exchange(spark):
     """Distributed NTILE: no global single-partition window anywhere."""
     p = formatted_plan(spark, "q34_ntile")
     assert "Exchange SinglePartition" not in p
+
+
+def test_ta_repetition_digest_counts_no_nested_loop(spark):
+    p = formatted_plan(spark, "ta_repetition")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # partial + final hash aggregation around both count stages
+    assert p.count("HashAggregate") >= 4
+
+
+def test_ta_unigram_lp_model_is_broadcast(spark):
+    p = formatted_plan(spark, "ta_unigram_lp")
+    # the vocabulary-sized model joins back via broadcast, never shuffle
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_mix_stratified_is_pure_scan_filter(spark):
+    p = formatted_plan(spark, "mix_stratified")
+    # the sampling decision is a narrow filter: the only exchange allowed
+    # is the final presentation ORDER BY (rangepartitioning) — no hash
+    # shuffle, no broadcast, no aggregation anywhere in the plan
+    assert "hashpartitioning" not in p and "SinglePartition" not in p
+    assert "BroadcastExchange" not in p and "HashAggregate" not in p
+    assert "rangepartitioning" in p  # the ORDER BY
+
+
+def test_corpus_filter_is_narrow(spark):
+    from skripsi_mapreduce_spark.io import load_table
+    from skripsi_mapreduce_spark.operators.pipeline import corpus_filter
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = corpus_filter(docs, sample_fraction=0.5, min_quality=0.5, languages=["en"], pii=True)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in p, "corpus_filter must stay shuffle-free (streamable)"
