@@ -35,19 +35,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table as a DataFrame (columnar parquet scan).
 
-    ``events.ts`` is written as a parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as a long and convert with integer
-    division (``div`` — a double division would lose sub-microsecond bits at
-    ~1.7e18 magnitudes) down to a microsecond timestamp, matching DuckDB's
-    own ns→us truncation.
+    Timestamp normalization: the generated ``events.ts`` has shipped both as
+    parquet TIMESTAMP(NANOS) (which Spark's vectorized reader only accepts as
+    a long) and as TIMESTAMP(MICROS) without the UTC flag (which Spark reads
+    as TIMESTAMP_NTZ, a type ``unix_micros``/``unix_timestamp`` reject).
+    Canonicalize every variant to plain TIMESTAMP: the session timezone is
+    pinned to UTC (session.py), so NTZ→LTZ keeps the wall-clock instant and
+    matches DuckDB's epoch semantics for naive timestamps.
     """
     if name == "events":
         # Must be set on whichever session calls us (incl. the driver's own):
-        # without it the scan fails outright on the NANOS column.
+        # without it the scan fails outright on a NANOS column.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # NANOS-as-long → integer-divide (no double precision loss at ~1.7e18)
+        # down to microseconds, matching DuckDB's own ns→us truncation.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

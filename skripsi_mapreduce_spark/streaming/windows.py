@@ -28,7 +28,7 @@ from ..functions.numeric import e_int
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (see io.load_table)
+        T.StructField("ts", T.LongType()),  # raw nanos (synthetic replay files)
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -40,17 +40,29 @@ EVENTS_SCHEMA = T.StructType(
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded stream (file source replay of the parquet).
 
-    The nanosecond-timestamp conversion mirrors io.load_table so the
-    streaming and batch inputs are identical row-for-row."""
+    The timestamp normalization mirrors io.load_table — the generated file
+    has shipped as both TIMESTAMP(NANOS) (readable only as a long) and
+    TIMESTAMP(MICROS)-NTZ — so the streaming and batch inputs are identical
+    row-for-row. A one-off batch read of the footer decides which variant
+    is on disk; the stream then declares that schema explicitly (required
+    by the file source)."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ts_type = next(f.dataType for f in batch_schema.fields if f.name == "ts")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .format("parquet")
         # file stream source wants a directory; select just the events file
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.LongType):  # raw nanos → integer-divide to micros
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):  # naive micros → UTC instant
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
