@@ -297,6 +297,77 @@ def duplicated_passages(
     )
 
 
+def remove_duplicated_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup ("Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2022): drop every token
+    covered by a ``k``-token window that occurs in >= ``min_docs`` distinct
+    documents, and rebuild each document from the surviving tokens.
+
+    Returns (doc_id, n_tokens, n_removed, cleaned) where ``cleaned`` is the
+    space-joined surviving token stream (the operator is defined over the
+    tokenized corpus — the standard formulation; callers needing byte-exact
+    offsets run it over their own tokenization). Documents shorter than
+    ``k`` tokens are untouched; fully-duplicated documents come back empty.
+
+    Companion ops: :func:`cross_doc_duplication` (the per-doc signal) and
+    :func:`duplicated_passages` (the repeated windows themselves).
+
+    Scale shape: window digests are md5 (32-byte shuffle keys, never text);
+    doc-frequency is one digest-keyed aggregate over DISTINCT per-doc
+    windows; coverage expansion multiplies only the DUPLICATED windows by
+    ``k``; and reconstruction is one doc-keyed aggregate. Every join key is
+    (doc_id, pos) or a digest — near-unique, no skew. The corpus text
+    crosses exactly one shuffle (the rebuild), carrying surviving tokens
+    only."""
+    toks = df.select(F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("t"))
+    # (doc_id, p, h): md5 digest of the k-token window starting at p (1-based)
+    win_arr = F.when(
+        F.size("t") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - k + 1),
+            lambda i: F.struct(
+                i.alias("p"), F.md5(F.concat_ws(" ", F.slice("t", i, k))).alias("h")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:int,h:string>>"))
+    wins = toks.select("doc_id", F.explode(win_arr).alias("w")).select(
+        "doc_id", F.col("w.p").alias("p"), F.col("w.h").alias("h")
+    )
+    # doc frequency over DISTINCT per-doc windows (a window repeated inside
+    # one doc is not cross-document duplication)
+    dfreq = wins.select("doc_id", "h").distinct().groupBy("h").agg(F.count("*").alias("df"))
+    dup = wins.join(dfreq.filter(F.col("df") >= min_docs).select("h"), "h").select(
+        "doc_id", "p"
+    )
+    covered = dup.select(
+        "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + (k - 1))).alias("pos")
+    ).distinct()
+    tl = toks.select("doc_id", F.posexplode("t").alias("pos0", "tok")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    kept = tl.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]),
+        ).alias("cleaned"),
+    )
+    base = toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).cast("bigint").alias("n_removed"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+    )
+
+
 def unigram_logprob(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc mean negative log-likelihood under the corpus's own
     unigram model — the cheap stand-in for the CCNet/KenLM perplexity

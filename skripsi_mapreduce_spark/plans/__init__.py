@@ -27,6 +27,9 @@ _PROMOTED = [
     "mix_stratified",
     "ta_crossdup",
     "ta_unigram_lp",
+    "ta_passage_removal",
+    "q43_latest_snapshot",
+    "q44_corr_stats",
 ]
 _TAIL = [
     "q09_semi_join",

@@ -769,6 +769,43 @@ def ta_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact-substring passage removal — the removal half of cross-doc dedup
+# ---------------------------------------------------------------------------
+@query(
+    "ta_passage_removal",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{ASCII_TOKEN}') AS t
+        FROM documents),
+    wins AS (
+        SELECT doc_id, i AS p, md5(array_to_string(list_slice(t, i, i + 5), ' ')) AS h
+        FROM toks, UNNEST(range(1, LEN(t) - 4)) r(i)
+        WHERE LEN(t) >= 6),
+    dfreq AS (SELECT h, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, h FROM wins) GROUP BY 1),
+    dup AS (SELECT w.doc_id, w.p FROM wins w JOIN dfreq USING (h) WHERE df >= 2),
+    cov AS (SELECT DISTINCT doc_id, p + o AS pos FROM dup, UNNEST(range(0, 6)) r(o)),
+    tl AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toks),
+    kept AS (SELECT tl.doc_id, tl.pos, tl.tok FROM tl ANTI JOIN cov USING (doc_id, pos)),
+    reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS cleaned
+            FROM kept GROUP BY doc_id)
+    SELECT toks.doc_id,
+           CAST(LEN(t) AS BIGINT) AS n_tokens,
+           CAST(LEN(t) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(cleaned, '') AS cleaned
+    FROM toks LEFT JOIN reb USING (doc_id) ORDER BY doc_id
+    """,
+)
+def ta_passage_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, removal half (Lee et al. 2022): every token
+    covered by a 6-token window shared with another document is dropped and
+    the doc rebuilt from survivors.
+    operators/text_analysis.remove_duplicated_passages."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ta.remove_duplicated_passages(docs, k=6, min_docs=2).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Unigram-LM negative log-likelihood — perplexity-proxy quality filter
 # ---------------------------------------------------------------------------
 @query(

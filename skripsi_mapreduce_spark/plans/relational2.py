@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.asof import asof_join
+from ..operators.cdc import latest_snapshot
 from ..operators.etl import assign_sequential_ids
 from .relational import DEC, dec, e_int, e_int_sql, query
 
@@ -365,6 +366,104 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start_epoch", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q43 changelog compaction — latest record version per key (CDC snapshot)
+# ---------------------------------------------------------------------------
+@query(
+    "q43_latest_snapshot",
+    """
+    SELECT user_id, event_type,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           epoch_us(ts) AS ts_us,
+           CAST(ROUND(CAST(value AS DOUBLE) * 10000) AS BIGINT) AS value_e4
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1 ORDER BY user_id, event_type
+    """,
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: treating events as an append-only stream of
+    record versions keyed by (user_id, event_type), surface the latest
+    version per key. The engine side is operators/cdc.latest_snapshot —
+    ONE partial-aggregated max_by (shuffle ∝ distinct keys, no per-key
+    sort); the oracle states the same semantics as the textbook
+    ROW_NUMBER()=1, which would shuffle and sort every version."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    snap = latest_snapshot(e, ["user_id", "event_type"], ts_col="ts", tiebreak=["event_id"])
+    return snap.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").cast("bigint").alias("last_event_id"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        e_int(F.col("value")).alias("value_e4"),
+    ).orderBy("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# q44 exact bivariate statistics (covariance / correlation / OLS slope)
+# ---------------------------------------------------------------------------
+@query(
+    "q44_corr_stats",
+    """
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(19,4))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
+               SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy,
+               SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           CAST(ROUND(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS cov_pop_e4,
+           CAST(ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 10000) AS BIGINT) AS corr_e4,
+           CAST(ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 10000) AS BIGINT) AS slope_e4
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact population covariance, Pearson correlation, and OLS slope of
+    extendedprice on quantity per returnflag. Built-in covar_pop/corr
+    accumulate doubles in shuffle order (non-reproducible across engines
+    and runs), so the moments are EXACT DECIMAL sums — one partial-
+    aggregated groupBy — and the textbook formulas run on those integers
+    in IEEE doubles, identically ordered on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx_d, syy_d, sxy_d = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    num = n_d * sxy_d - sx_d * sy_d
+    varx = n_d * sxx_d - sx_d * sx_d
+    vary = n_d * syy_d - sy_d * sy_d
+    return s.select(
+        "l_returnflag",
+        "n",
+        e_int((sxy_d - sx_d * sy_d / n_d) / n_d).alias("cov_pop_e4"),
+        e_int(num / (F.sqrt(varx) * F.sqrt(vary))).alias("corr_e4"),
+        e_int(num / varx).alias("slope_e4"),
+    ).orderBy("l_returnflag")
 
 
 # ---------------------------------------------------------------------------

@@ -6,6 +6,7 @@ from __future__ import annotations
 from skripsi_mapreduce_spark.operators.text_analysis import (
     cross_doc_duplication,
     duplicated_passages,
+    remove_duplicated_passages,
     unigram_logprob,
 )
 
@@ -30,6 +31,36 @@ def test_duplicated_passages_reports_shared_windows(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = duplicated_passages(df, k=2).collect()
     assert [(r["passage"], r["n_docs"], r["example_doc_id"]) for r in got] == [("aa bb", 2, 1)]
+
+
+def test_remove_duplicated_passages_known_values(spark):
+    rows = [
+        # docs 1 and 2 share the window "aa bb" -> those tokens are removed
+        # from both; the unshared tails survive
+        (1, "aa bb cc"),
+        (2, "aa bb dd"),
+        (3, "ee ff"),  # unique window -> untouched
+        (4, "gg"),  # shorter than k -> untouched
+        (5, ""),  # empty -> empty
+        (6, "aa bb"),  # the shared window IS the whole doc -> fully removed
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in remove_duplicated_passages(df, k=2).collect()}
+    assert out[1] == {"doc_id": 1, "n_tokens": 3, "n_removed": 2, "cleaned": "cc"}
+    assert out[2] == {"doc_id": 2, "n_tokens": 3, "n_removed": 2, "cleaned": "dd"}
+    assert out[3] == {"doc_id": 3, "n_tokens": 2, "n_removed": 0, "cleaned": "ee ff"}
+    assert out[4] == {"doc_id": 4, "n_tokens": 1, "n_removed": 0, "cleaned": "gg"}
+    assert out[5] == {"doc_id": 5, "n_tokens": 0, "n_removed": 0, "cleaned": ""}
+    assert out[6] == {"doc_id": 6, "n_tokens": 2, "n_removed": 2, "cleaned": ""}
+
+
+def test_remove_duplicated_passages_overlapping_windows_merge(spark):
+    # "aa bb cc dd" shares BOTH windows ("aa bb", then overlapping "bb cc")
+    # with doc 2/3 — coverage is the union of positions, not double-counted
+    rows = [(1, "aa bb cc dd"), (2, "aa bb"), (3, "bb cc")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in remove_duplicated_passages(df, k=2).collect()}
+    assert out[1] == {"doc_id": 1, "n_tokens": 4, "n_removed": 3, "cleaned": "dd"}
 
 
 def test_unigram_logprob_known_values(spark):
