@@ -98,15 +98,19 @@ def write_bucketed(
 
 
 def write_avro(df: DataFrame, path: str) -> None:
-    """Avro+snappy sink for reference-parity IO (JobExtractTransform.java:66-71
-    — O13). Requires the spark-avro package on the classpath; raises a clear
-    error if absent — checked UP FRONT so genuine write failures (bad path,
-    permissions, schema errors) propagate unchanged instead of being
-    misattributed to the classpath."""
+    """Avro sink for reference-parity IO (JobExtractTransform.java:66-71 —
+    O13). With spark-avro on the classpath this is the native avro+snappy
+    sink; without it (this container) the engine's pure-Python container
+    codec (sources/avro_python.py) writes spec-conformant deflate files —
+    readable by any Avro implementation including the reference's Hadoop
+    stack (snappy specifically needs python-snappy; deflate is the
+    offline-safe codec). The classpath check runs UP FRONT so genuine
+    write failures propagate unchanged."""
     from .sources.readers import avro_available
 
-    if not avro_available(df.sparkSession):
-        raise RuntimeError(
-            "spark-avro not on classpath; add org.apache.spark:spark-avro to use Avro IO"
-        )
-    df.write.mode("overwrite").format("avro").option("compression", "snappy").save(path)
+    if avro_available(df.sparkSession):
+        df.write.mode("overwrite").format("avro").option("compression", "snappy").save(path)
+        return
+    from .sources.avro_python import write_avro_python
+
+    write_avro_python(df, path, codec="deflate")

@@ -1,0 +1,488 @@
+"""Pure-Python Avro object-container IO — reference-parity formats.
+
+The reference's native storage is Avro container files with snappy
+(JobExtractTransform.java:66-71 O13, JobExtractFeature.java:118-122 O15).
+This environment has neither the spark-avro connector nor a Python avro
+package, so this module implements the Avro 1.x object container file
+format directly from the public spec (zigzag-varint longs, length-
+prefixed utf8, block-encoded arrays/maps, ``Obj\\x01`` header with a
+metadata map and 16-byte sync markers) for the schema subset the
+reference uses: records of primitives, arrays, maps, nullable unions,
+and nested records (S1-S5 all fit).
+
+Spark integration is distributed on both sides:
+
+- **read**: ``spark.read.format("binaryFile")`` scans the part files in
+  parallel and each executor decodes its files inside ``mapInPandas`` —
+  an Arrow-batched source, no driver bottleneck.
+- **write**: each DataFrame partition streams its rows through
+  ``mapInPandas`` into one ``part-*.avro`` container file (executor-side
+  file IO; the path must be a shared filesystem, which is exactly the
+  contract of any file sink).
+
+Codecs: ``null`` and ``deflate`` (stdlib zlib) always work; ``snappy``
+(what the reference writes) is gated on an importable python-snappy and
+raises a clear error otherwise. Files written with deflate are readable
+by every conforming Avro implementation, including the reference's
+Hadoop stack.
+"""
+
+from __future__ import annotations
+
+import io as _io
+import json
+import os
+import struct
+import zlib
+from binascii import crc32
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+
+
+def _snappy():
+    try:
+        import snappy  # type: ignore
+
+        return snappy
+    except ImportError:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Binary primitives (Avro spec: zigzag varint longs, little-endian floats)
+# ---------------------------------------------------------------------------
+def _enc_long(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _dec_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return (acc >> 1) ^ -(acc & 1), pos
+        shift += 7
+
+
+def _enc_bytes(b: bytes) -> bytes:
+    return _enc_long(len(b)) + b
+
+
+def _enc_str(s: str) -> bytes:
+    return _enc_bytes(s.encode("utf-8"))
+
+
+# ---------------------------------------------------------------------------
+# Schema-driven record codec
+# ---------------------------------------------------------------------------
+def _encode(schema, value, out: bytearray) -> None:
+    if isinstance(schema, list):  # union: index then value
+        idx = _union_branch(schema, value)
+        out += _enc_long(idx)
+        _encode(schema[idx], value, out)
+        return
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return
+    if t == "boolean":
+        out.append(1 if value else 0)
+    elif t in ("int", "long"):
+        out += _enc_long(int(value))
+    elif t == "float":
+        out += struct.pack("<f", float(value))
+    elif t == "double":
+        out += struct.pack("<d", float(value))
+    elif t == "string":
+        out += _enc_str(value)
+    elif t == "bytes":
+        out += _enc_bytes(bytes(value))
+    elif t == "array":
+        items = list(value)
+        if items:
+            out += _enc_long(len(items))
+            for v in items:
+                _encode(schema["items"], v, out)
+        out += _enc_long(0)
+    elif t == "map":
+        entries = dict(value)
+        if entries:
+            out += _enc_long(len(entries))
+            for k, v in entries.items():
+                out += _enc_str(k)
+                _encode(schema["values"], v, out)
+        out += _enc_long(0)
+    elif t == "record":
+        for f in schema["fields"]:
+            _encode(f["type"], value[f["name"]], out)
+    else:
+        raise ValueError(f"unsupported avro type: {t}")
+
+
+def _union_branch(union: list, value) -> int:
+    for i, branch in enumerate(union):
+        bt = branch["type"] if isinstance(branch, dict) else branch
+        if value is None and bt == "null":
+            return i
+        if value is not None and bt != "null":
+            return i
+    raise ValueError(f"no union branch for value {value!r} in {union}")
+
+
+def _decode(schema, buf: bytes, pos: int):
+    if isinstance(schema, list):
+        idx, pos = _dec_long(buf, pos)
+        return _decode(schema[idx], buf, pos)
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return None, pos
+    if t == "boolean":
+        return buf[pos] == 1, pos + 1
+    if t in ("int", "long"):
+        return _dec_long(buf, pos)
+    if t == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if t == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if t in ("string", "bytes"):
+        n, pos = _dec_long(buf, pos)
+        raw = buf[pos : pos + n]
+        return (raw.decode("utf-8") if t == "string" else bytes(raw)), pos + n
+    if t == "array":
+        out = []
+        while True:
+            n, pos = _dec_long(buf, pos)
+            if n == 0:
+                return out, pos
+            if n < 0:  # negative count: followed by byte size (skippable)
+                _, pos = _dec_long(buf, pos)
+                n = -n
+            for _ in range(n):
+                v, pos = _decode(schema["items"], buf, pos)
+                out.append(v)
+    if t == "map":
+        out = {}
+        while True:
+            n, pos = _dec_long(buf, pos)
+            if n == 0:
+                return out, pos
+            if n < 0:
+                _, pos = _dec_long(buf, pos)
+                n = -n
+            for _ in range(n):
+                klen, pos = _dec_long(buf, pos)
+                k = buf[pos : pos + klen].decode("utf-8")
+                pos += klen
+                v, pos = _decode(schema["values"], buf, pos)
+                out[k] = v
+    if t == "record":
+        rec = {}
+        for f in schema["fields"]:
+            rec[f["name"]], pos = _decode(f["type"], buf, pos)
+        return rec, pos
+    raise ValueError(f"unsupported avro type: {t}")
+
+
+# ---------------------------------------------------------------------------
+# Object container files
+# ---------------------------------------------------------------------------
+def _compress(codec: str, payload: bytes) -> bytes:
+    if codec == "null":
+        return payload
+    if codec == "deflate":  # raw deflate (no zlib header), per spec
+        c = zlib.compressobj(9, zlib.DEFLATED, -15)
+        return c.compress(payload) + c.flush()
+    if codec == "snappy":
+        sn = _snappy()
+        if sn is None:
+            raise RuntimeError(
+                "snappy codec requires the python-snappy package (not in this "
+                "container); use codec='deflate' — readable by all Avro readers"
+            )
+        return sn.compress(payload) + struct.pack(">I", crc32(payload) & 0xFFFFFFFF)
+    raise ValueError(f"unsupported codec: {codec}")
+
+
+def _decompress(codec: str, block: bytes) -> bytes:
+    if codec == "null":
+        return block
+    if codec == "deflate":
+        return zlib.decompress(block, -15)
+    if codec == "snappy":
+        sn = _snappy()
+        if sn is None:
+            raise RuntimeError(
+                "file is snappy-compressed; reading it requires python-snappy "
+                "(not in this container)"
+            )
+        payload = sn.decompress(block[:-4])
+        if struct.unpack(">I", block[-4:])[0] != crc32(payload) & 0xFFFFFFFF:
+            raise OSError("snappy block CRC mismatch")
+        return payload
+    raise ValueError(f"unsupported codec: {codec}")
+
+
+def write_container(schema_json: str, records, codec: str = "deflate") -> bytes:
+    """Serialize ``records`` (iterable of dicts) into one Avro object
+    container file. The sync marker is derived from the schema+codec so
+    identical inputs produce identical bytes (reproducible sinks)."""
+    schema = json.loads(schema_json)
+    import hashlib
+
+    sync = hashlib.md5(("sync:" + codec + ":" + schema_json).encode()).digest()
+    out = bytearray()
+    out += MAGIC
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
+    out += _enc_long(len(meta))
+    for k, v in sorted(meta.items()):
+        out += _enc_str(k)
+        out += _enc_bytes(v)
+    out += _enc_long(0)
+    out += sync
+    buf = bytearray()
+    n = 0
+    for rec in records:
+        _encode(schema, rec, buf)
+        n += 1
+    if n:
+        payload = _compress(codec, bytes(buf))
+        out += _enc_long(n)
+        out += _enc_long(len(payload))
+        out += payload
+        out += sync
+    return bytes(out)
+
+
+def read_container(data: bytes) -> tuple[str, list[dict]]:
+    """Parse one Avro object container file -> (schema json, records)."""
+    if data[:4] != MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _dec_long(data, pos)
+        if n == 0:
+            break
+        if n < 0:
+            _, pos = _dec_long(data, pos)
+            n = -n
+        for _ in range(n):
+            klen, pos = _dec_long(data, pos)
+            k = data[pos : pos + klen].decode("utf-8")
+            pos += klen
+            vlen, pos = _dec_long(data, pos)
+            meta[k] = data[pos : pos + vlen]
+            pos += vlen
+    schema_json = meta["avro.schema"].decode("utf-8")
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    schema = json.loads(schema_json)
+    sync = data[pos : pos + 16]
+    pos += 16
+    records: list[dict] = []
+    while pos < len(data):
+        cnt, pos = _dec_long(data, pos)
+        size, pos = _dec_long(data, pos)
+        payload = _decompress(codec, data[pos : pos + size])
+        pos += size
+        p = 0
+        for _ in range(cnt):
+            rec, p = _decode(schema, payload, p)
+            records.append(rec)
+        if data[pos : pos + 16] != sync:
+            raise OSError("sync marker mismatch (corrupt container)")
+        pos += 16
+    return schema_json, records
+
+
+# ---------------------------------------------------------------------------
+# Avro schema <-> Spark schema
+# ---------------------------------------------------------------------------
+_AVRO_TO_SPARK = {
+    "string": T.StringType(),
+    "long": T.LongType(),
+    "int": T.IntegerType(),
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "boolean": T.BooleanType(),
+    "bytes": T.BinaryType(),
+}
+_SPARK_TO_AVRO = {
+    T.StringType(): "string",
+    T.LongType(): "long",
+    T.IntegerType(): "int",
+    T.DoubleType(): "double",
+    T.FloatType(): "float",
+    T.BooleanType(): "boolean",
+    T.BinaryType(): "bytes",
+}
+
+
+def spark_schema_for(avro_schema) -> T.StructType:
+    if isinstance(avro_schema, str):
+        avro_schema = json.loads(avro_schema)
+    assert avro_schema["type"] == "record", "top-level schema must be a record"
+    fields = []
+    for f in avro_schema["fields"]:
+        dt, nullable = _spark_type(f["type"])
+        fields.append(T.StructField(f["name"], dt, nullable))
+    return T.StructType(fields)
+
+
+def _spark_type(avro_type) -> tuple[T.DataType, bool]:
+    if isinstance(avro_type, list):  # nullable union
+        non_null = [b for b in avro_type if b != "null"]
+        if len(non_null) != 1:
+            raise ValueError(f"only 2-branch nullable unions supported: {avro_type}")
+        dt, _ = _spark_type(non_null[0])
+        return dt, True
+    if isinstance(avro_type, dict):
+        t = avro_type["type"]
+        if t == "array":
+            dt, inner_null = _spark_type(avro_type["items"])
+            return T.ArrayType(dt, inner_null), False
+        if t == "map":
+            dt, inner_null = _spark_type(avro_type["values"])
+            return T.MapType(T.StringType(), dt, inner_null), False
+        if t == "record":
+            return spark_schema_for(avro_type), False
+        return _spark_type(t)
+    if avro_type in _AVRO_TO_SPARK:
+        return _AVRO_TO_SPARK[avro_type], False
+    raise ValueError(f"unsupported avro type: {avro_type}")
+
+
+def avro_schema_for(schema: T.StructType, name: str = "record0") -> str:
+    """Spark StructType -> Avro record schema json (inverse of
+    :func:`spark_schema_for`, for the writer)."""
+
+    def _avro_type(dt: T.DataType, nullable: bool):
+        if isinstance(dt, T.ArrayType):
+            base = {"type": "array", "items": _avro_type(dt.elementType, dt.containsNull)}
+        elif isinstance(dt, T.MapType):
+            base = {"type": "map", "values": _avro_type(dt.valueType, dt.valueContainsNull)}
+        elif isinstance(dt, T.StructType):
+            base = json.loads(avro_schema_for(dt, name + "_n"))
+        elif dt in _SPARK_TO_AVRO:
+            base = _SPARK_TO_AVRO[dt]
+        else:
+            raise ValueError(f"unsupported spark type for avro: {dt}")
+        return ["null", base] if nullable else base
+
+    fields = [
+        {"name": f.name, "type": _avro_type(f.dataType, f.nullable)} for f in schema.fields
+    ]
+    return json.dumps({"type": "record", "name": name, "fields": fields})
+
+
+# ---------------------------------------------------------------------------
+# Distributed Spark IO
+# ---------------------------------------------------------------------------
+def read_avro_python(
+    spark: SparkSession, path: str, avro_schema_json: str | None = None
+) -> DataFrame:
+    """Read a directory/glob of Avro container files as a DataFrame.
+
+    Part files are scanned by the binaryFile source (parallel, pruned)
+    and decoded executor-side in Arrow batches. If ``avro_schema_json``
+    is not given it is sniffed from one local file (explicit schema is
+    the 100 TB convention anyway — a sniff is one extra driver read)."""
+    if avro_schema_json is None:
+        import glob as _glob
+
+        cands = sorted(
+            _glob.glob(os.path.join(path, "*.avro")) if os.path.isdir(path) else _glob.glob(path)
+        )
+        if not cands:
+            raise FileNotFoundError(f"no .avro files under {path}")
+        with open(cands[0], "rb") as fh:
+            avro_schema_json, _ = read_container(fh.read())
+    schema = spark_schema_for(avro_schema_json)
+    names = [f.name for f in schema.fields]
+
+    def _decode_files(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, records = read_container(bytes(content))
+                yield pd.DataFrame(
+                    {n: [r[n] for r in records] for n in names}, columns=names
+                )
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(path, "*.avro") if os.path.isdir(path) else path
+    )
+    return files.select("content").mapInPandas(_decode_files, schema)
+
+
+def write_avro_python(df: DataFrame, path: str, codec: str = "deflate") -> int:
+    """Write ``df`` as a directory of Avro container part files (one per
+    partition, streamed executor-side). Overwrite semantics (O39).
+    Returns the number of rows written."""
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    schema_json = avro_schema_for(df.schema)
+    avro_schema = json.loads(schema_json)
+    names = [f["name"] for f in avro_schema["fields"]]
+
+    def _py(v):
+        # numpy/pandas scalars and containers -> plain python for the codec.
+        # Containers FIRST: ndarray.item() unwraps single-element arrays to
+        # their scalar, which would turn ['good'] into the string 'good'.
+        if v is None:
+            return None
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return [_py(x) for x in v]
+        if isinstance(v, dict):
+            return {k: _py(x) for k, x in v.items()}
+        if hasattr(v, "item") and not isinstance(v, (bytes, str)):
+            try:
+                return v.item()
+            except (ValueError, AttributeError):
+                pass
+        import math
+
+        if isinstance(v, float) and math.isnan(v):
+            return None
+        return v
+
+    def _write_partition(batches) -> Iterator:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        target = os.path.join(path, f"part-{pid:05d}.avro")
+        n_rows = 0
+
+        def _records():
+            nonlocal n_rows
+            for pdf in batches:
+                for row in pdf[names].itertuples(index=False, name=None):
+                    n_rows += 1
+                    yield dict(zip(names, (_py(v) for v in row)))
+
+        blob = write_container(schema_json, _records(), codec)
+        with open(target, "wb") as fh:
+            fh.write(blob)
+        # empty partitions still produce a valid (header-only) container
+        yield pd.DataFrame({"path": [target], "n": [n_rows]})
+
+    out = df.mapInPandas(_write_partition, "path string, n long").collect()
+    return int(sum(r["n"] for r in out))

@@ -23,8 +23,18 @@ def _has_class(spark: SparkSession, cls: str) -> bool:
 
 
 def avro_available(spark: SparkSession) -> bool:
-    """spark-avro is a separate package; absent in this container."""
-    return _has_class(spark, "org.apache.spark.sql.avro.AvroFileFormat")
+    """spark-avro is a separate package; absent in this container.
+
+    Probes the actual data-source registry (Spark 4 ships some
+    ``org.apache.spark.sql.avro`` classes in the core jars without the
+    connector, so a bare Class.forName check false-positives)."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(  # type: ignore[union-attr]
+            "avro", spark._jsparkSession.sessionState().conf()  # type: ignore[operator]
+        )
+        return True
+    except Exception:
+        return False
 
 
 AVRO_AVAILABLE = None  # resolved lazily per-session via avro_available()
@@ -72,12 +82,14 @@ def read_any(spark: SparkSession, path: str, fmt: str, schema: T.StructType | No
             raise ValueError("csv requires an explicit schema (no inference at scale)")
         return spark.read.schema(schema).options(header="true", **options).csv(path)
     if fmt == "avro":
-        if not avro_available(spark):
-            raise RuntimeError(
-                "spark-avro not on the classpath; add org.apache.spark:spark-avro_2.13 "
-                "to spark.jars.packages for reference-parity Avro IO"
-            )
-        return spark.read.format("avro").options(**options).load(path)
+        if avro_available(spark):
+            return spark.read.format("avro").options(**options).load(path)
+        # no connector on the classpath: the engine's pure-Python container
+        # codec (sources/avro_python.py) reads the same files via a
+        # distributed binaryFile scan + executor-side decode
+        from .avro_python import read_avro_python
+
+        return read_avro_python(spark, path, options.get("avroSchema"))
     if fmt == "jdbc":
         return spark.read.format("jdbc").options(**options).load()
     if fmt in ("delta", "iceberg", "hudi"):

@@ -103,7 +103,9 @@ def test_read_any_formats(spark, tmp_path):
     with pytest.raises(RuntimeError):
         read_any(spark, pq, "delta")
     if not avro_available(spark):
-        with pytest.raises(RuntimeError):
+        # the pure-Python avro fallback engages; a parquet dir has no
+        # .avro part files so it reports that, not a classpath error
+        with pytest.raises(FileNotFoundError):
             read_any(spark, pq, "avro")
 
 
