@@ -40,6 +40,20 @@ class _Text:
 
         return token_stats(df, **kw)
 
+    def learn_bpe(self, df: DataFrame, n_merges: int, **kw):
+        """Train a BPE tokenizer on the corpus (operators/bpe.py):
+        ordered merge list, deterministic argmax ties."""
+        from .operators.bpe import learn_bpe
+
+        return learn_bpe(df, n_merges, **kw)
+
+    def bpe_token_count(self, df: DataFrame, merges, **kw) -> DataFrame:
+        """Per-doc token counts under a learned BPE tokenizer (merge
+        chain applied once per distinct word, broadcast back)."""
+        from .operators.bpe import bpe_token_count
+
+        return bpe_token_count(df, merges, **kw)
+
     def quality(self, df: DataFrame, **kw) -> DataFrame:
         from .operators.text_analysis import quality_score
 
@@ -253,6 +267,27 @@ class Engine:
         from .operators.text_analysis import unigram_logprob
 
         return unigram_logprob(df, **kw)
+
+    def remove_duplicated_passages(self, df: DataFrame, **kw) -> DataFrame:
+        """Exact-substring dedup, removal half: drop tokens covered by
+        cross-document-shared k-windows and rebuild each doc."""
+        from .operators.text_analysis import remove_duplicated_passages
+
+        return remove_duplicated_passages(df, **kw)
+
+    def latest_snapshot(self, df: DataFrame, keys: list[str], **kw) -> DataFrame:
+        """Changelog compaction: latest record version per key (one
+        partial-aggregated max_by)."""
+        from .operators.cdc import latest_snapshot
+
+        return latest_snapshot(df, keys, **kw)
+
+    def apply_changes(self, snapshot: DataFrame, changes: DataFrame, keys: list[str], **kw) -> DataFrame:
+        """MERGE a changelog into a snapshot: latest change per key wins,
+        delete ops drop the key."""
+        from .operators.cdc import apply_changes
+
+        return apply_changes(snapshot, changes, keys, **kw)
 
     def scrub_pii(self, df: DataFrame, **kw) -> DataFrame:
         from .operators.pipeline import scrub_pii

@@ -30,6 +30,7 @@ _PROMOTED = [
     "ta_passage_removal",
     "q43_latest_snapshot",
     "q44_corr_stats",
+    "bpe_merges",
 ]
 _TAIL = [
     "q09_semi_join",

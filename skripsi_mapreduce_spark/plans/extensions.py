@@ -842,6 +842,84 @@ def ta_unigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer training — the merge loop, oracle-unrolled
+# ---------------------------------------------------------------------------
+_BPE_MERGES = 5
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled DuckDB twin of operators/bpe.learn_bpe: each step is a
+    pair-count aggregate + deterministic argmax + a greedy merge pass
+    stated with the SAME closed form as operators/bpe._apply_merge
+    (mark adjacent (a,b) positions; select marks at odd distance from
+    the last unmarked position — greedy non-overlap; rebuild skipping
+    successors of selections), so the learned merges match
+    string-for-string."""
+    ctes = [
+        rf"""wc AS (
+        SELECT word, COUNT(*) AS cnt FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS word
+            FROM documents) GROUP BY word),
+    w0 AS (
+        SELECT array_to_string(list_transform(range(1, length(word) + 1),
+                                              i -> substring(word, CAST(i AS INT), 1)), ' ') AS seq,
+               cnt
+        FROM wc)"""
+    ]
+    for t in range(n_merges):
+        ctes.append(
+            f"""p{t} AS (
+        SELECT s[i] AS a, s[i + 1] AS b, SUM(cnt) AS c
+        FROM (SELECT string_split(seq, ' ') AS s, cnt FROM w{t}),
+             UNNEST(range(1, len(s))) r(i)
+        GROUP BY 1, 2),
+    m{t} AS (SELECT a, b, c FROM p{t} ORDER BY c DESC, a, b LIMIT 1),
+    y{t} AS (
+        SELECT s, cnt,
+               list_transform(range(1, len(s)),
+                              i -> CASE WHEN s[i] = m.a AND s[i + 1] = m.b
+                                        THEN 1 ELSE 0 END) AS mk
+        FROM (SELECT string_split(seq, ' ') AS s, cnt FROM w{t}) CROSS JOIN m{t} m),
+    z{t} AS (
+        SELECT s, cnt, mk,
+               list_transform(range(1, len(mk) + 1),
+                              i -> CASE WHEN mk[i] = 1
+                                        AND ((i - COALESCE(list_max(list_filter(range(1, i + 1),
+                                                                                j -> mk[j] = 0)), 0)) % 2) = 1
+                                        THEN 1 ELSE 0 END) AS sel
+        FROM y{t}),
+    w{t + 1} AS (
+        SELECT array_to_string(
+                 list_transform(
+                   list_filter(range(1, len(s) + 1),
+                               i -> NOT (i >= 2 AND COALESCE(sel[i - 1], 0) = 1)),
+                   i -> CASE WHEN COALESCE(sel[i], 0) = 1 THEN m.a || m.b ELSE s[i] END),
+                 ' ') AS seq,
+               cnt
+        FROM z{t} CROSS JOIN m{t} m)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {t} AS step, a AS sym_a, b AS sym_b, a || b AS merged, "
+        f"CAST(c AS BIGINT) AS pair_count FROM m{t}"
+        for t in range(n_merges)
+    )
+    return f"WITH {', '.join(ctes)} {selects} ORDER BY step"
+
+
+@query("bpe_merges", _bpe_oracle_sql(_BPE_MERGES))
+def bpe_merges_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE tokenizer on the documents corpus (first 5 merges).
+    operators/bpe.learn_bpe: one corpus-scale word count, then the merge
+    loop runs on the vocabulary-sized word-frequency table — 5 tiny
+    jobs, each collecting exactly one argmax row."""
+    from ..operators.bpe import learn_bpe, merges_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, n_merges=_BPE_MERGES)
+    return merges_df(spark, merges).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
 # Domain mixing — deterministic per-group (stratified) sampling
 # ---------------------------------------------------------------------------
 _MIX_RATES = {"en": 0.25, "es": 0.75, "de": 0.5, "fr": 1.0, "zh": 0.4}
