@@ -151,6 +151,13 @@ class _Sim:
 
         return ivf_topk_cosine(emb, list(query_vec), k=k, **kw)
 
+    def random_projection(self, emb: DataFrame, dim: int, out_dim: int = 8, **kw) -> DataFrame:
+        """Deterministic ±1 (Achlioptas) dimensionality reduction —
+        md5-parity signs, e8 fixed-point coordinates."""
+        from .operators.similarity import random_projection
+
+        return random_projection(emb, dim, out_dim, **kw)
+
 
 class _Stream:
     def __init__(self, eng: "Engine"):
@@ -175,6 +182,13 @@ class _Stream:
         from .streaming.windows import streaming_dedup
 
         return streaming_dedup(stream, key_cols, **kw)
+
+    def interval_join(self, left: DataFrame, right: DataFrame, key: str,
+                      lo_seconds: float, hi_seconds: float, **kw) -> DataFrame:
+        """Watermarked stream-stream interval join (batch-identical)."""
+        from .streaming.joins import interval_join
+
+        return interval_join(left, right, key, lo_seconds, hi_seconds, **kw)
 
 
 class Engine:

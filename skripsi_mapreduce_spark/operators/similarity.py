@@ -162,6 +162,20 @@ def _plane_signs(p: int, dim: int) -> list[float]:
     ]
 
 
+def _proj_i64(vec_col, signs: list[float]) -> F.Column:
+    """Fixed-point signed projection: Σ round(sign_i * v_i * 1e8)::int64 —
+    order-independent, engine-exact."""
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.lit(signs).cast("array<double>"),
+            lambda x, s: F.round(x.cast("double") * s * F.lit(SCALE)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def hyperplane_signs(vec_col, dim: int, n_planes: int = 8) -> F.Column:
     """Deterministic random-hyperplane LSH bucket id (0..2^n_planes-1).
 
@@ -171,21 +185,40 @@ def hyperplane_signs(vec_col, dim: int, n_planes: int = 8) -> F.Column:
     could flip a near-zero projection's sign on summation order)."""
     bits = []
     for p in range(n_planes):
-        signs = _plane_signs(p, dim)
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.lit(signs).cast("array<double>"),
-                lambda x, s: F.round(x.cast("double") * s * F.lit(SCALE)).cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+        proj = _proj_i64(vec_col, _plane_signs(p, dim))
         bits.append(F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:
         out = out + b
     return out.cast("int")
+
+
+def random_projection(
+    emb: DataFrame,
+    dim: int,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """JL-style dimensionality reduction: project each embedding onto
+    ``out_dim`` deterministic ±1 hyperplanes (the Achlioptas sign family,
+    drawn from md5 parity — the SAME family as the LSH hyperplanes, so
+    bucket bit p of ``hyperplane_signs`` is exactly the sign of
+    coordinate p here). Returns (vec_id, proj_e8: array<long>) with each
+    coordinate an e8-scaled fixed-point integer — order-independent and
+    engine-exact, so even the compressed representation is
+    oracle-checkable.
+
+    Scale: one narrow projection over the scan (out_dim folds of the
+    vector per row, all codegen) — no shuffle, no Python. Downstream
+    consumers (coarse ANN, clustering, visual inspection) read out_dim
+    longs instead of ``dim`` floats: at 100 TB the compressed table is
+    out_dim/dim of the column bytes and the projection can be computed
+    at WRITE time like the LSH bucket."""
+    coords = [_proj_i64(F.col(vec_col), _plane_signs(p, dim)) for p in range(out_dim)]
+    return emb.select(
+        F.col(id_col).alias("vec_id"), F.array(*coords).alias("proj_e8")
+    )
 
 
 def query_bucket(query_vec: list[float], n_planes: int = 8) -> int:

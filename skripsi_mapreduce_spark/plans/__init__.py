@@ -31,6 +31,7 @@ _PROMOTED = [
     "q43_latest_snapshot",
     "q44_corr_stats",
     "bpe_merges",
+    "emb_random_projection",
 ]
 _TAIL = [
     "q09_semi_join",

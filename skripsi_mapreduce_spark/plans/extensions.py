@@ -358,6 +358,42 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Random projection (JL dimensionality reduction) — hash-matched
+# ---------------------------------------------------------------------------
+@query(
+    "emb_random_projection",
+    """
+    WITH planes AS (SELECT p FROM range(8) t(p)),
+    dims AS (SELECT i FROM range(64) t(i)),
+    signs AS (
+        SELECT p, i,
+               CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 32, 1) AS INTEGER) % 2 = 1
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM planes CROSS JOIN dims),
+    ex AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) - 1 AS i
+           FROM embeddings)
+    SELECT e.vec_id, CAST(sg.p AS INTEGER) AS p,
+           SUM(CAST(ROUND(CAST(e.x AS DOUBLE) * sg.s * 100000000.0) AS BIGINT)) AS proj_e8
+    FROM ex e JOIN signs sg ON sg.i = e.i
+    GROUP BY 1, 2 ORDER BY vec_id, p
+    """,
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-dim embeddings compressed to 8 deterministic ±1 projections
+    (operators/similarity.random_projection — md5-parity Achlioptas
+    signs, fixed-point folds), surfaced long-form. The LSH bucket's bit
+    p is exactly sign(proj p), making the compressed table the exact
+    precursor of the similarity index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    wide = sim.random_projection(emb, dim=64, out_dim=8)
+    return wide.select(
+        "vec_id", F.posexplode("proj_e8").alias("p", "proj_e8")
+    ).select(
+        "vec_id", F.col("p").cast("int").alias("p"), F.col("proj_e8")
+    ).orderBy("vec_id", "p")
+
+
+# ---------------------------------------------------------------------------
 # Text analysis family — hash-matched
 # ---------------------------------------------------------------------------
 @query(

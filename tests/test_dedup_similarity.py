@@ -308,6 +308,30 @@ def test_ivf_topk_self_hit_subset_and_probe_scaling(spark):
     assert full == brute[:10]  # all lists probed == exact
 
 
+def test_random_projection_shares_lsh_family(spark):
+    """Bucket bit p of hyperplane_signs must equal sign(coordinate p) of
+    random_projection — one deterministic family powers both."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50)
+    proj = sim.random_projection(emb, dim=64, out_dim=4)
+    buckets = emb.select(
+        "vec_id", sim.hyperplane_signs(F.col("embedding"), 64, 4).alias("bucket")
+    )
+    joined = {r["vec_id"]: (r["proj_e8"], r["bucket"]) for r in
+              proj.join(buckets, "vec_id").collect()}
+    assert len(joined) == 50
+    for coords, bucket in joined.values():
+        for p, c in enumerate(coords):
+            assert ((bucket >> p) & 1) == (1 if c > 0 else 0)
+
+
+def test_random_projection_deterministic_and_exact(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(20)
+    a = {r["vec_id"]: r["proj_e8"] for r in sim.random_projection(emb, 64, 8).collect()}
+    b = {r["vec_id"]: r["proj_e8"] for r in
+         sim.random_projection(emb.repartition(7), 64, 8).collect()}
+    assert a == b  # partitioning cannot move a fixed-point coordinate
+
+
 def test_band_hash_wide_equals_long_form(spark, docs):
     """The one-wide-agg band hashes must equal the explode-based
     signatures path exactly (same md5 family, same band slicing)."""

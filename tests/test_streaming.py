@@ -180,6 +180,31 @@ def test_streaming_dedup_drops_replays(spark, tmp_path):
     assert kept == [1, 2, 4]  # first arrival per digest wins
 
 
+def test_stream_stream_interval_join_equals_batch(spark):
+    """Watermarked stream-stream interval join (clicks to views within
+    the preceding hour, per user) equals the same join on batch frames."""
+    from skripsi_mapreduce_spark.io import load_table
+    from skripsi_mapreduce_spark.streaming.joins import interval_join
+
+    def _sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+        views = df.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+        return clicks, views
+
+    sev = stream_events(spark, SF_DIR)
+    got = run_to_memory_sink(
+        interval_join(*_sides(sev), key="user_id", lo_seconds=-3600, hi_seconds=0),
+        "t_ssj",
+        output_mode="append",
+    )
+    bev = load_table(spark, SF_DIR, "events")
+    batch = interval_join(*_sides(bev), key="user_id", lo_seconds=-3600, hi_seconds=0)
+    g = sorted((r["event_id"], r["r_event_id"]) for r in got.collect())
+    b = sorted((r["event_id"], r["r_event_id"]) for r in batch.collect())
+    assert g == b
+    assert len(g) > 0  # the join must actually fire on the testdata
+
+
 def test_streaming_corpus_filter_equals_batch(spark, tmp_path):
     """corpus_filter is narrow-only, so the SAME function runs on a file
     stream and produces exactly the batch survivors (ingestion-time
