@@ -120,6 +120,38 @@ def test_mix_stratified_is_pure_scan_filter(spark):
     assert "rangepartitioning" in p  # the ORDER BY
 
 
+def test_ta_passage_removal_digest_joins_only(spark):
+    """Exact-substring removal: window doc-frequency and coverage joins
+    are digest / (doc_id, pos) equi-joins — no nested loop, and full
+    partial aggregation on the digest counts."""
+    p = formatted_plan(spark, "ta_passage_removal")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q43_latest_snapshot_no_window_sort(spark):
+    """CDC compaction: ONE max_by hash aggregate with a map-side partial;
+    the ROW_NUMBER window formulation (shuffle + per-key sort) is banned."""
+    p = formatted_plan(spark, "q43_latest_snapshot")
+    assert "Window" not in p
+    assert "partial_max_by" in p or p.count("HashAggregate") >= 2
+
+
+def test_q44_corr_stats_single_aggregate(spark):
+    """Exact moments: one partial+final aggregate pair, no join, no window."""
+    p = formatted_plan(spark, "q44_corr_stats")
+    assert p.count("HashAggregate") >= 2
+    assert "Join" not in p and "Window" not in p
+
+
+def test_emb_random_projection_is_narrow_scan(spark):
+    """The projection is scan-side work: no joins; the only exchange is
+    the presentation ORDER BY (plus AQE bookkeeping)."""
+    p = formatted_plan(spark, "emb_random_projection")
+    assert "Join" not in p and "HashAggregate" not in p
+    assert "hashpartitioning" not in p
+
+
 def test_corpus_filter_is_narrow(spark):
     from skripsi_mapreduce_spark.io import load_table
     from skripsi_mapreduce_spark.operators.pipeline import corpus_filter
