@@ -15,7 +15,11 @@ Beyond the reference's stages, the engine's training-data operators are
 exposed as additional algorithm ids (the reference CLI shape, extended):
 ``-a 4`` dedup (--method exact|minhash|simhash|ngram|embedding),
 ``-a 5`` text analysis (stats + quality + langid + fingerprint, one
-joined table), ``-a 6`` similarity top-k (--method brute|lsh|ivf).
+joined table), ``-a 6`` similarity top-k (--method brute|lsh|ivf),
+``-a 7`` corpus prep (sample → quality → language → dedup → chunk,
+plus exact-substring passage removal with --method passages),
+``-a 8`` BPE tokenizer training (--n-merges; writes the merge table
+and per-doc token counts).
 
 Usage:
     python -m skripsi_mapreduce_spark -a 1 -i reviews.json -o outdir \
@@ -48,7 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="skripsi_mapreduce_spark")
     p.add_argument("-i", "--input", help="JSON-lines reviews path (stage 1)")
     p.add_argument("-o", "--output", required=True, help="output directory")
-    p.add_argument("-a", "--algorithm", type=int, required=True, choices=[1, 2, 3, 4, 5, 6])
+    p.add_argument(
+        "-a", "--algorithm", type=int, required=True, choices=[1, 2, 3, 4, 5, 6, 7, 8]
+    )
     p.add_argument("-k", type=int, default=8, help="number of clusters")
     p.add_argument("-m", type=int, default=10, help="max iterations (reference runs m-1)")
     p.add_argument("-name", "--name", default="job", help="job name")
@@ -70,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-planes", type=int, default=4, help="-a 6 lsh hyperplanes")
     p.add_argument("--n-list", type=int, default=16, help="-a 6 ivf coarse lists")
     p.add_argument("--n-probe", type=int, default=4, help="-a 6 ivf probed lists")
+    p.add_argument("--sample", type=float, default=None, help="-a 7 sample fraction")
+    p.add_argument("--min-quality", type=float, default=0.5, help="-a 7 quality cut")
+    p.add_argument("--languages", default=None, help="-a 7 comma-separated lang codes")
+    p.add_argument("--chunk-tokens", type=int, default=None, help="-a 7 chunk size")
+    p.add_argument("--window", type=int, default=6, help="-a 7 passages window k")
+    p.add_argument("--n-merges", type=int, default=100, help="-a 8 BPE merges to learn")
     return p
 
 
@@ -137,6 +149,48 @@ def _run_similarity(spark, args, out: str) -> dict:
     return {"stage": 6, "method": method, "k": args.topk}
 
 
+def _run_corpus_prep(spark, args, out: str) -> dict:
+    from .io import write_parquet
+
+    docs = spark.read.parquet(args.input)
+    if args.method == "passages":
+        from .operators.text_analysis import remove_duplicated_passages
+
+        res = remove_duplicated_passages(docs, k=args.window)
+        write_parquet(res, os.path.join(out, "corpus_cleaned"))
+        n = spark.read.parquet(os.path.join(out, "corpus_cleaned")).count()
+        return {"stage": 7, "method": "passages", "rows": n}
+    from .operators.pipeline import prepare_corpus
+
+    langs = args.languages.split(",") if args.languages else None
+    res = prepare_corpus(
+        docs,
+        sample_fraction=args.sample,
+        min_quality=args.min_quality,
+        languages=langs,
+        near_dedup_threshold=args.threshold,
+        chunk_tokens=args.chunk_tokens,
+    )
+    write_parquet(res, os.path.join(out, "corpus_prepared"))
+    n = spark.read.parquet(os.path.join(out, "corpus_prepared")).count()
+    return {"stage": 7, "rows": n}
+
+
+def _run_bpe(spark, args, out: str) -> dict:
+    from .io import write_parquet
+    from .operators.bpe import bpe_token_count, learn_bpe, merges_df
+
+    docs = spark.read.parquet(args.input)
+    merges = learn_bpe(docs, n_merges=args.n_merges)
+    write_parquet(merges_df(spark, merges), os.path.join(out, "bpe_merges"))
+    counts = bpe_token_count(docs, merges)
+    write_parquet(counts, os.path.join(out, "bpe_token_counts"))
+    total = spark.read.parquet(os.path.join(out, "bpe_token_counts")).agg(
+        F.sum("n_bpe_tokens")
+    ).head()[0]
+    return {"stage": 8, "merges_learned": len(merges), "total_bpe_tokens": int(total or 0)}
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     from .io import write_parquet
@@ -178,11 +232,17 @@ def main(argv: list[str] | None = None) -> int:
         )
         write_parquet(feats, os.path.join(out, "features"))
         print(json.dumps({"stage": 2, "n_docs": n, "feature_rows": feats.count()}))
-    elif args.algorithm in (4, 5, 6):
+    elif args.algorithm in (4, 5, 6, 7, 8):
         if not args.input:
             print(f"error: -a {args.algorithm} requires -i <input.parquet>", file=sys.stderr)
             return 2
-        runner = {4: _run_dedup, 5: _run_text_analysis, 6: _run_similarity}[args.algorithm]
+        runner = {
+            4: _run_dedup,
+            5: _run_text_analysis,
+            6: _run_similarity,
+            7: _run_corpus_prep,
+            8: _run_bpe,
+        }[args.algorithm]
         print(json.dumps(runner(spark, args, out)))
     else:
         from .operators.kmeans import kmeans

@@ -144,3 +144,35 @@ def test_cli_extension_stages(spark, tmp_path):
         ) == 0
         top = spark.read.parquet(f"{out}/topk_{method}").collect()
         assert any(r["vec_id"] == 0 for r in top)  # self hit
+
+
+def test_cli_corpus_prep_and_bpe_stages(spark, tmp_path):
+    """-a 7/8: corpus prep (incl. passage removal) and BPE training."""
+    from skripsi_mapreduce_spark.cli import main as cli_main
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog in the sun"),
+            (2, "the quick brown fox jumps over the lazy dog in the rain"),
+            (3, "completely different text about barges and canals today"),
+        ],
+        "doc_id long, text string",
+    )
+    dpath = str(tmp_path / "docs.parquet")
+    docs.write.parquet(dpath)
+    out = str(tmp_path / "out")
+
+    assert cli_main(["-a", "7", "-i", dpath, "-o", out, "--min-quality", "0.1"]) == 0
+    assert spark.read.parquet(f"{out}/corpus_prepared").count() >= 1
+
+    assert cli_main(
+        ["-a", "7", "-i", dpath, "-o", out, "--method", "passages", "--window", "4"]
+    ) == 0
+    cleaned = {r["doc_id"]: r for r in spark.read.parquet(f"{out}/corpus_cleaned").collect()}
+    assert cleaned[3]["n_removed"] == 0  # the unique doc is untouched
+    assert cleaned[1]["n_removed"] > 0  # the near-dup pair lost its shared run
+
+    assert cli_main(["-a", "8", "-i", dpath, "-o", out, "--n-merges", "5"]) == 0
+    merges = spark.read.parquet(f"{out}/bpe_merges")
+    counts = spark.read.parquet(f"{out}/bpe_token_counts")
+    assert merges.count() == 5 and counts.count() == 3
