@@ -258,6 +258,13 @@ class Engine:
 
         return mix_weights(df, weights, **kw)
 
+    def weighted_sample(self, df: DataFrame, k: int, weight_col: str, **kw) -> DataFrame:
+        """Deterministic weighted sampling without replacement
+        (Efraimidis-Spirakis priorities over md5 draws)."""
+        from .operators.pipeline import weighted_priority_sample
+
+        return weighted_priority_sample(df, k, weight_col, **kw)
+
     def ngram_repetition(self, df: DataFrame, **kw) -> DataFrame:
         """Gopher-style repetition quality signals per document."""
         from .operators.text_analysis import ngram_repetition

@@ -83,6 +83,40 @@ def stratified_sample(
     return df.filter(_draw60(key_col, salt) < F.coalesce(thr, F.lit(0)))
 
 
+def weighted_priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wps",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: the k rows with
+    the largest Efraimidis-Spirakis priority ``u^(1/w)`` — each row's
+    inclusion probability is proportional to its weight, exactly the
+    one-pass distributed formulation of weighted reservoir sampling
+    (rows with weight <= 0 are excluded). The uniform draw ``u`` is the
+    row's 60-bit md5 integer (pure function of the key), so the sample
+    is reproducible across runs, engines, retries, and partitionings.
+
+    Ranking uses the equivalent monotone key ``ln(u)/w`` rounded to 8dp
+    (the repo's cross-engine-stable ln convention, cf. unigram_logprob)
+    with the row key as tie-break, surfaced as ``priority_e8``.
+
+    Scale: priority is a narrow expression; top-k plans as
+    TakeOrderedAndProject — per-task k-row heaps, driver merges k×tasks
+    rows, no global sort ever (same shape as q18)."""
+    from ..functions.numeric import e_int
+
+    u = (_draw60(key_col, salt) + 1).cast("double") / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    return (
+        df.filter(w > 0)
+        .withColumn("priority_e8", e_int(F.log(u) / w, 8))
+        .orderBy(F.col("priority_e8").desc(), F.col(key_col))
+        .limit(k)
+    )
+
+
 def mix_weights(
     df: DataFrame,
     weights: dict[str, float],

@@ -32,6 +32,7 @@ _PROMOTED = [
     "q44_corr_stats",
     "bpe_merges",
     "emb_random_projection",
+    "mix_weighted_topk",
 ]
 _TAIL = [
     "q09_semi_join",

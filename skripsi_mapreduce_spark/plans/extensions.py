@@ -971,6 +971,41 @@ def _mix_case_sql() -> str:
 
 
 @query(
+    "mix_weighted_topk",
+    rf"""
+    WITH w AS (
+        SELECT doc_id,
+               LEN(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS nw
+        FROM documents),
+    d AS (
+        SELECT doc_id, CAST(nw AS BIGINT) AS weight,
+               {e_int_sql(
+                   "LN((CAST('0x' || substr(md5('wps:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1)"
+                   " / 1152921504606846976.0) / CAST(nw AS DOUBLE)", 8)} AS priority_e8
+        FROM w WHERE nw > 0)
+    SELECT doc_id, weight, priority_e8 FROM d
+    ORDER BY priority_e8 DESC, doc_id LIMIT 100
+    """,
+)
+def mix_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis priorities over md5 draws,
+    operators/pipeline.weighted_priority_sample): the 100 documents
+    drawn with probability ∝ token count. Top-k plans as
+    TakeOrderedAndProject — the one-pass distributed form of weighted
+    reservoir sampling."""
+    from ..operators.pipeline import weighted_priority_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(ASCII_TOKEN), F.lit(0))
+    weighted = docs.select(
+        "doc_id", F.size(toks).cast("bigint").alias("weight")
+    )
+    out = weighted_priority_sample(weighted, k=100, weight_col="weight")
+    return out.select("doc_id", "weight", "priority_e8")
+
+
+@query(
     "mix_stratified",
     rf"""
     SELECT doc_id, lang FROM documents

@@ -10,6 +10,7 @@ from skripsi_mapreduce_spark.operators.pipeline import (
     mix_weights,
     prepare_corpus,
     stratified_sample,
+    weighted_priority_sample,
 )
 
 
@@ -24,6 +25,45 @@ def test_deterministic_sample_reproducible_and_calibrated(spark):
     assert {r["doc_id"] for r in deterministic_sample(df, 1.0, "doc_id").collect()} == set(
         range(1, 20_001)
     )
+
+
+def test_weighted_priority_sample_matches_python_formula(spark):
+    """The selected set is exactly the top-k by the Efraimidis-Spirakis
+    priority recomputed independently in Python from the same md5 draw."""
+    import hashlib
+    import math
+
+    rows = [(i, float(w)) for i, w in zip(range(1, 51), [1, 5, 10, 50] * 12 + [100, 100])]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = [r["doc_id"] for r in weighted_priority_sample(df, k=10, weight_col="w").collect()]
+
+    def prio(doc_id, w):
+        u_int = int(hashlib.md5(f"wps:{doc_id}".encode()).hexdigest()[:15], 16)
+        x = math.log((u_int + 1) / float(1 << 60)) / w
+        import decimal
+
+        return int(decimal.Decimal(x * 1e8).to_integral_value(rounding=decimal.ROUND_HALF_UP))
+
+    want = sorted(rows, key=lambda r: (-prio(r[0], r[1]), r[0]))[:10]
+    assert got == [d for d, _ in want]
+
+
+def test_weighted_priority_sample_weight_bias_and_exclusion(spark):
+    """Across many rows, heavy rows must be selected far more often than
+    light ones (inclusion ∝ weight), and nonpositive weights never."""
+    rows = [(i, 100.0 if i % 10 == 0 else 1.0) for i in range(1, 2001)]
+    rows += [(9001, 0.0), (9002, -3.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = {r["doc_id"] for r in weighted_priority_sample(df, k=200, weight_col="w").collect()}
+    assert 9001 not in got and 9002 not in got
+    heavy = sum(1 for d in got if d % 10 == 0)
+    # 200 heavy rows at weight 100 vs 1800 light at weight 1: heavy rows
+    # dominate the draw (expected ~>150 of 200 picks)
+    assert heavy > 120
+    # determinism under repartitioning
+    again = {r["doc_id"] for r in
+             weighted_priority_sample(df.repartition(13), k=200, weight_col="w").collect()}
+    assert got == again
 
 
 def test_prepare_corpus_end_to_end(spark):
