@@ -69,6 +69,13 @@ class _Text:
 
         return fingerprint(df, **kw)
 
+    def bm25(self, df: DataFrame, query_terms: list[str], k: int = 20, **kw) -> DataFrame:
+        """Top-k documents by BM25 relevance (lexical search twin of
+        engine.sim.topk)."""
+        from .operators.search import bm25_topk
+
+        return bm25_topk(df, query_terms, k=k, **kw)
+
 
 class _Cluster:
     def __init__(self, eng: "Engine"):

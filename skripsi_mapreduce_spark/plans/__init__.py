@@ -33,6 +33,7 @@ _PROMOTED = [
     "bpe_merges",
     "emb_random_projection",
     "mix_weighted_topk",
+    "ta_bm25_topk",
 ]
 _TAIL = [
     "q09_semi_join",

@@ -358,6 +358,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 full-text ranking — hash-matched
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ["hash", "join", "spark", "stream"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    # literals via repr of the SAME python-computed doubles the Spark plan
+    # embeds — repr round-trips, so both engines parse identical IEEE bits
+    k1, k1p1, one_minus_b, b = (
+        repr(_BM25_K1), repr(_BM25_K1 + 1.0), repr(1.0 - _BM25_B), repr(_BM25_B)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS word
+        FROM documents),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    av AS (SELECT CAST((SELECT SUM(dl) FROM dl) AS DOUBLE)
+                  / CAST((SELECT n FROM nn) AS DOUBLE) AS avgdl),
+    qtf AS (SELECT * FROM tf WHERE word IN ({terms})),
+    dfreq AS (SELECT word, COUNT(*) AS df FROM qtf GROUP BY 1),
+    model AS (SELECT word,
+                     CAST(ROUND(LN(1.0 + (CAST(nn.n AS DOUBLE) - df + 0.5) / (df + 0.5)), 8)
+                          AS DECIMAL(18,8)) AS idf
+              FROM dfreq CROSS JOIN nn),
+    part AS (SELECT q.doc_id,
+                    CAST(ROUND(CAST(m.idf AS DOUBLE) * (q.tf * {k1p1})
+                               / (q.tf + {k1} * ({one_minus_b} + {b} * (CAST(d.dl AS DOUBLE) / av.avgdl))), 8)
+                         AS DECIMAL(18,8)) AS p
+             FROM qtf q JOIN model m USING (word) JOIN dl d USING (doc_id) CROSS JOIN av)
+    SELECT doc_id, {e_int_sql('SUM(p)', 6)} AS score_e6
+    FROM part GROUP BY doc_id
+    ORDER BY score_e6 DESC, doc_id LIMIT 20
+    """
+
+
+@query("ta_bm25_topk", _bm25_oracle_sql())
+def ta_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 for the query {hash, join, spark, stream}
+    (operators/search.bm25_topk) — the lexical-search twin of the
+    embedding similarity entries; scoring touches only the query terms'
+    postings via a broadcast model join."""
+    from ..operators.search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=20, k1=_BM25_K1, b=_BM25_B)
+
+
+# ---------------------------------------------------------------------------
 # Random projection (JL dimensionality reduction) — hash-matched
 # ---------------------------------------------------------------------------
 @query(
