@@ -639,18 +639,28 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), F.lit(0))
         ).alias("t"),
-    ).select("doc_id", F.md5("t").alias("h"))
-    lanes = toks.select(
+    )
+    # collapse token INSTANCES to (doc, token, tf) first: the weighted bit
+    # sum Σ_instances bit == Σ_distinct tf*bit, so the 65-aggregate pass
+    # (and the md5 + lane extraction) runs once per DISTINCT (doc, token)
+    # — the cheap 1-aggregate pre-pass shrinks it by the corpus's
+    # repetition factor (~10x on natural text)
+    tf = toks.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    h = F.md5("t")
+    lanes = tf.select(
         "doc_id",
-        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("lane_hi"),
-        F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("lane_lo"),
+        "tf",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("lane_hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("lane_lo"),
     )
     bit_sums = [
-        F.sum(F.expr(f"CAST((lane_{part} div {1 << b}) % 2 AS INT)")).alias(f"s_{part}_{b}")
+        F.sum(F.expr(f"tf * CAST((lane_{part} div {1 << b}) % 2 AS INT)")).alias(
+            f"s_{part}_{b}"
+        )
         for part in ("hi", "lo")
         for b in range(32)
     ]
-    g = lanes.groupBy("doc_id").agg(F.count("*").alias("nt"), *bit_sums)
+    g = lanes.groupBy("doc_id").agg(F.sum("tf").alias("nt"), *bit_sums)
 
     def _sig(part: str) -> F.Column:
         out = F.lit(0).cast("bigint")

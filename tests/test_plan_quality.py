@@ -152,6 +152,21 @@ def test_emb_random_projection_is_narrow_scan(spark):
     assert "hashpartitioning" not in p
 
 
+def test_mix_weighted_topk_is_take_ordered(spark):
+    """Weighted sampling: per-task k-row heaps, no global sort."""
+    p = formatted_plan(spark, "mix_weighted_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_ta_bm25_topk_broadcast_model_and_take_ordered(spark):
+    """BM25: the term model joins via broadcast; final top-k is a heap."""
+    p = formatted_plan(spark, "ta_bm25_topk")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
 def test_corpus_filter_is_narrow(spark):
     from skripsi_mapreduce_spark.io import load_table
     from skripsi_mapreduce_spark.operators.pipeline import corpus_filter
