@@ -403,6 +403,12 @@ def kmeans_ml(
         )
     )
 
+    # Deliberately a Python UDF (the engine's only one, off the parity
+    # path): ml.functions.array_to_vector would avoid Python but builds a
+    # DENSE dim-wide array per document first — re-creating the reference's
+    # dense-vector memory cliff (O23) for wide vocabularies. SparseVector
+    # construction keeps the row at nnz cost; this runs once per doc at
+    # MLlib ingestion, not in any iterative loop.
     @F.udf(VectorUDT())
     def to_vector(entries):
         return SparseVector(dim, [e["_idx"] for e in entries], [e["w"] for e in entries])
