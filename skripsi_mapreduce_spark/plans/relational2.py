@@ -15,7 +15,7 @@ from ..io import load_table
 from ..operators.asof import asof_join
 from ..operators.cdc import latest_snapshot
 from ..operators.etl import assign_sequential_ids
-from .relational import DEC, dec, e_int, e_int_sql, query
+from .relational import DEC, dec, e_int, query
 
 
 # ---------------------------------------------------------------------------

@@ -29,7 +29,6 @@ Hadoop stack.
 
 from __future__ import annotations
 
-import io as _io
 import json
 import os
 import struct
