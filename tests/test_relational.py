@@ -20,3 +20,19 @@ def test_every_query_has_entry():
     assert QUERIES, "query registry is empty"
     missing = set(ORACLE) - set(QUERIES)
     assert not missing, f"oracle without query impl: {missing}"
+    no_oracle = set(QUERIES) - set(ORACLE)
+    assert not no_oracle, f"entry without oracle (weaker driver check): {no_oracle}"
+
+
+def test_rotation_lists_match_registry():
+    """The adjudication rotation (plans/__init__._PROMOTED/_TAIL) only
+    works if every name actually exists — a typo would silently push an
+    entry out of the driver's checked window."""
+    from skripsi_mapreduce_spark.plans import _PROMOTED, _TAIL
+
+    assert set(_PROMOTED) <= set(QUERIES), set(_PROMOTED) - set(QUERIES)
+    assert set(_TAIL) <= set(QUERIES), set(_TAIL) - set(QUERIES)
+    assert not set(_PROMOTED) & set(_TAIL)
+    # promoted entries lead the registry, so the driver's ~50-entry
+    # window always adjudicates them
+    assert list(QUERIES)[: len(_PROMOTED)] == [p for p in _PROMOTED if p in QUERIES]
