@@ -122,15 +122,19 @@ def _apply_merge(seq: F.Column, left: str, right: str) -> F.Column:
             ),
         ).otherwise(F.array().cast("array<boolean>"))
 
+    # try_element_at: sel has n-1 entries but i ranges to n, and i-1 hits 0 for
+    # i=1 — out-of-range must yield NULL (absorbed by coalesce) even under an
+    # ANSI-enabled session, where element_at would instead raise
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
     sel = _sel(mark)
     kept = F.filter(
         F.sequence(F.lit(1), n),
-        lambda i: ~((i >= 2) & F.coalesce(F.element_at(sel, i - 1), F.lit(False))),
+        lambda i: ~((i >= 2) & F.coalesce(F.try_element_at(sel, i - 1), F.lit(False))),
     )
     rebuilt = F.transform(
         kept,
         lambda i: F.when(
-            F.coalesce(F.element_at(sel, i), F.lit(False)), F.lit(left + right)
+            F.coalesce(F.try_element_at(sel, i), F.lit(False)), F.lit(left + right)
         ).otherwise(F.element_at(arr, i)),
     )
     return F.when(n >= 1, F.array_join(rebuilt, " ")).otherwise(seq)

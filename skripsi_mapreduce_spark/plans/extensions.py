@@ -425,7 +425,7 @@ def ta_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) - 1 AS i
            FROM embeddings)
     SELECT e.vec_id, CAST(sg.p AS INTEGER) AS p,
-           SUM(CAST(ROUND(CAST(e.x AS DOUBLE) * sg.s * 100000000.0) AS BIGINT)) AS proj_e8
+           CAST(SUM(CAST(ROUND(CAST(e.x AS DOUBLE) * sg.s * 100000000.0) AS BIGINT)) AS BIGINT) AS proj_e8
     FROM ex e JOIN signs sg ON sg.i = e.i
     GROUP BY 1, 2 ORDER BY vec_id, p
     """,

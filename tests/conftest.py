@@ -74,6 +74,90 @@ def canon_result(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def _duck_kind(t: str) -> str:
+    """Collapse a DuckDB type string to a comparison kind. HUGEINT and
+    DECIMAL map to themselves so they can never kind-match a Spark type:
+    both fetch as float64/object through pandas and the external driver's
+    hasher then renders them differently from Spark's int64 even when the
+    values are identical (round-1 DECIMAL trailing zeros, round-2
+    emb_random_projection SUM(BIGINT)→HUGEINT)."""
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return "array<" + _duck_kind(t[:-2]) + ">"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t == "HUGEINT":
+        return "hugeint"
+    if t in {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}:
+        return "int"
+    if t in {"FLOAT", "REAL", "DOUBLE"}:
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t in {"VARCHAR", "TEXT", "STRING", "UUID", "BLOB"}:
+        return "string"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t.startswith("STRUCT"):
+        return "struct"
+    if t.startswith("MAP"):
+        return "map"
+    return t.lower()
+
+
+def _spark_kind(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return "array<" + _spark_kind(dt.elementType) + ">"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.StringType, T.BinaryType)):
+        return "string"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    if isinstance(dt, T.MapType):
+        return "map"
+    return dt.simpleString()
+
+
+def dtype_mismatches(spark_schema, ddb_con, sql: str) -> list[str]:
+    """Compare the oracle's DuckDB output column types against the Spark
+    schema by kind (int-vs-int, float-vs-float, ...). Returns a list of
+    human-readable mismatch strings — empty means the hash surfaces agree.
+    ``con.sql(...)`` only binds/plans the query (no execution), so this is
+    cheap. Both round-1 (DECIMAL rendering) and round-2 (HUGEINT) external
+    red rows were exactly this class; driver_sim and the oracle test suite
+    both call this so the class dies locally."""
+    rel = ddb_con.sql(sql)
+    duck = {c.lower(): _duck_kind(str(t)) for c, t in zip(rel.columns, rel.types)}
+    spark = {f.name.lower(): _spark_kind(f.dataType) for f in spark_schema.fields}
+    out = []
+    for col in sorted(set(duck) | set(spark)):
+        dk, sk = duck.get(col), spark.get(col)
+        if dk in ("decimal", "hugeint"):
+            out.append(f"{col}: oracle emits {dk.upper()} (renders as float64/object "
+                       f"in the driver hasher — cast it; spark side is {sk})")
+        elif sk == "decimal":
+            out.append(f"{col}: spark emits DECIMAL (scaled-BIGINT convention)")
+        elif dk is not None and sk is not None and dk != sk:
+            out.append(f"{col}: spark {sk} vs oracle {dk}")
+    return out
+
+
 def compare_spark_duckdb(spark_df, ddb_con, sql: str, name: str = "query"):
     """Assert the Spark DataFrame and the DuckDB oracle SQL agree on
     column names and order-insensitive canonicalized values. Also enforces
@@ -86,6 +170,8 @@ def compare_spark_duckdb(spark_df, ddb_con, sql: str, name: str = "query"):
         f"{name}: DECIMAL output columns {dec_cols} violate the scaled-BIGINT "
         "hash-surface convention (see plans/relational.py e_int)"
     )
+    bad_types = dtype_mismatches(spark_df.schema, ddb_con, sql)
+    assert not bad_types, f"{name}: oracle/Spark dtype mismatch: {bad_types}"
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = [c.lower() for c in spark_df.columns]
     res = ddb_con.execute(sql)

@@ -91,3 +91,27 @@ def test_bpe_token_count_compresses_corpus(spark):
     assert out[3] == (0, 0)
     # a trained tokenizer must not EXPAND the corpus vs characters
     assert all(bpe <= 4 * words for words, bpe in out.values() if words)
+
+
+def test_learn_bpe_ansi_session(spark):
+    """Regression (round-2 driver red row): _apply_merge's rebuild read
+    element_at(sel, i) for i up to n while sel has n-1 entries, crashing
+    with INVALID_ARRAY_INDEX_IN_ELEMENT_AT under an ANSI-enabled session
+    (the external driver runs Spark 4's default ANSI-on; the repo's own
+    sessions force it off at session.py:54). try_element_at makes the
+    out-of-range read NULL under both configs."""
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        # 3-symbol word reproduces the crash (index 3, array of 2)
+        df = spark.createDataFrame([(1, "abc abc ab")], ["doc_id", "text"])
+        merges = learn_bpe(df, n_merges=2)
+        assert [(m.left, m.right, m.count) for m in merges] == [
+            ("a", "b", 3),
+            ("ab", "c", 2),
+        ]
+        out = {r["doc_id"]: r["n_bpe_tokens"] for r in
+               bpe_token_count(df, merges).collect()}
+        assert out[1] == 3  # 'abc','abc' -> 1 each; 'ab' -> 1
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)

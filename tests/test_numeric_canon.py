@@ -47,3 +47,34 @@ def test_e_int_matches_duckdb_exactly(spark, dp):
     }
     diffs = {i: (got[i], want[i], VALUES[i]) for i in want if got[i] != want[i]}
     assert not diffs, f"{len(diffs)} divergent values, first: {list(diffs.items())[:5]}"
+
+
+def test_dtype_mismatches_catches_rendering_classes(spark):
+    """The two external red-row classes so far were invisible to value
+    comparison: round-1 DECIMAL (trailing-zero canonicalization) and
+    round-2 HUGEINT (DuckDB's SUM(BIGINT) fetches as float64). The
+    dtype-parity gate must flag both, plus int-vs-float kind drift, and
+    stay silent on a clean surface."""
+    from tests.conftest import dtype_mismatches
+
+    con = duckdb.connect()
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+
+    # clean: BIGINT meets bigint
+    assert dtype_mismatches(
+        df.schema, con, "SELECT 1::BIGINT AS k, 2::BIGINT AS v"
+    ) == []
+    # HUGEINT (bare SUM over BIGINT) must be flagged even though values match
+    bad = dtype_mismatches(df.schema, con, "SELECT 1::BIGINT AS k, SUM(2::BIGINT) AS v")
+    assert bad and "HUGEINT" in bad[0]
+    # DECIMAL on the oracle side
+    bad = dtype_mismatches(df.schema, con, "SELECT 1::BIGINT AS k, 2.5::DECIMAL(8,2) AS v")
+    assert bad and "DECIMAL" in bad[0]
+    # int-vs-float kind drift
+    bad = dtype_mismatches(df.schema, con, "SELECT 1::BIGINT AS k, 2.0::DOUBLE AS v")
+    assert bad and "int" in bad[0] and "float" in bad[0]
+    # array element kinds participate
+    adf = spark.createDataFrame([([1, 2],)], "a array<long>")
+    assert dtype_mismatches(adf.schema, con, "SELECT [1::BIGINT, 2::BIGINT] AS a") == []
+    bad = dtype_mismatches(adf.schema, con, "SELECT [1.0::DOUBLE] AS a")
+    assert bad

@@ -3,9 +3,16 @@
 Runs every ``queries()`` entry against its ``oracle_sql()`` twin at the
 given scale factor (default sf0.01, the driver's setting) and reports
 rows/schema/value agreement per entry using the same canonicalization as
-tests/conftest.py. Usage::
+tests/conftest.py, plus a dtype-parity check of the oracle's DuckDB output
+types against the Spark schema (round-1 DECIMAL and round-2 HUGEINT red
+rows were both type-rendering divergences values alone can't see). Usage::
 
-    python tools/driver_sim.py [sf_dir] [name_filter ...]
+    python tools/driver_sim.py [--ansi] [sf_dir] [name_filter ...]
+
+``--ansi`` runs the registry under the external driver's session config
+(spark.sql.ansi.enabled=true — Spark 4 default, which the repo's own
+sessions override off at session.py:54): entry code must be config-robust
+because the driver builds a default session.
 """
 
 from __future__ import annotations
@@ -17,18 +24,23 @@ sys.path.insert(0, ".")
 
 import duckdb  # noqa: E402
 
-from tests.conftest import canon_result  # noqa: E402
+from tests.conftest import canon_result, dtype_mismatches  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--ansi"]
+    ansi = "--ansi" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
     from skripsi_mapreduce_spark.io import TABLES
     from skripsi_mapreduce_spark.session import get_spark
 
     spark = get_spark(app_name="driver-sim")
+    if ansi:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        print("ANSI mode: spark.sql.ansi.enabled=true (driver default)")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -62,12 +74,15 @@ def main() -> int:
         dt = time.time() - t0
         schema_ok = sorted(s_cols) == sorted(d_cols)
         rows_ok = len(s_rows) == len(d_rows)
-        hash_ok = schema_ok and rows_ok and (
+        bad_types = dtype_mismatches(df.schema, con, oracles[name])
+        hash_ok = schema_ok and rows_ok and not bad_types and (
             canon_result(s_cols, s_rows) == canon_result(d_cols, d_rows)
         )
         status = "PASS" if hash_ok else "FAIL"
         if not hash_ok:
             failures.append(name)
+        if bad_types:
+            print(f"[{i:2d}] {name}: DTYPE {bad_types}")
         print(
             f"[{i:2d}] {name}: {status} rows={len(s_rows)}/{len(d_rows)} "
             f"schema={schema_ok} ({dt:.1f}s)"
