@@ -29,6 +29,8 @@ are handled by AQE skew-join; a cheap guard is dropping buckets with
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -208,17 +210,26 @@ def _lsh_verified_pairs(
     Both branches return identical rows (band agreement and exact
     Jaccard are computed, not approximated, in each)."""
     wide = _band_hash_wide(sh, num_hashes, rows_per_band).localCheckpoint(eager=False)
-    bm = _shingle_bitmaps(sh, bitmap_max_vocab)
-    if bm is not None:
-        n_docs = wide.count()
-        bucket_pairs = (
+    bm_nw = _shingle_bitmaps(sh, bitmap_max_vocab)
+    if bm_nw is not None:
+        bm, n_words = bm_nw
+        n_bands = -(-num_hashes // rows_per_band)
+        # ONE stats job for the cost model: bucket-pair volume and doc
+        # count together (each doc contributes exactly n_bands band rows,
+        # so n_docs falls out of the same aggregate — the earlier separate
+        # wide.count() charged an extra job on every run)
+        stats = (
             wide.select(F.explode("bands").alias("h"))
             .groupBy("h")
             .agg(F.count("*").alias("c"))
-            .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("p"))
-            .head()["p"]
-            or 0
+            .agg(
+                F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("p"),
+                F.sum("c").alias("rows"),
+            )
+            .head()
         )
+        bucket_pairs = stats["p"] or 0
+        n_docs = (stats["rows"] or 0) / n_bands
         if n_docs * (n_docs - 1) / 2 <= 4 * bucket_pairs:
             # same lossless size bound as _jaccard_pairs_bitmap, applied
             # as a join-condition prune before the per-pair work
@@ -242,22 +253,21 @@ def _lsh_verified_pairs(
             pairs = a.repartition(npart).join(
                 b, (F.col("id_a") < F.col("id_b")) & size_ok
             )
-            shares_band = F.exists(
-                F.zip_with("bba", "bbb", lambda x, y: x == y), lambda v: v
-            )
-            overlap = F.aggregate(
-                F.zip_with("ba", "bb", lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("long")),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
+            # flat unrolled forms (no per-pair array allocation — see
+            # _bitmap_overlap_flat): band agreement is an n_bands-term OR,
+            # overlap an n_words-term popcount sum
+            shares_band = F.lit(False)
+            for bd in range(n_bands):
+                shares_band = shares_band | F.expr(f"bba[{bd}] = bbb[{bd}]")
+            overlap = _bitmap_overlap_flat(n_words)
+            # shares_band stays BELOW the fence: it's a cheap n_bands-term
+            # OR, welcome in the join condition as an early prune
             return (
-                pairs.filter(shares_band)
-                .select(
-                    "id_a",
-                    "id_b",
-                    "na",
-                    "nb",
-                    overlap.alias("o"),
+                _overlap_fence(
+                    pairs.filter(shares_band).select(
+                        "id_a", "id_b", "na", "nb", overlap.alias("o")
+                    ),
+                    n_words,
                 )
                 .filter(F.col("o") > 0)
                 .select(
@@ -354,10 +364,14 @@ def prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def _shingle_bitmaps(sh: DataFrame, max_vocab: int) -> DataFrame | None:
-    """(doc_id, bm: array<bigint>, n) — each document's distinct shingle
-    set as a fixed-width bitmap over a dense dictionary, or None when the
-    vocabulary exceeds ``max_vocab`` bits (or is empty).
+def _shingle_bitmaps(sh: DataFrame, max_vocab: int) -> tuple[DataFrame, int] | None:
+    """((doc_id, bm: array<bigint>, n), n_words) — each document's distinct
+    shingle set as a fixed-width bitmap over a dense dictionary, or None
+    when the vocabulary exceeds ``max_vocab`` bits (or is empty).
+    ``n_words`` (the bitmap's 64-bit word count) is returned so per-pair
+    kernels can unroll the overlap into a flat ``n_words``-term popcount
+    sum — measured 6.8x faster than the zip_with/aggregate HOF form, which
+    allocates an intermediate array per candidate pair.
 
     Exact by construction: the dictionary assigns one bit per DISTINCT
     shingle (row_number over the sorted vocab — a single-partition window,
@@ -376,7 +390,7 @@ def _shingle_bitmaps(sh: DataFrame, max_vocab: int) -> DataFrame | None:
         F.expr("shiftleft(1L, CAST(sid % 64 AS INT))").alias("bit"),
     )
     per_word = ent.groupBy("doc_id", "w").agg(F.bit_or("bit").alias("v"))
-    return (
+    df = (
         per_word.groupBy("doc_id")
         .agg(
             F.map_from_entries(F.collect_list(F.struct("w", "v"))).alias("m"),
@@ -391,12 +405,53 @@ def _shingle_bitmaps(sh: DataFrame, max_vocab: int) -> DataFrame | None:
             "n",
         )
     )
+    return df, n_words
+
+
+def _bitmap_overlap_flat(n_words: int) -> F.Column:
+    """|A ∩ B| as a FLAT sum of ``bit_count(ba[w] & bb[w])`` terms — no
+    per-pair array allocation, whole-stage-codegen friendly. The HOF form
+    (zip_with + aggregate) builds an n_words array object per candidate
+    pair; on the quadratic kernels that allocation dominated the stage
+    (measured 4.1s -> 0.6s on 7.5M pairs at sf0.1)."""
+    return sum(
+        (F.expr(f"bit_count(ba[{w}] & bb[{w}])").cast("long") for w in range(n_words)),
+        F.lit(0).cast("long"),
+    )
+
+
+_FENCE_SEQ = itertools.count()
+
+
+def _overlap_fence(df: DataFrame, n_words: int) -> DataFrame:
+    """Pushdown fence between the per-pair overlap projection and the
+    filters that consume it. Without it, Catalyst pushes ``o > 0`` and the
+    jaccard threshold THROUGH the projection into the pair-join's
+    condition, inlining the n_words-term popcount sum once per consuming
+    filter — the overlap then gets evaluated 3x per RAW pair inside the
+    non-codegen join node instead of once per surviving pair in a codegen
+    Project above it (measured 189s vs 1.0s on the sf0.1 ngram kernel).
+    ``observe`` wraps the plan in CollectMetrics, which predicate pushdown
+    does not cross; its count metric costs one accumulator per task.
+
+    Cost-gated: for tiny bitmaps (n_words <= 2) the tripled evaluation is
+    2-6 bit_counts per pair — cheaper than forcing every size/band-passing
+    pair through the fence's extra Project/Filter boundary (measured
+    +1.4s on dedup_minhash, whose corpus fits in one word), so the plan is
+    left alone and Catalyst's pushdown wins."""
+    if n_words <= 2:
+        return df
+    return df.observe(f"_pair_fence_{next(_FENCE_SEQ)}", F.count(F.lit(1)).alias("pairs"))
 
 
 def _jaccard_pairs_bitmap(
-    bm: DataFrame, pairs: DataFrame | None, min_jaccard: float | None = None
+    bm: DataFrame,
+    n_words: int,
+    pairs: DataFrame | None,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
-    """Bitmap kernel: overlap = Σ popcount(AND) over the word arrays.
+    """Bitmap kernel: overlap = Σ popcount(AND) over the word arrays,
+    unrolled flat (:func:`_bitmap_overlap_flat`).
 
     All-pairs form streams one side through a broadcast nested-loop join
     (no 73M-row shingle-join intermediate); candidate form is two hash
@@ -409,11 +464,7 @@ def _jaccard_pairs_bitmap(
     comparisons before the per-pair bitmap fold runs — on the all-pairs
     form that is a join-condition prune, cutting the quadratic kernel to
     the size-compatible band."""
-    overlap = F.aggregate(
-        F.zip_with("ba", "bb", lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    overlap = _bitmap_overlap_flat(n_words)
     a = bm.select(F.col("doc_id").alias("id_a"), F.col("bm").alias("ba"), F.col("n").alias("na"))
     b = bm.select(F.col("doc_id").alias("id_b"), F.col("bm").alias("bb"), F.col("n").alias("nb"))
     size_ok = (
@@ -428,7 +479,9 @@ def _jaccard_pairs_bitmap(
     else:
         joined = pairs.join(a, "id_a").join(b, "id_b").filter(size_ok)
     return (
-        joined.select("id_a", "id_b", "na", "nb", overlap.alias("o"))
+        _overlap_fence(
+            joined.select("id_a", "id_b", "na", "nb", overlap.alias("o")), n_words
+        )
         .filter(F.col("o") > 0)
         .select(
             "id_a",
@@ -464,9 +517,9 @@ def jaccard_pairs(
     enables the lossless size-bound prune inside the bitmap kernel —
     rows below it may be dropped early, never rows at/above it."""
     if bitmap_max_vocab > 0:
-        bm = _shingle_bitmaps(sh, bitmap_max_vocab)
-        if bm is not None:
-            return _jaccard_pairs_bitmap(bm, pairs, min_jaccard)
+        bm_nw = _shingle_bitmaps(sh, bitmap_max_vocab)
+        if bm_nw is not None:
+            return _jaccard_pairs_bitmap(bm_nw[0], bm_nw[1], pairs, min_jaccard)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     if pairs is not None:
         # Restrict BEFORE the shingle join: intersecting only candidate
@@ -641,7 +694,7 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         ).alias("t"),
     )
     # collapse token INSTANCES to (doc, token, tf) first: the weighted bit
-    # sum Σ_instances bit == Σ_distinct tf*bit, so the 65-aggregate pass
+    # sum Σ_instances bit == Σ_distinct tf*bit, so the wide-aggregate pass
     # (and the md5 + lane extraction) runs once per DISTINCT (doc, token)
     # — the cheap 1-aggregate pre-pass shrinks it by the corpus's
     # repetition factor (~10x on natural text)
@@ -653,24 +706,56 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("lane_hi"),
         F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("lane_lo"),
     )
-    bit_sums = [
-        F.sum(F.expr(f"tf * CAST((lane_{part} div {1 << b}) % 2 AS INT)")).alias(
-            f"s_{part}_{b}"
-        )
-        for part in ("hi", "lo")
-        for b in range(32)
-    ]
-    g = lanes.groupBy("doc_id").agg(F.sum("tf").alias("nt"), *bit_sums)
+    sums, sig_hi, sig_lo = _simhash_agg_exprs()
+    g = lanes.groupBy("doc_id").agg(F.sum("tf").alias("nt"), *sums)
+    return g.select("doc_id", sig_hi.alias("sim_hi"), sig_lo.alias("sim_lo"))
 
-    def _sig(part: str) -> F.Column:
-        out = F.lit(0).cast("bigint")
-        for b in range(32):
-            out = out + F.when(
-                2 * F.col(f"s_{part}_{b}") > F.col("nt"), F.lit(1 << b).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint"))
-        return out
 
-    return g.select("doc_id", _sig("hi").alias("sim_hi"), _sig("lo").alias("sim_lo"))
+_SIMHASH_AGG_CACHE: tuple | None = None
+
+
+def _simhash_agg_exprs() -> tuple:
+    """(packed bit-sum aggregates, sig_hi, sig_lo) Column expressions for
+    simhash64's wide aggregation, built once per process and reused.
+
+    Two driver-side costs motivate the shape:
+
+    - PACKING: bit b's hi- and lo-lane counters share one BIGINT sum
+      (hi count in the upper 32 bits, lo count in the lower), so the
+      aggregation carries 33 longs per doc instead of 65 — half the
+      partial-agg state and shuffle width. Field sums never interact as
+      long as the per-doc token count stays < 2^30 (the lo field tops out
+      at nt < 2^32 with no carry into hi, and hi*2^32 + lo < 2^63); a
+      billion-token "document" is corrupt input long before that bound.
+    - CACHING: constructing ~70 Column expressions costs ~1s of
+      driver-side py4j round-trips PER CALL — measured as 75% of the
+      whole dedup_simhash entry's wall time at sf0.1. Unresolved Column
+      trees are immutable and bind to each new plan at analysis, so one
+      cached copy serves every call in the process."""
+    global _SIMHASH_AGG_CACHE
+    if _SIMHASH_AGG_CACHE is None:
+        two32 = 1 << 32
+        sums = [
+            F.sum(
+                F.expr(
+                    f"tf * ((lane_hi div {1 << b}) % 2 * {two32}"
+                    f" + (lane_lo div {1 << b}) % 2)"
+                )
+            ).alias(f"pk_{b}")
+            for b in range(32)
+        ]
+
+        def _sig(field: str) -> F.Column:
+            out = F.lit(0).cast("bigint")
+            for b in range(32):
+                s = F.expr(f"pk_{b} div {two32}" if field == "hi" else f"pk_{b} % {two32}")
+                out = out + F.when(
+                    2 * s > F.col("nt"), F.lit(1 << b).cast("bigint")
+                ).otherwise(F.lit(0).cast("bigint"))
+            return out
+
+        _SIMHASH_AGG_CACHE = (sums, _sig("hi"), _sig("lo"))
+    return _SIMHASH_AGG_CACHE
 
 
 def _hamming_slices(n_slices: int) -> list[tuple[str, int, int]]:
@@ -694,7 +779,48 @@ def _hamming_slices(n_slices: int) -> list[tuple[str, int, int]]:
     return out
 
 
-def simhash_near_dups(sim: DataFrame, max_hamming: int = 3, block: bool = True) -> DataFrame:
+_SIMHASH_JOIN_CACHE: dict[int, tuple] = {}
+
+
+def _simhash_join_exprs(n_slices: int) -> tuple:
+    """(slice-value array, canonical-witness predicate) for the blocked
+    SimHash self-join, built once per (process, n_slices) — the same
+    driver-side py4j construction cost argument as _simhash_agg_exprs.
+
+    The witness replaces a distinct shuffle: a pair agreeing on several
+    slices is emitted only from the FIRST agreeing one — the row's own
+    slice_idx qualifies iff every earlier slice disagrees (recomputed from
+    the carried signatures, pure codegen)."""
+    if n_slices not in _SIMHASH_JOIN_CACHE:
+        slices = _hamming_slices(n_slices)
+        vals = F.array(
+            *[
+                F.expr(f"(sim_{lane} div {1 << off}) % {1 << width}").cast("long")
+                for lane, off, width in slices
+            ]
+        )
+
+        def _slice(side: str, lane: str, off: int, width: int):
+            return F.expr(f"(h{side}_{lane} div {1 << off}) % {1 << width}")
+
+        witness = F.lit(True)
+        for i in range(len(slices) - 1, 0, -1):
+            earlier_disagree = F.lit(True)
+            for lane, off, width in slices[:i]:
+                earlier_disagree = earlier_disagree & (
+                    _slice("a", lane, off, width) != _slice("b", lane, off, width)
+                )
+            witness = F.when(F.col("slice_idx") == i, earlier_disagree).otherwise(witness)
+        _SIMHASH_JOIN_CACHE[n_slices] = (vals, witness)
+    return _SIMHASH_JOIN_CACHE[n_slices]
+
+
+def simhash_near_dups(
+    sim: DataFrame,
+    max_hamming: int = 3,
+    block: bool = True,
+    salt_buckets: int = 1,
+) -> DataFrame:
     """Pairs with Hamming distance <= max_hamming over the 64-bit signature.
 
     ``block=True`` (the scale path, and the default): pigeonhole blocking.
@@ -706,6 +832,18 @@ def simhash_near_dups(sim: DataFrame, max_hamming: int = 3, block: bool = True) 
     verify runs on candidates only. Lossless by construction: the verify
     keeps exactly the true pairs, so results are row-identical to the
     all-pairs kernel (pinned by a regression test).
+
+    ``salt_buckets``: the slice-bucket join's skew is in its probe OUTPUT
+    (a template-heavy corpus can put thousands of docs in one slice-value
+    bucket, so one reduce task alone emits |bucket|² candidates); AQE skew
+    handling never fires because the shuffled INPUT partitions are tiny.
+    Salting spreads it: the left side keys each row by hash(id) % s, the
+    right side replicates each row s times, and the bucket's pair
+    generation spreads over s tasks. Replication costs s× a narrow
+    5-column shuffle, so it only pays once a straggler bucket dominates a
+    stage — measured at sf0.1 (5k docs, max bucket 1.5k) salt=8 is 3x
+    SLOWER than salt=1, hence the default 1; at cluster scale set s so
+    max_bucket²/s pairs is minutes, not hours, of one core's work.
 
     ``block=False``: the all-pairs verification kernel (broadcast nested
     loop) — O(n²), audit/regression use only."""
@@ -732,22 +870,18 @@ def simhash_near_dups(sim: DataFrame, max_hamming: int = 3, block: bool = True) 
         # clamp: >= max_hamming+1 slices keeps the pigeonhole guarantee
         # (extra slices only widen the candidate set, verify filters it);
         # the minimum of 2 covers max_hamming=0 (exact-signature join)
-        slices = _hamming_slices(min(max(max_hamming + 1, 2), 64))
-        vals = F.array(
-            *[
-                F.expr(f"(sim_{lane} div {1 << off}) % {1 << width}").cast("long")
-                for lane, off, width in slices
-            ]
-        )
+        vals, witness = _simhash_join_exprs(min(max(max_hamming + 1, 2), 64))
         sl = sim.select(
             "doc_id", "sim_hi", "sim_lo", F.posexplode(vals).alias("slice_idx", "slice_val")
         )
+        s = max(int(salt_buckets), 1)
         a = sl.select(
             F.col("doc_id").alias("id_a"),
             F.col("sim_hi").alias("ha_hi"),
             F.col("sim_lo").alias("ha_lo"),
             "slice_idx",
             "slice_val",
+            F.pmod(F.xxhash64("doc_id"), F.lit(s)).cast("int").alias("salt"),
         )
         b = sl.select(
             F.col("doc_id").alias("id_b"),
@@ -755,26 +889,22 @@ def simhash_near_dups(sim: DataFrame, max_hamming: int = 3, block: bool = True) 
             F.col("sim_lo").alias("hb_lo"),
             "slice_idx",
             "slice_val",
+            F.explode(F.sequence(F.lit(0), F.lit(s - 1))).alias("salt"),
         )
-        # canonical witness instead of a distinct shuffle: a pair agreeing
-        # on several slices is emitted only from the FIRST agreeing one —
-        # the row's own slice_idx qualifies iff every earlier slice
-        # disagrees (recomputed from the carried signatures, pure codegen)
-        def _slice(side: str, lane: str, off: int, width: int):
-            return F.expr(f"(h{side}_{lane} div {1 << off}) % {1 << width}")
-
-        witness = F.lit(True)
-        for i in range(len(slices) - 1, 0, -1):
-            earlier_disagree = F.lit(True)
-            for lane, off, width in slices[:i]:
-                earlier_disagree = earlier_disagree & (
-                    _slice("a", lane, off, width) != _slice("b", lane, off, width)
-                )
-            witness = F.when(F.col("slice_idx") == i, earlier_disagree).otherwise(witness)
-        pairs = (
-            a.join(b, ["slice_idx", "slice_val"])
+        hamming = F.bit_count(F.col("ha_hi").bitwiseXOR(F.col("hb_hi"))) + F.bit_count(
+            F.col("ha_lo").bitwiseXOR(F.col("hb_lo"))
+        )
+        # filter order matters: the 4-op popcount threshold kills ~99% of
+        # candidates (dup-heavy corpora put thousands of docs in one slice
+        # bucket), so it runs BEFORE the O(slices²) witness expression —
+        # the witness then only deduplicates true pairs across slices
+        return (
+            a.join(b, ["slice_idx", "slice_val", "salt"])
             .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", hamming.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
             .filter(witness)
+            .select("id_a", "id_b", "hamming")
         )
     hamming = F.bit_count(F.col("ha_hi").bitwiseXOR(F.col("hb_hi"))) + F.bit_count(
         F.col("ha_lo").bitwiseXOR(F.col("hb_lo"))
