@@ -144,6 +144,50 @@ def _decode_ppm(b: bytes):
     return w, h, raster.reshape(h, w, 3)
 
 
+def make_ppm_video(frames: list[bytes]) -> bytes:
+    """Encode a frame list as a PPM-sequence "video": the concatenation of
+    P6 blobs (the natural codec-free container — ffmpeg's image2pipe
+    emits exactly this for `-c:v ppm`)."""
+    assert all(f[:2] == b"P6" for f in frames)
+    return b"".join(frames)
+
+
+def _split_ppm_sequence(b: bytes) -> list[bytes]:
+    """Split a PPM-sequence blob into its P6 frame blobs by walking
+    headers: each frame's length is its header size + w*h*3 raster."""
+    if b[:2] != b"P6":
+        raise NotImplementedError(
+            "compressed video containers (mp4/webm) require pyav/ffmpeg — "
+            "not in this container; codec-free path supports PPM sequences"
+        )
+    frames, pos = [], 0
+    while pos < len(b):
+        if b[pos : pos + 2] != b"P6":
+            raise ValueError(f"corrupt PPM sequence at offset {pos}")
+        # header = three whitespace-separated ints after the magic
+        # ('#' comments run to end of line), then ONE whitespace byte
+        vals, p = [], pos + 2
+        while len(vals) < 3:
+            while p < len(b) and b[p : p + 1].isspace():
+                p += 1
+            if b[p : p + 1] == b"#":
+                while p < len(b) and b[p] != 0x0A:
+                    p += 1
+                continue
+            start = p
+            while p < len(b) and not b[p : p + 1].isspace():
+                p += 1
+            vals.append(int(b[start:p]))
+        p += 1
+        w, h, _maxval = vals
+        end = p + w * h * 3
+        if end > len(b):
+            raise ValueError("truncated PPM frame raster")
+        frames.append(b[pos:end])
+        pos = end
+    return frames
+
+
 def _image_features_real(b: bytes):
     """(width, height, mean_luma, 8-dim feature) from a decodable image.
     Feature = [meanR, meanG, meanB, luma std, 4 quadrant luma means], all
@@ -284,21 +328,37 @@ def sample_frames(media: DataFrame, every_n: int = 2, max_frames: int = 4,
                   decode_stub: bool = True) -> DataFrame:
     """Video frame sampling: one output row per sampled frame (row
     explosion happens executor-side inside the Arrow batch, so a video
-    never rides the shuffle whole)."""
+    never rides the shuffle whole).
+
+    ``decode_stub=False`` does REAL frame extraction for the codec-free
+    PPM-sequence container (concatenated P6 blobs, see make_ppm_video);
+    each sampled frame is emitted as its standalone P6 blob, directly
+    consumable by extract_image_features. Compressed containers (mp4/webm)
+    raise ``NotImplementedError`` naming the missing codec libraries."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            if not decode_stub:  # pragma: no cover
-                raise NotImplementedError("real frame decode requires pyav/ffmpeg")
             rows = []
             for _, r in pdf.iterrows():
-                b = r["content"] or b""
-                # stub: treat each 64-byte slice as one "frame"
-                n = max(len(b) // 64, 1)
-                for fi in range(0, min(n, max_frames * every_n), every_n):
-                    fb = bytes(b[fi * 64 : (fi + 1) * 64])
+                b = bytes(r["content"] or b"")
+                if decode_stub:
+                    # stub: treat each 64-byte slice as one "frame"
+                    n = max(len(b) // 64, 1)
+                    sampled = [
+                        (fi, b[fi * 64 : (fi + 1) * 64])
+                        for fi in range(0, min(n, max_frames * every_n), every_n)
+                    ]
+                else:
+                    frames = _split_ppm_sequence(b) if b else []
+                    sampled = [
+                        (fi, frames[fi])
+                        for fi in range(
+                            0, min(len(frames), max_frames * every_n), every_n
+                        )
+                    ]
+                for fi, fb in sampled:
                     rows.append(
                         {
                             "media_id": r["media_id"],
@@ -316,15 +376,24 @@ def sample_frames(media: DataFrame, every_n: int = 2, max_frames: int = 4,
 
 def synthetic_codec_media(spark, n: int = 8, seed: int = 7) -> DataFrame:
     """Media table whose blobs are REAL codec-free files (PCM WAV sine
-    waves, solid-and-gradient P6 PPMs) so ``decode_stub=False`` exercises
-    genuine decoding end to end."""
+    waves, solid-and-gradient P6 PPMs, PPM-sequence videos) so
+    ``decode_stub=False`` exercises genuine decoding end to end."""
     import math
     import random
 
     rng = random.Random(seed)
     rows = []
     for i in range(n):
-        if i % 2 == 0:  # WAV: 1 kHz-ish sine, amplitude varies per row
+        if i % 4 == 3:  # PPM-sequence video: 6 tiny solid frames
+            w, h = 4, 3
+            frames = [
+                make_ppm(w, h, bytes((f * 40 % 256, i * 30 % 256, 90)) * (w * h))
+                for f in range(6)
+            ]
+            meta = {"mime": "video/x-ppm-sequence", "width": w, "height": h,
+                    "duration_ms": 6 * 40, "sample_rate": None}
+            rows.append((i, "video", make_ppm_video(frames), meta))
+        elif i % 2 == 0:  # WAV: 1 kHz-ish sine, amplitude varies per row
             rate, amp, freq = 8000, 8000 + 1000 * (i % 4), 440.0 * (1 + i % 3)
             samples = [
                 int(amp * math.sin(2 * math.pi * freq * t / rate)) for t in range(rate // 4)

@@ -59,7 +59,11 @@ def bm25_topk(
     # two scalar driver reductions, same convention as TF-IDF's N (O14)
     n_docs = docs.count()
     tot = dl.agg(F.sum("dl")).head()[0] or 0
-    avgdl = float(tot) / float(max(n_docs, 1))
+    # `or 1.0`: an empty / all-empty-text corpus has tot == 0, and a zero
+    # avgdl would turn the length norm into a division by zero (Inf/NaN
+    # scores); with no terms anywhere the qtf join is empty regardless,
+    # so the substitute value never reaches a real score
+    avgdl = float(tot) / float(max(n_docs, 1)) or 1.0
 
     qtf = tf.filter(F.col("word").isin(terms))
     dfreq = qtf.groupBy("word").agg(F.count("*").alias("df"))

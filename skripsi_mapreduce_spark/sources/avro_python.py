@@ -235,35 +235,72 @@ def _decompress(codec: str, block: bytes) -> bytes:
     raise ValueError(f"unsupported codec: {codec}")
 
 
-def write_container(schema_json: str, records, codec: str = "deflate") -> bytes:
-    """Serialize ``records`` (iterable of dicts) into one Avro object
-    container file. The sync marker is derived from the schema+codec so
-    identical inputs produce identical bytes (reproducible sinks)."""
+def write_container_stream(
+    schema_json: str,
+    records,
+    fh,
+    codec: str = "deflate",
+    block_records: int = 65536,
+    block_bytes: int = 16 << 20,
+) -> int:
+    """Stream ``records`` (iterable of dicts) into an open binary file
+    handle as an Avro object container, flushing a block every
+    ``block_records`` records or ``block_bytes`` encoded bytes — so peak
+    memory is one block, not the whole partition (an unbounded partition
+    OOMing the executor was the failure mode of the buffer-everything
+    form). Returns the record count. The sync marker is derived from the
+    schema+codec so identical inputs produce identical bytes
+    (reproducible sinks)."""
     schema = json.loads(schema_json)
     import hashlib
 
     sync = hashlib.md5(("sync:" + codec + ":" + schema_json).encode()).digest()
-    out = bytearray()
-    out += MAGIC
+    head = bytearray()
+    head += MAGIC
     meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
-    out += _enc_long(len(meta))
+    head += _enc_long(len(meta))
     for k, v in sorted(meta.items()):
-        out += _enc_str(k)
-        out += _enc_bytes(v)
-    out += _enc_long(0)
-    out += sync
+        head += _enc_str(k)
+        head += _enc_bytes(v)
+    head += _enc_long(0)
+    head += sync
+    fh.write(bytes(head))
+
     buf = bytearray()
-    n = 0
+    n = total = 0
+
+    def _flush():
+        nonlocal buf, n
+        if n:
+            payload = _compress(codec, bytes(buf))
+            fh.write(_enc_long(n))
+            fh.write(_enc_long(len(payload)))
+            fh.write(payload)
+            fh.write(sync)
+            buf = bytearray()
+            n = 0
+
     for rec in records:
         _encode(schema, rec, buf)
         n += 1
-    if n:
-        payload = _compress(codec, bytes(buf))
-        out += _enc_long(n)
-        out += _enc_long(len(payload))
-        out += payload
-        out += sync
-    return bytes(out)
+        total += 1
+        if n >= block_records or len(buf) >= block_bytes:
+            _flush()
+    _flush()
+    return total
+
+
+def write_container(schema_json: str, records, codec: str = "deflate") -> bytes:
+    """Serialize ``records`` into ONE in-memory Avro container blob with a
+    single data block — the byte-stable form the golden-bytes tests pin.
+    For executor-side sinks use :func:`write_container_stream`."""
+    import io
+
+    out = io.BytesIO()
+    write_container_stream(
+        schema_json, records, out, codec, block_records=1 << 62, block_bytes=1 << 62
+    )
+    return out.getvalue()
 
 
 def read_container(data: bytes) -> tuple[str, list[dict]]:
@@ -430,8 +467,15 @@ def read_avro_python(
 
 def write_avro_python(df: DataFrame, path: str, codec: str = "deflate") -> int:
     """Write ``df`` as a directory of Avro container part files (one per
-    partition, streamed executor-side). Overwrite semantics (O39).
-    Returns the number of rows written."""
+    partition, streamed executor-side in bounded ~64k-record blocks via
+    :func:`write_container_stream`). Overwrite semantics (O39). Returns
+    the number of rows written.
+
+    PATH CONTRACT: local or shared-POSIX filesystems only — the overwrite
+    cleanup and the per-partition ``open()`` use OS file APIs, and the
+    reader's schema sniff does too, so ``hdfs://``/``s3://`` URIs are not
+    supported by this pure-Python sink (route those through a Hadoop-FS
+    backed writer; every executor must see the same mounted path)."""
     import shutil
 
     if os.path.exists(path):
@@ -468,19 +512,15 @@ def write_avro_python(df: DataFrame, path: str, codec: str = "deflate") -> int:
 
         pid = TaskContext.get().partitionId()
         target = os.path.join(path, f"part-{pid:05d}.avro")
-        n_rows = 0
 
         def _records():
-            nonlocal n_rows
             for pdf in batches:
                 for row in pdf[names].itertuples(index=False, name=None):
-                    n_rows += 1
                     yield dict(zip(names, (_py(v) for v in row)))
 
-        blob = write_container(schema_json, _records(), codec)
-        with open(target, "wb") as fh:
-            fh.write(blob)
         # empty partitions still produce a valid (header-only) container
+        with open(target, "wb") as fh:
+            n_rows = write_container_stream(schema_json, _records(), fh, codec)
         yield pd.DataFrame({"path": [target], "n": [n_rows]})
 
     out = df.mapInPandas(_write_partition, "path string, n long").collect()

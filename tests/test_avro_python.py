@@ -128,3 +128,30 @@ def test_nullable_union_roundtrip(spark):
     blob = write_container(avro_json, recs, codec="deflate")
     _, got = read_container(blob)
     assert sorted(got, key=lambda r: r["k"]) == sorted(recs, key=lambda r: r["k"])
+
+
+def test_stream_writer_bounded_blocks_roundtrip(tmp_path):
+    """write_container_stream flushes multiple bounded blocks; the reader
+    walks them all, and a tiny block size must not change the records."""
+    from skripsi_mapreduce_spark.sources.avro_python import (
+        read_container,
+        write_container,
+        write_container_stream,
+    )
+
+    schema = (
+        '{"type":"record","name":"R","fields":'
+        '[{"name":"id","type":"long"},{"name":"s","type":"string"}]}'
+    )
+    recs = [{"id": i, "s": f"v{i}"} for i in range(1000)]
+    p = tmp_path / "blocks.avro"
+    with open(p, "wb") as fh:
+        n = write_container_stream(schema, iter(recs), fh, "deflate", block_records=64)
+    assert n == 1000
+    blob = p.read_bytes()
+    got_schema, got = read_container(blob)
+    assert got == recs
+    # >1 data block actually present: the single-block form is shorter
+    single = write_container(schema, iter(recs), "deflate")
+    assert len(read_container(single)[1]) == 1000
+    assert blob != single

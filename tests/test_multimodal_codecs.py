@@ -14,10 +14,13 @@ from skripsi_mapreduce_spark.operators.multimodal import (
     _decode_ppm,
     _decode_wav,
     _image_features_real,
+    _split_ppm_sequence,
     extract_audio_features,
     extract_image_features,
     make_ppm,
+    make_ppm_video,
     make_wav,
+    sample_frames,
     synthetic_codec_media,
 )
 
@@ -86,7 +89,7 @@ def test_spark_real_decode_path(spark):
              extract_audio_features(media, decode_stub=False).collect()}
     image = {r["media_id"]: r for r in
              extract_image_features(media, decode_stub=False).collect()}
-    assert len(audio) == 4 and len(image) == 4
+    assert len(audio) == 4 and len(image) == 2
     for r in audio.values():
         assert r["sample_rate"] == 8000 and r["duration_ms"] == 250
         assert 0.1 < r["rms"] < 0.9 and len(r["feature"]) == 8
@@ -94,3 +97,32 @@ def test_spark_real_decode_path(spark):
         # real decoded dimensions equal the metadata the fixture wrote
         assert r["width"] is not None and r["width"] >= 9
         assert 0.0 <= r["mean_luma"] <= 1.0 and len(r["feature"]) == 8
+
+
+def test_ppm_sequence_split_and_rejects():
+    frames = [make_ppm(2, 2, bytes((i, 0, 0)) * 4) for i in range(5)]
+    blob = make_ppm_video(frames)
+    assert _split_ppm_sequence(blob) == frames
+    with pytest.raises(NotImplementedError, match="pyav|ffmpeg"):
+        _split_ppm_sequence(b"\x00\x00\x00\x20ftypisom....")  # mp4-ish
+    with pytest.raises(ValueError):
+        _split_ppm_sequence(blob[:-3])  # truncated raster
+
+
+def test_spark_real_frame_sampling(spark):
+    """PPM-sequence videos sample real frames: each sampled frame is a
+    standalone P6 blob decodable by the image path."""
+    media = synthetic_codec_media(spark, n=8)  # ids 3 and 7 are videos
+    got = sample_frames(media, every_n=2, max_frames=3, decode_stub=False).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {3, 7}
+    for rows in by_id.values():
+        # 6 frames, every 2nd, capped at 3 -> indices 0, 2, 4
+        assert sorted(r["frame_idx"] for r in rows) == [0, 2, 4]
+        for r in rows:
+            fb = bytes(r["frame_bytes"])
+            assert fb[:2] == b"P6"
+            w, h, lum, feat = _image_features_real(fb)
+            assert (w, h) == (4, 3) and len(feat) == 8

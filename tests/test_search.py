@@ -66,3 +66,12 @@ def test_bm25_length_normalization(spark):
 def test_bm25_no_match_returns_empty(spark):
     df = spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"])
     assert bm25_topk(df, ["missingterm"], k=5).count() == 0
+
+
+def test_bm25_empty_and_all_empty_corpus(spark):
+    """avgdl guard: an all-empty-text corpus must yield an empty result,
+    not NaN/Inf scores from a zero average document length."""
+    df = spark.createDataFrame([(1, ""), (2, "")], ["doc_id", "text"])
+    assert bm25_topk(df, ["anything"], k=5).count() == 0
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_topk(empty, ["anything"], k=5).count() == 0
