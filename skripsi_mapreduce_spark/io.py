@@ -32,6 +32,29 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin ``df`` across ``defaultParallelism`` partitions IF the
+    session opts in via ``spark.skripsi.spreadSmallScans`` (the local
+    session factory sets it true).
+
+    Purpose: the local test tables are single-file, single-row-group
+    parquet, so their scan is ONE partition and downstream tokenize/
+    explode work would pin a single core — maxPartitionBytes cannot split
+    a lone row group. At cluster scale a 100 TB scan already has ~1e5
+    splits, and an unconditional ``repartition`` here would be a full
+    corpus-text shuffle for nothing — so deployments simply leave the
+    flag unset and this is the identity. An explicit conf beats probing
+    ``df.rdd.getNumPartitions()`` (which costs ~1s of plan->RDD
+    conversion per call on the driver)."""
+    try:
+        on = df.sparkSession.conf.get("spark.skripsi.spreadSmallScans", "false")
+    except Exception:  # pragma: no cover - defensive for exotic sessions
+        on = "false"
+    if str(on).lower() != "true":
+        return df
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table as a DataFrame (columnar parquet scan).
 

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import TOKEN_PATTERN, tokenize_col
+from ..io import spread_scan
 
 # Jaccard verification switches to the bitmap kernel when the distinct
 # shingle vocabulary fits in this many bits (64 int64 words = 4096 bits);
@@ -73,10 +74,9 @@ def shingles(
 ) -> DataFrame:
     """Distinct word-``size``-gram shingle set per document: (doc_id, shingle)."""
     # a small single-file scan is one partition; spread the regex work
-    # before tokenizing (at real scale the scan is already parallel and
-    # AQE coalesces this to a no-op-sized shuffle)
-    npart = df.sparkSession.sparkContext.defaultParallelism
-    toks = df.repartition(npart).select(
+    # before tokenizing. Identity on cluster sessions (io.spread_scan) —
+    # an unconditional repartition would shuffle the corpus text at scale.
+    toks = spread_scan(df).select(
         F.col(id_col).alias("doc_id"),
         tokenize_col(text_col).alias("toks"),
     )

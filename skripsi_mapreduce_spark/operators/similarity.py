@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..io import spread_scan
+
 SCALE = 1e8  # fixed-point scale for exact cross-engine dot products
 
 
@@ -365,7 +367,6 @@ def embedding_near_dups(
     Norms are computed ONCE per vector before the pair join (N folds),
     not per pair (would be 2·N² folds) — per-pair work is the dot product
     only."""
-    npart = emb.sparkSession.sparkContext.defaultParallelism
     # pinned: both sides of the self-join reuse one materialization, so
     # norms really are computed once per vector (N folds, not 2N)
     base_cols = [
@@ -378,7 +379,7 @@ def embedding_near_dups(
         # equals the streamed side's partition count, and a small parquet
         # scan is ONE partition — repartition so the quadratic work
         # spreads across the cluster.
-        with_norm = emb.repartition(npart).select(*base_cols).localCheckpoint(eager=False)
+        with_norm = spread_scan(emb).select(*base_cols).localCheckpoint(eager=False)
         a = with_norm.select(
             F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
         )
@@ -398,7 +399,7 @@ def embedding_near_dups(
             )
         dim = len(head[0])
         with_norm = (
-            emb.repartition(npart)
+            spread_scan(emb)
             .select(*base_cols, hyperplane_signs(F.col(vec_col), dim, n_planes).alias("_bkt"))
             .localCheckpoint(eager=False)
         )

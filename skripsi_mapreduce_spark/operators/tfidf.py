@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize_col
+from ..io import spread_scan
 
 
 def tokens_long(
@@ -46,11 +47,11 @@ def tokens_long(
 ) -> DataFrame:
     """Explode documents into ``(id, word)`` rows (one per occurrence).
 
-    Repartitions first so tokenization parallelizes even off a
-    single-file scan (no-op at real scale where the scan has many
-    splits)."""
-    npart = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(npart).select(
+    ``spread_scan`` first so tokenization parallelizes off a local
+    single-file scan; identity on cluster sessions (see io.spread_scan —
+    an unconditional repartition would shuffle the corpus text at
+    100 TB)."""
+    return spread_scan(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize_col(text_col, stopwords=stopwords, vocab=vocab)).alias("word"),
     )
