@@ -88,7 +88,12 @@ def _apply_merge(seq: F.Column, left: str, right: str) -> F.Column:
     predecessor was selected, emitting the merged symbol at selected
     positions. Every step is array lambdas over word-length arrays —
     pure codegen, and the DuckDB oracle states the identical expressions
-    (_bpe_oracle_sql), so learned merges match string-for-string."""
+    (_bpe_oracle_sql), so learned merges match string-for-string.
+
+    This factory builds ~100 Column nodes per call (~1s of py4j for a
+    5-merge loop); hot callers use :func:`_apply_merge_cached` instead,
+    which builds the tree once over placeholder columns."""
+    merged = F.lit(left + right) if isinstance(left, str) else F.concat(left, right)
     arr = F.split(seq, " ")
     n = F.size(arr)
     mark = F.when(
@@ -134,10 +139,41 @@ def _apply_merge(seq: F.Column, left: str, right: str) -> F.Column:
     rebuilt = F.transform(
         kept,
         lambda i: F.when(
-            F.coalesce(F.try_element_at(sel, i), F.lit(False)), F.lit(left + right)
+            F.coalesce(F.try_element_at(sel, i), F.lit(False)), merged
         ).otherwise(F.element_at(arr, i)),
     )
     return F.when(n >= 1, F.array_join(rebuilt, " ")).otherwise(seq)
+
+
+_APPLY_MERGE_EXPR: F.Column | None = None
+
+
+def _apply_merge_cached() -> F.Column:
+    """:func:`_apply_merge`'s Column tree over placeholder columns
+    ``_bpe_in`` / ``_bpe_left`` / ``_bpe_right``, built once per process.
+    Callers bind the placeholders to literals (:func:`_with_merge`) and
+    Catalyst constant-folds them into the lambdas, so the specialized
+    plan is identical to building the tree fresh — without paying ~100
+    py4j round-trips per merge step (the same driver-cost pattern as
+    dedup._simhash_agg_exprs)."""
+    global _APPLY_MERGE_EXPR
+    if _APPLY_MERGE_EXPR is None:
+        _APPLY_MERGE_EXPR = _apply_merge(
+            F.col("_bpe_in"), F.col("_bpe_left"), F.col("_bpe_right")
+        )
+    return _APPLY_MERGE_EXPR
+
+
+def _with_merge(df: DataFrame, seq_name: str, left: str, right: str) -> DataFrame:
+    """Apply one (left, right) merge to ``df[seq_name]`` in place via the
+    cached expression; column order and all other columns preserved."""
+    return (
+        df.withColumn("_bpe_in", F.col(seq_name))
+        .withColumn("_bpe_left", F.lit(left))
+        .withColumn("_bpe_right", F.lit(right))
+        .withColumn(seq_name, _apply_merge_cached())
+        .drop("_bpe_in", "_bpe_left", "_bpe_right")
+    )
 
 
 def learn_bpe(
@@ -154,18 +190,20 @@ def learn_bpe(
     seqs = wc.select(_char_seq(F.col("word")).alias("seq"), "cnt").localCheckpoint(
         eager=False
     )
+    # iteration-independent (pure function of col("seq")) — build once,
+    # not once per merge step
+    arr = F.split(F.col("seq"), " ")
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.struct(
+                F.element_at(arr, i).alias("a"), F.element_at(arr, i + 1).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
     merges: list[BpeMerge] = []
     for step in range(n_merges):
-        arr = F.split(F.col("seq"), " ")
-        pairs = F.when(
-            F.size(arr) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(arr) - 1),
-                lambda i: F.struct(
-                    F.element_at(arr, i).alias("a"), F.element_at(arr, i + 1).alias("b")
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
         best = (
             seqs.select(F.explode(pairs).alias("p"), "cnt")
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
@@ -178,7 +216,7 @@ def learn_bpe(
             break
         a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
         merges.append(BpeMerge(step, a, b, c))
-        seqs = seqs.select(_apply_merge(F.col("seq"), a, b).alias("seq"), "cnt")
+        seqs = _with_merge(seqs, "seq", a, b)
         # cut lineage so iteration t+1 doesn't replay replaces 0..t-1
         seqs = seqs.localCheckpoint(eager=False)
     return merges
@@ -202,7 +240,7 @@ def encode_words(words: DataFrame, merges: list[BpeMerge], word_col: str = "word
     (space-joined) and ``n_bpe`` (symbol count)."""
     out = words.withColumn("bpe_seq", _char_seq(F.col(word_col)))
     for m in merges:
-        out = out.withColumn("bpe_seq", _apply_merge(F.col("bpe_seq"), m.left, m.right))
+        out = _with_merge(out, "bpe_seq", m.left, m.right)
     return out.withColumn(
         "n_bpe",
         F.when(F.length("bpe_seq") == 0, F.lit(0)).otherwise(
