@@ -42,9 +42,12 @@ def main() -> None:
 
     # Per-query time = MIN over n_runs materializations (JMH-style
     # steady-state: the min is the least-noise estimator on a shared box;
-    # observed run-to-run swings of 1.5-2x on untouched queries in this
-    # environment). Override with SPARK_GRAFT_BENCH_RUNS=1 for one-shot.
-    n_runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")), 1)
+    # observed run-to-run swings of up to 5x on UNTOUCHED sub-second
+    # queries in this environment — ambient VM load sits at 3-4 — so
+    # best-of-3 is the default; a third ~60s pass buys materially more
+    # faithful numbers. Override with SPARK_GRAFT_BENCH_RUNS=1 for
+    # one-shot.
+    n_runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")), 1)
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name]
