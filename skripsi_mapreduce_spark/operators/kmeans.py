@@ -315,9 +315,16 @@ def kmeans_fixedpoint(
             .select(
                 "cluster",
                 "word",
+                # DIV truncates toward zero in BOTH engines (Spark DIV and
+                # DuckDB // agree on negatives — verified), so the rounded
+                # mean is engine-exact for signed features too
                 F.expr("(2 * s + n) DIV (2 * n)").cast("long").alias("cw"),
             )
-            .filter(F.col("cw") > 0)
+            # drop exact zeros only — they contribute nothing to c2 or the
+            # dot join; negative weights (dense signed features, e.g.
+            # embeddings) must survive (!= 0, not > 0; identical on the
+            # nonnegative TF-IDF path)
+            .filter(F.col("cw") != 0)
             .localCheckpoint(eager=False)  # cut per-iteration lineage
         )
     return (

@@ -27,6 +27,8 @@ _PROMOTED = [
     "dedup_cross_corpus",
     "etl_sequential_ids",
     "q33_listagg",
+    # new in round 3 — must be adjudicated this round
+    "emb_kmeans",
 ]
 _TAIL = [
     # retired this round (green r2)

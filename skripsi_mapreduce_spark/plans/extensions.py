@@ -1080,4 +1080,76 @@ def mix_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, _MIX_RATES).select("doc_id", "lang").orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# Embedding K-Means — semantic clustering over the dense vector table,
+# hash-matched: the same fixed-point Lloyd loop as kmeans_documents, on
+# e4-quantized (vec_id, dim, coord) long-form. Signed coordinates are safe:
+# Spark's DIV and DuckDB's // both truncate toward zero (verified on
+# negatives), and the centroid zero-drop keeps negative weights (!= 0).
+# LLM-pipeline use: cluster-balanced sampling / semantic dedup over
+# document embeddings.
+# ---------------------------------------------------------------------------
+@query(
+    "emb_kmeans",
+    f"""
+    WITH w AS (
+        SELECT vec_id AS doc_id,
+               generate_subscripts(embedding, 1) - 1 AS word,
+               {e_int_sql('CAST(unnest(embedding) AS DOUBLE)', 4)} AS w
+        FROM embeddings),
+    seeds AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS INT) AS cluster
+              FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+                    FROM (SELECT DISTINCT doc_id FROM w) t
+                    ORDER BY h, doc_id LIMIT 4) s),
+    c0 AS (SELECT s.cluster, w.word, w.w AS cw FROM w JOIN seeds s USING (doc_id)
+           WHERE w.w <> 0),
+    d2 AS (SELECT doc_id, SUM(w * w) AS x2 FROM w GROUP BY doc_id),
+    c0n AS (SELECT cluster, SUM(cw * cw) AS c2 FROM c0 GROUP BY cluster),
+    dot1 AS (SELECT w.doc_id, c0.cluster, SUM(w.w * c0.cw) AS dot
+             FROM w JOIN c0 USING (word) GROUP BY 1, 2),
+    a1 AS (SELECT doc_id, cluster FROM (
+            SELECT d2.doc_id, c0n.cluster,
+                   ROW_NUMBER() OVER (PARTITION BY d2.doc_id
+                       ORDER BY d2.x2 + c0n.c2 - 2 * COALESCE(dot1.dot, 0), c0n.cluster) AS rn
+            FROM d2 CROSS JOIN c0n
+            LEFT JOIN dot1 ON dot1.doc_id = d2.doc_id AND dot1.cluster = c0n.cluster) t
+           WHERE rn = 1),
+    csize AS (SELECT cluster, COUNT(*) AS n FROM a1 GROUP BY cluster),
+    c1 AS (SELECT cluster, word, cw FROM (
+            SELECT t.cluster, t.word,
+                   CAST((2 * t.s + c.n) // (2 * c.n) AS BIGINT) AS cw
+            FROM (SELECT a1.cluster, w.word, SUM(w.w) AS s
+                  FROM w JOIN a1 USING (doc_id) GROUP BY 1, 2) t
+            JOIN csize c USING (cluster)) u
+           WHERE cw <> 0),
+    c1n AS (SELECT cluster, SUM(cw * cw) AS c2 FROM c1 GROUP BY cluster),
+    dot2 AS (SELECT w.doc_id, c1.cluster, SUM(w.w * c1.cw) AS dot
+             FROM w JOIN c1 USING (word) GROUP BY 1, 2),
+    a2 AS (SELECT doc_id, cluster, dist2 FROM (
+            SELECT d2.doc_id, c1n.cluster,
+                   d2.x2 + c1n.c2 - 2 * COALESCE(dot2.dot, 0) AS dist2,
+                   ROW_NUMBER() OVER (PARTITION BY d2.doc_id
+                       ORDER BY d2.x2 + c1n.c2 - 2 * COALESCE(dot2.dot, 0), c1n.cluster) AS rn
+            FROM d2 CROSS JOIN c1n
+            LEFT JOIN dot2 ON dot2.doc_id = d2.doc_id AND dot2.cluster = c1n.cluster) t
+           WHERE rn = 1)
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(dist2) AS BIGINT) AS sse_e8
+    FROM a2 GROUP BY cluster ORDER BY cluster
+    """,
+)
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point K-Means (k=4, two assignment passes, md5-min init) over
+    the e4-quantized 64-dim embeddings, long-form (vec_id, dim, coord) —
+    the dense-signed twin of kmeans_documents, running the identical
+    exact-int Lloyd loop (operators/kmeans.kmeans_fixedpoint). Returns
+    (cluster, n_members, sse_e8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.posexplode("embedding").alias("word", "x"),
+    ).select("doc_id", "word", e_int(F.col("x").cast("double"), 4).alias("x_e4"))
+    return kmeans_fixedpoint(w, k=4, n_assign_passes=2, weight_col="x_e4")
+
+
 __all__ = ["QUERIES", "ORACLE"]

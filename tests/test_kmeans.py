@@ -97,3 +97,72 @@ def test_kmeans_centroid_bound_enforced(spark, corpus, features):
     hatches in the error."""
     with pytest.raises(RuntimeError, match="kmeans_ml|kmeans_fixedpoint"):
         kmeans(spark, features, k=3, max_iter=3, seed=42, max_centroid_entries=2)
+
+
+def test_kmeans_fixedpoint_signed_features(spark):
+    """Dense signed features (embedding-style long form): negative
+    centroid weights must survive the centroid zero-drop (!= 0, not > 0)
+    and the rounded-mean DIV must truncate toward zero exactly like the
+    DuckDB oracle's // — pinned here against a Python twin of the same
+    integer rules."""
+    import hashlib
+
+    from skripsi_mapreduce_spark.operators.kmeans import kmeans_fixedpoint
+
+    rows = []
+    vecs = {
+        1: [-10000, 5000, -2],
+        2: [-9000, 4000, 1],
+        3: [9500, -4500, 3],
+        4: [10000, -5000, -1],
+        5: [-9800, 4900, 0],
+        6: [9900, -4900, 2],
+    }
+    for did, v in vecs.items():
+        for d, x in enumerate(v):
+            rows.append((did, d, x))
+    w = spark.createDataFrame(rows, "doc_id long, word int, w_e4 long")
+    got = {
+        r["cluster"]: (r["n_members"], r["sse_e8"])
+        for r in kmeans_fixedpoint(w, k=2, n_assign_passes=2, weight_col="w_e4").collect()
+    }
+
+    # ---- python twin (identical integer rules) ----
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    seeds = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:2]
+    cent = {c: dict(enumerate(vecs[i])) for c, i in enumerate(seeds)}
+
+    def dist2(v, cw):
+        keys = set(range(len(v))) | set(cw)
+        return sum((v[d] - cw.get(d, 0)) ** 2 for d in keys)
+
+    assign = {}
+    for p in range(2):
+        assign = {
+            i: min(cent, key=lambda c: (dist2(v, cent[c]), c)) for i, v in vecs.items()
+        }
+        if p == 1:
+            break
+        new = {}
+        for c in cent:
+            members = [vecs[i] for i in assign if assign[i] == c]
+            n = len(members)
+            cw = {}
+            for d in range(3):
+                s = sum(m[d] for m in members)
+                val = trunc_div(2 * s + n, 2 * n)
+                if val != 0:
+                    cw[d] = val
+            new[c] = cw
+        cent = new
+    want = {}
+    for c in cent:
+        members = [i for i in assign if assign[i] == c]
+        want[c] = (len(members), sum(dist2(vecs[i], cent[c]) for i in members))
+    assert got == want, f"spark={got} python={want}"
+    # the corpus has two clean signed clusters; a >0 zero-drop would
+    # discard the negative centroid coordinates and merge them
+    assert sorted(n for n, _ in got.values()) == [3, 3]
