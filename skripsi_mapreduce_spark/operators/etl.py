@@ -86,6 +86,42 @@ def assign_sequential_ids(
     return (out, acc) if with_total else out
 
 
+def prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive running SUM of ``value_col`` in ``order_cols`` order,
+    without a global window — the same two-phase shape as
+    :func:`assign_sequential_ids`: range-partition on the order key,
+    window-cumsum within each partition, then add per-partition sum
+    offsets (P driver rows, P = partition count). Exact for any total
+    order key (callers must include a tiebreak column). At 100 TB this is
+    the difference between a scan-speed running total and the
+    ``Exchange SinglePartition`` a bare ``SUM() OVER (ORDER BY ...)``
+    plans."""
+    if num_partitions is None:
+        num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=False)  # pin partitioning for both uses
+    sums = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_s")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(sums, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["_s"] or 0
+    offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return ranged.withColumn(
+        out_col,
+        F.sum(value_col).over(w).cast("long") + offset_map[F.col("_pid")],
+    ).drop("_pid")
+
+
 def extract_transform(
     spark: SparkSession,
     reviews: DataFrame | str,

@@ -29,6 +29,7 @@ _PROMOTED = [
     "q33_listagg",
     # new in round 3 — must be adjudicated this round
     "emb_kmeans",
+    "pack_blocks",
 ]
 _TAIL = [
     # retired this round (green r2)

@@ -23,6 +23,7 @@ from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators import text_analysis as ta
 from ..operators.etl import assign_sequential_ids
+from ..functions.text import TOKEN_PATTERN
 from ..operators.kmeans import kmeans_fixedpoint
 from ..operators.tfidf import tokens_long
 from .relational import ORACLE, QUERIES, e_int, e_int_sql, query
@@ -1078,6 +1079,82 @@ def mix_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return stratified_sample(docs, _MIX_RATES).select("doc_id", "lang").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — GPT-style fixed-block packing stats: concatenate the
+# corpus token stream in deterministic doc_id order and cut it into
+# 512-token blocks (the group_texts recipe every causal-LM pipeline runs);
+# report per block how many documents it touches and its token count.
+# Scale design: the running token total comes from etl.prefix_sum (two-
+# phase range-partitioned cumsum — no Exchange SinglePartition), each doc
+# then explodes into only the blocks it overlaps (total rows =
+# n_tokens/block + n_docs, linear), and the final aggregate is one hash
+# groupBy on block_id.
+# ---------------------------------------------------------------------------
+_PACK_BLOCK = 512
+
+
+@query(
+    "pack_blocks",
+    f"""
+    WITH c AS (SELECT doc_id,
+                      CAST(LEN(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS BIGINT) AS n_tok
+               FROM documents),
+    nz AS (SELECT * FROM c WHERE n_tok > 0),
+    cum AS (SELECT doc_id, n_tok,
+                   CAST(SUM(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS e
+            FROM nz),
+    spans AS (SELECT doc_id, e - n_tok AS s, e FROM cum),
+    b AS (SELECT doc_id, s, e,
+                 UNNEST(range(s // {_PACK_BLOCK}, (e - 1) // {_PACK_BLOCK} + 1)) AS block_id
+          FROM spans)
+    SELECT CAST(block_id AS BIGINT) AS block_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEAST(e, (block_id + 1) * {_PACK_BLOCK})
+                    - GREATEST(s, block_id * {_PACK_BLOCK})) AS BIGINT) AS n_tokens
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-block sequence packing over the concatenated corpus token
+    stream (block = 512 tokens, docs in doc_id order): per block_id,
+    the number of documents the block touches and its token count (=
+    block size except the trailing block). operators/etl.prefix_sum
+    supplies the distributed running total."""
+    from ..operators.etl import prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).cast("long").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    cum = prefix_sum(counts, ["doc_id"], "n_tok", out_col="e")
+    spans = cum.select("doc_id", (F.col("e") - F.col("n_tok")).alias("s"), "e")
+    blk = F.col("block_id")
+    b = spans.select(
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {_PACK_BLOCK}"), F.expr(f"(e - 1) div {_PACK_BLOCK}")
+            )
+        ).alias("block_id"),
+    )
+    return (
+        b.groupBy("block_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.least(F.col("e"), (blk + 1) * _PACK_BLOCK)
+                - F.greatest(F.col("s"), blk * _PACK_BLOCK)
+            ).cast("long").alias("n_tokens"),
+        )
+        .select(F.col("block_id").cast("long").alias("block_id"), "n_docs", "n_tokens")
+        .orderBy("block_id")
+    )
 
 
 # ---------------------------------------------------------------------------

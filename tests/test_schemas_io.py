@@ -65,3 +65,24 @@ def test_s5_schema_accepts_reference_shape(spark):
     df = spark.createDataFrame(rows, schemas.KMEANS_INTERMEDIATE)
     r = df.head()
     assert r["cluster"] == 0 and r["list_id"] == [1, 2]
+
+
+def test_prefix_sum_matches_global_window(spark):
+    """Two-phase range-partitioned prefix sum == a global running SUM,
+    including order stability across the sampled partition boundaries."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from skripsi_mapreduce_spark.operators.etl import prefix_sum
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(0, 50)) for i in range(2000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r["k"]: r["cum"] for r in prefix_sum(df, ["k"], "v").collect()}
+    acc, want = 0, {}
+    for k, v in sorted(rows):
+        acc += v
+        want[k] = acc
+    assert got == want
