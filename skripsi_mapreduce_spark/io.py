@@ -33,26 +33,33 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def spread_scan(df: DataFrame) -> DataFrame:
-    """Round-robin ``df`` across ``defaultParallelism`` partitions IF the
-    session opts in via ``spark.skripsi.spreadSmallScans`` (the local
-    session factory sets it true).
+    """Round-robin ``df`` across ``defaultParallelism`` partitions when
+    running in LOCAL mode (or when ``spark.skripsi.spreadSmallScans`` is
+    explicitly true); the identity on cluster masters (or when the conf
+    is explicitly false).
 
     Purpose: the local test tables are single-file, single-row-group
     parquet, so their scan is ONE partition and downstream tokenize/
     explode work would pin a single core — maxPartitionBytes cannot split
-    a lone row group. At cluster scale a 100 TB scan already has ~1e5
-    splits, and an unconditional ``repartition`` here would be a full
-    corpus-text shuffle for nothing — so deployments simply leave the
-    flag unset and this is the identity. An explicit conf beats probing
-    ``df.rdd.getNumPartitions()`` (which costs ~1s of plan->RDD
-    conversion per call on the driver)."""
+    a lone row group. On one machine the spread is always safe (the
+    "shuffle" is in-process). At cluster scale a 100 TB scan already has
+    ~1e5 splits, and an unconditional ``repartition`` here would be a
+    full corpus-text shuffle for nothing — so on yarn/k8s/standalone
+    masters this is the identity unless explicitly opted in. The
+    master-based default (instead of probing
+    ``df.rdd.getNumPartitions()``, ~1s of plan->RDD conversion per call)
+    also covers externally-built default sessions, e.g. the correctness
+    driver's."""
+    spark = df.sparkSession
     try:
-        on = df.sparkSession.conf.get("spark.skripsi.spreadSmallScans", "false")
+        conf = str(spark.conf.get("spark.skripsi.spreadSmallScans", "")).lower()
     except Exception:  # pragma: no cover - defensive for exotic sessions
-        on = "false"
-    if str(on).lower() != "true":
+        conf = ""
+    if conf == "false":
         return df
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    if conf != "true" and not spark.sparkContext.master.startswith("local"):
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

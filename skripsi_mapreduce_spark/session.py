@@ -52,11 +52,12 @@ def get_spark(
         # ANSI mode off: the declared-query surface relies on permissive
         # casts matching the DuckDB oracle's implicit coercions.
         .config("spark.sql.ansi.enabled", "false")
-        # Local envelope only: the test tables are single-row-group
-        # parquet (unsplittable scans), so io.spread_scan round-robins
-        # corpus inputs before tokenize-heavy operators. Cluster
-        # deployments must NOT set this — their scans are already
-        # parallel and the spread would be a full-text shuffle.
+        # io.spread_scan round-robins corpus inputs before tokenize-heavy
+        # operators when the master is local (single-row-group parquet
+        # scans are unsplittable); this conf is an explicit override —
+        # "true" forces the spread on a cluster, "false" disables it
+        # locally. Cluster scans are already parallel, so the default
+        # there is the identity (the spread would be a full-text shuffle).
         .config("spark.skripsi.spreadSmallScans", "true")
     )
     for k, v in (extra_conf or {}).items():
