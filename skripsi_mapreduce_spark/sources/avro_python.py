@@ -21,10 +21,13 @@ Spark integration is distributed on both sides:
   contract of any file sink).
 
 Codecs: ``null`` and ``deflate`` (stdlib zlib) always work; ``snappy``
-(what the reference writes) is gated on an importable python-snappy and
-raises a clear error otherwise. Files written with deflate are readable
-by every conforming Avro implementation, including the reference's
-Hadoop stack.
+(what the reference writes) uses python-snappy when importable and
+otherwise falls back to the pure-Python implementation of the public
+snappy block format below — so reference-written snappy containers are
+readable AND writable everywhere (the pure compressor is spec-compliant
+greedy matching at ~MB/s; ``deflate`` remains the default codec for bulk
+writes). Files written with any of the three are readable by every
+conforming Avro implementation, including the reference's Hadoop stack.
 """
 
 from __future__ import annotations
@@ -49,6 +52,151 @@ def _snappy():
         return snappy
     except ImportError:
         return None
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python snappy (the raw block format, from the public spec:
+# google/snappy format_description.txt). Used when python-snappy is absent
+# so the reference's avro.codec=snappy files stay fully readable AND
+# writable here. Stream = varint32 uncompressed length, then tagged
+# elements; tag low 2 bits: 00=literal (len-1 in high 6 bits, 60-63 mean
+# 1-4 following LE length bytes), 01=copy len 4-11 / 11-bit offset,
+# 10=copy len 1-64 / 2-byte LE offset, 11=copy len 1-64 / 4-byte LE
+# offset. Copies may overlap (offset < len repeats the pattern).
+# The compressor is a greedy 4-byte hash matcher — spec-compliant output,
+# ~MB/s (python-snappy is used instead whenever importable; deflate stays
+# the default codec for bulk writes).
+# ---------------------------------------------------------------------------
+def _snappy_compress_pure(data: bytes) -> bytes:
+    n = len(data)
+    out = bytearray()
+    # preamble: plain (non-zigzag) LEB128 varint of the uncompressed size
+    u = n
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        out.append(b | 0x80 if u else b)
+        if not u:
+            break
+
+    def emit_literal(lo: int, hi: int) -> None:
+        ln = hi - lo
+        while ln > 0:
+            chunk = min(ln, 1 << 32)
+            m = chunk - 1
+            if m < 60:
+                out.append(m << 2)
+            elif m < 1 << 8:
+                out.append(60 << 2)
+                out.append(m)
+            elif m < 1 << 16:
+                out.append(61 << 2)
+                out.extend(m.to_bytes(2, "little"))
+            elif m < 1 << 24:
+                out.append(62 << 2)
+                out.extend(m.to_bytes(3, "little"))
+            else:
+                out.append(63 << 2)
+                out.extend(m.to_bytes(4, "little"))
+            out.extend(data[lo : lo + chunk])
+            lo += chunk
+            ln -= chunk
+
+    def emit_copy(offset: int, ln: int) -> None:
+        while ln > 0:
+            chunk = min(ln, 64)
+            # keep the tail >= 4 so every element is a legal length
+            if 0 < ln - chunk < 4 and chunk == 64:
+                chunk = 60
+            if offset < 1 << 16:
+                out.append(((chunk - 1) << 2) | 2)
+                out.extend(offset.to_bytes(2, "little"))
+            else:
+                out.append(((chunk - 1) << 2) | 3)
+                out.extend(offset.to_bytes(4, "little"))
+            ln -= chunk
+
+    # fixed-size hash table (classic snappy shape): bounded memory on any
+    # block size; collisions are fine because hits are verified against
+    # the actual bytes before emitting a copy
+    table = [-1] * 16384
+
+    def slot(p: int) -> int:
+        return ((int.from_bytes(data[p : p + 4], "little") * 0x1E35A7BD) >> 14) & 0x3FFF
+
+    i = lit_start = 0
+    while i + 4 <= n:
+        s = slot(i)
+        cand = table[s]
+        table[s] = i
+        if cand >= 0 and data[cand : cand + 4] == data[i : i + 4]:
+            # extend the match
+            m = 4
+            while i + m < n and data[cand + m] == data[i + m]:
+                m += 1
+            emit_literal(lit_start, i)
+            emit_copy(i - cand, m)
+            # index a few positions inside the match so nearby repeats hit
+            end = i + m
+            for j in range(i + 1, min(end, i + 8)):
+                if j + 4 <= n:
+                    table[slot(j)] = j
+            i = lit_start = end
+        else:
+            i += 1
+    emit_literal(lit_start, n)
+    return bytes(out)
+
+
+def _snappy_decompress_pure(block: bytes) -> bytes:
+    # preamble
+    pos = shift = 0
+    n = 0
+    while True:
+        b = block[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    out = bytearray()
+    while pos < len(block):
+        tag = block[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            m = tag >> 2
+            if m >= 60:
+                nb = m - 59
+                m = int.from_bytes(block[pos : pos + nb], "little")
+                pos += nb
+            ln = m + 1
+            out += block[pos : pos + ln]
+            pos += ln
+            continue
+        if kind == 1:  # copy, 11-bit offset, len 4-11
+            ln = ((tag >> 2) & 0x7) + 4
+            offset = ((tag >> 5) << 8) | block[pos]
+            pos += 1
+        elif kind == 2:  # copy, 2-byte offset
+            ln = (tag >> 2) + 1
+            offset = int.from_bytes(block[pos : pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte offset
+            ln = (tag >> 2) + 1
+            offset = int.from_bytes(block[pos : pos + 4], "little")
+            pos += 4
+        if offset == 0 or offset > len(out):
+            raise OSError("snappy: invalid copy offset")
+        start = len(out) - offset
+        if offset >= ln:
+            out += out[start : start + ln]
+        else:  # overlapping copy repeats the pattern byte-by-byte
+            for k in range(ln):
+                out.append(out[start + k])
+    if len(out) != n:
+        raise OSError(f"snappy: length mismatch (expected {n}, got {len(out)})")
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -207,12 +355,8 @@ def _compress(codec: str, payload: bytes) -> bytes:
         return c.compress(payload) + c.flush()
     if codec == "snappy":
         sn = _snappy()
-        if sn is None:
-            raise RuntimeError(
-                "snappy codec requires the python-snappy package (not in this "
-                "container); use codec='deflate' — readable by all Avro readers"
-            )
-        return sn.compress(payload) + struct.pack(">I", crc32(payload) & 0xFFFFFFFF)
+        body = sn.compress(payload) if sn is not None else _snappy_compress_pure(payload)
+        return body + struct.pack(">I", crc32(payload) & 0xFFFFFFFF)
     raise ValueError(f"unsupported codec: {codec}")
 
 
@@ -223,12 +367,8 @@ def _decompress(codec: str, block: bytes) -> bytes:
         return zlib.decompress(block, -15)
     if codec == "snappy":
         sn = _snappy()
-        if sn is None:
-            raise RuntimeError(
-                "file is snappy-compressed; reading it requires python-snappy "
-                "(not in this container)"
-            )
-        payload = sn.decompress(block[:-4])
+        raw = block[:-4]
+        payload = sn.decompress(raw) if sn is not None else _snappy_decompress_pure(raw)
         if struct.unpack(">I", block[-4:])[0] != crc32(payload) & 0xFFFFFFFF:
             raise OSError("snappy block CRC mismatch")
         return payload

@@ -155,3 +155,76 @@ def test_stream_writer_bounded_blocks_roundtrip(tmp_path):
     single = write_container(schema, iter(recs), "deflate")
     assert len(read_container(single)[1]) == 1000
     assert blob != single
+
+
+def test_pure_snappy_golden_decode():
+    """Hand-assembled streams from the public format description decode
+    exactly: a plain literal, and a literal + overlapping 1-byte-offset
+    copy (the RLE shape)."""
+    from skripsi_mapreduce_spark.sources.avro_python import _snappy_decompress_pure
+
+    # varint 5, tag literal len 5 ((5-1)<<2 = 0x10), "hello"
+    assert _snappy_decompress_pure(b"\x05\x10hello") == b"hello"
+    # varint 8, literal len 1 'a', copy1 len 7 offset 1:
+    # tag = ((7-4)<<2)|1 = 0x0D, offset byte 0x01 -> 'a' * 8
+    assert _snappy_decompress_pure(b"\x08\x00a\x0d\x01") == b"aaaaaaaa"
+
+
+def test_pure_snappy_roundtrip_shapes():
+    """Round-trip every tag path: empty, short, >60-byte literals,
+    overlapping copies, 2-byte and 4-byte offsets (far matches past 64 KiB),
+    and incompressible random bytes; repetitive data must actually shrink."""
+    import random
+
+    from skripsi_mapreduce_spark.sources.avro_python import (
+        _snappy_compress_pure,
+        _snappy_decompress_pure,
+    )
+
+    rng = random.Random(3)
+    rand64k = bytes(rng.randrange(256) for _ in range(70_000))
+    cases = [
+        b"",
+        b"a",
+        b"hello",
+        b"aaaaaaaaaaaaaaaaaaaaaaaaa",
+        b"ab" * 5000,
+        bytes(range(256)) * 3,
+        b"x" * 61,  # literal needing the 1-extra-length-byte form
+        rand64k,  # incompressible
+        b"MAGIC" + rand64k + b"MAGIC" + rand64k[:100] + b"MAGIC",  # far offsets
+        ("the quick brown fox " * 400).encode(),
+    ]
+    for data in cases:
+        blob = _snappy_compress_pure(data)
+        assert _snappy_decompress_pure(blob) == data, f"len={len(data)}"
+    # copies chunk at 64 bytes (3-byte tags), so highly repetitive data
+    # compresses ~20x: 10000 -> ~480
+    assert len(_snappy_compress_pure(b"ab" * 5000)) < 600
+    assert len(_snappy_compress_pure(("long text " * 1000).encode())) < 1000
+
+
+def test_avro_container_snappy_codec_roundtrip():
+    """codec='snappy' works without python-snappy (pure fallback): block
+    framing = raw snappy + big-endian CRC32 of the uncompressed bytes,
+    per the Avro spec."""
+    from skripsi_mapreduce_spark.sources.avro_python import (
+        read_container,
+        write_container,
+    )
+
+    schema = (
+        '{"type":"record","name":"R","fields":'
+        '[{"name":"id","type":"long"},{"name":"s","type":"string"}]}'
+    )
+    recs = [{"id": i, "s": f"value-{i % 7}"} for i in range(500)]
+    blob = write_container(schema, iter(recs), "snappy")
+    got_schema, got = read_container(blob)
+    assert got == recs
+    # corrupting a payload byte must trip the CRC (or the format parse)
+    import pytest as _pytest
+
+    bad = bytearray(blob)
+    bad[-10] ^= 0xFF
+    with _pytest.raises(Exception):
+        read_container(bytes(bad))
