@@ -6,13 +6,13 @@ Decode policy (``decode_stub``):
   REAL Spark-side plumbing — schema, Arrow batch shapes, ``mapInPandas``
   signatures, partitioning — all exercised and tested.
 - ``decode_stub=False``: REAL decoding for the codec-free formats this
-  module implements from their public specs with stdlib struct/numpy
-  alone — PCM WAV (RIFF chunks, 16-bit) for audio and binary PPM (P6)
-  for images, detected by magic bytes. Compressed formats (png/jpeg/mp3/
-  mp4) genuinely need codec libraries absent from this container and
-  raise ``NotImplementedError`` naming them; swapping in PIL/librosa/
-  pyav changes only the inner ``_decode_*`` functions, nothing in the
-  plan.
+  module implements from their public specs with stdlib struct/zlib/
+  numpy alone — PCM WAV (RIFF chunks, 16-bit) for audio, binary PPM (P6)
+  and 8-bit PNG (inflate + unfiltering) for images, PPM-sequence
+  containers for video frames, detected by magic bytes. Formats whose
+  codecs genuinely aren't in this container (jpeg/webp/mp3/mp4) raise
+  ``NotImplementedError`` naming them; swapping in PIL/librosa/pyav
+  changes only the inner ``_decode_*`` functions, nothing in the plan.
 
 Scale design: media bytes stay in executor-side Arrow batches end to end
 (never collected); per-batch work is vectorized over pandas; feature
@@ -144,6 +144,118 @@ def _decode_ppm(b: bytes):
     return w, h, raster.reshape(h, w, 3)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def make_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode raw RGB bytes (len = w*h*3) as a minimal valid PNG
+    (8-bit truecolor, non-interlaced, filter 0 rows) — stdlib only."""
+    import zlib
+
+    assert len(rgb) == width * height * 3
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + rgb[y * width * 3 : (y + 1) * width * 3] for y in range(height)
+    )
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(b: bytes):
+    """(width, height, np.uint8 array (h, w, 3)) from a PNG blob —
+    implemented from the public spec with stdlib zlib: chunk walk, IDAT
+    inflate, per-row unfiltering (none/sub/up/average/paeth). Supports
+    8-bit grey / grey+alpha / RGB / RGBA, non-interlaced (alpha dropped,
+    grey replicated to RGB); palette, 16-bit, and interlaced images raise
+    NotImplementedError. Pure-Python row loop — fine for feature
+    extraction on thumbnails/frames; swap in PIL for bulk photos."""
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != PNG_SIG:
+        raise ValueError("not a PNG blob")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if (zlib.crc32(ctype + data) & 0xFFFFFFFF) != int.from_bytes(
+            b[pos + 8 + ln : pos + 12 + ln], "big"
+        ):
+            raise OSError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_v, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype_v)
+    if depth != 8 or channels is None or interlace != 0 or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            "PNG subset: 8-bit grey/grey-alpha/RGB/RGBA non-interlaced "
+            f"(got depth={depth} colortype={ctype_v} interlace={interlace})"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise OSError("PNG decompressed size mismatch")
+    out = bytearray(h * stride)
+    prev = bytes(stride)
+    for y in range(h):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        row = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        if ftype == 1:  # sub
+            for i in range(channels, stride):
+                row[i] = (row[i] + row[i - channels]) & 0xFF
+        elif ftype == 2:  # up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # average
+            for i in range(stride):
+                left = row[i - channels] if i >= channels else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # paeth
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                up = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise OSError(f"PNG: unknown filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = bytes(row)
+    px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, channels)
+    if ctype_v == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif ctype_v == 4:
+        px = np.repeat(px[:, :, :1], 3, axis=2)
+    elif ctype_v == 6:
+        px = px[:, :, :3]
+    return w, h, px
+
+
 def make_ppm_video(frames: list[bytes]) -> bytes:
     """Encode a frame list as a PPM-sequence "video": the concatenation of
     P6 blobs (the natural codec-free container — ffmpeg's image2pipe
@@ -197,10 +309,12 @@ def _image_features_real(b: bytes):
 
     if b[:2] == b"P6":
         w, h, px = _decode_ppm(b)
+    elif b[:8] == PNG_SIG:
+        w, h, px = _decode_png(b)
     else:
         raise NotImplementedError(
-            "compressed image formats (png/jpeg) require PIL/opencv — not in "
-            "this container; codec-free path supports P6 PPM"
+            "jpeg/webp image decode requires PIL/opencv — not in this "
+            "container; codec-free path supports P6 PPM and 8-bit PNG"
         )
     f = px.astype(np.float64)
     luma = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
@@ -402,12 +516,15 @@ def synthetic_codec_media(spark, n: int = 8, seed: int = 7) -> DataFrame:
             meta = {"mime": "audio/wav", "width": None, "height": None,
                     "duration_ms": 250, "sample_rate": rate}
             rows.append((i, "audio", blob, meta))
-        else:  # PPM: solid color with a small random patch
+        else:  # image: PPM or PNG (both real codec-free decodes)
             w, h = 8 + i, 6 + i
             color = (rng.randrange(256), rng.randrange(256), rng.randrange(256))
-            rgb = bytearray(bytes(color) * (w * h))
-            blob = make_ppm(w, h, bytes(rgb))
-            meta = {"mime": "image/x-portable-pixmap", "width": w, "height": h,
+            rgb = bytes(color) * (w * h)
+            if (i // 4) % 2 == 0:  # alternate: i=1 PPM, i=5 PNG, ...
+                blob, mime = make_ppm(w, h, rgb), "image/x-portable-pixmap"
+            else:
+                blob, mime = make_png(w, h, rgb), "image/png"
+            meta = {"mime": mime, "width": w, "height": h,
                     "duration_ms": None, "sample_rate": None}
             rows.append((i, "image", blob, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -77,7 +77,11 @@ def test_ppm_header_comments_supported():
 
 
 def test_compressed_formats_raise_named_error():
-    with pytest.raises(NotImplementedError, match="PIL|opencv"):
+    # jpeg stays honestly gated; a truncated PNG is a parse error now
+    # that PNG decodes for real
+    with pytest.raises(NotImplementedError, match="PIL|opencv|jpeg"):
+        _image_features_real(b"\xff\xd8\xff\xe0....jpeg-ish")
+    with pytest.raises((ValueError, OSError)):
         _image_features_real(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(ValueError):
         _decode_wav(b"ID3....mp3-ish")
@@ -126,3 +130,120 @@ def test_spark_real_frame_sampling(spark):
             assert fb[:2] == b"P6"
             w, h, lum, feat = _image_features_real(fb)
             assert (w, h) == (4, 3) and len(feat) == 8
+
+
+def _png_with_filters(w, h, channels, ctype, pixels, filters):
+    """Assemble a PNG whose rows use the given filter types, applying the
+    FORWARD filter transform to known pixel bytes (spec, ch. Filtering)."""
+    import struct as _struct
+    import zlib
+
+    from skripsi_mapreduce_spark.operators.multimodal import PNG_SIG
+
+    stride = w * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = pixels[y * stride : (y + 1) * stride]
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for i in range(stride):
+            a = row[i - channels] if i >= channels else 0
+            up = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if f == 0:
+                v = row[i]
+            elif f == 1:
+                v = (row[i] - a) & 0xFF
+            elif f == 2:
+                v = (row[i] - up) & 0xFF
+            elif f == 3:
+                v = (row[i] - ((a + up) >> 1)) & 0xFF
+            else:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                v = (row[i] - pred) & 0xFF
+            raw.append(v)
+        prev = row
+
+    def chunk(t, d):
+        return (len(d).to_bytes(4, "big") + t + d
+                + (zlib.crc32(t + d) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_and_all_filters():
+    import random
+
+    from skripsi_mapreduce_spark.operators.multimodal import _decode_png, make_png
+
+    rng = random.Random(5)
+    w, h = 9, 7
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    # encoder (filter 0) round-trip
+    got_w, got_h, px = _decode_png(make_png(w, h, rgb))
+    assert (got_w, got_h) == (w, h) and px.tobytes() == rgb
+    # every filter type reconstructs the same pixels
+    for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        blob = _png_with_filters(w, h, 3, 2, rgb, filters)
+        assert _decode_png(blob)[2].tobytes() == rgb, f"filters={filters}"
+
+
+def test_png_grey_and_alpha_variants():
+    import random
+
+    from skripsi_mapreduce_spark.operators.multimodal import _decode_png
+
+    rng = random.Random(6)
+    w, h = 5, 4
+    grey = bytes(rng.randrange(256) for _ in range(w * h))
+    _, _, px = _decode_png(_png_with_filters(w, h, 1, 0, grey, [0]))
+    assert px.shape == (h, w, 3) and bytes(px[:, :, 0].tobytes()) == grey
+    rgba = bytes(rng.randrange(256) for _ in range(w * h * 4))
+    _, _, px = _decode_png(_png_with_filters(w, h, 4, 6, rgba, [2]))
+    assert px.shape == (h, w, 3)
+    assert px.tobytes() == b"".join(rgba[i : i + 3] for i in range(0, len(rgba), 4))
+
+
+def test_png_rejects_unsupported_and_corrupt():
+    import pytest as _pytest
+
+    from skripsi_mapreduce_spark.operators.multimodal import (
+        _decode_png,
+        _image_features_real,
+        make_png,
+    )
+
+    blob = make_png(4, 3, bytes(36))
+    bad = bytearray(blob)
+    bad[20] ^= 0xFF  # corrupt IHDR payload -> CRC mismatch
+    with _pytest.raises(OSError, match="CRC"):
+        _decode_png(bytes(bad))
+    with _pytest.raises(NotImplementedError, match="jpeg|webp"):
+        _image_features_real(b"\xff\xd8\xff\xe0....jpeg-ish")
+    # palette PNG (colortype 3) is honestly gated
+    pal = _png_with_filters(2, 2, 1, 3, bytes(4), [0])
+    with _pytest.raises(NotImplementedError, match="colortype=3"):
+        _decode_png(pal)
+
+
+def test_png_features_through_spark(spark):
+    """The synthetic fixture now carries a real PNG; decode_stub=False
+    must produce its true dimensions and luma."""
+    from skripsi_mapreduce_spark.operators.multimodal import (
+        extract_image_features,
+        synthetic_codec_media,
+    )
+
+    media = synthetic_codec_media(spark, n=8)
+    image = {r["media_id"]: r for r in
+             extract_image_features(media, decode_stub=False).collect()}
+    assert set(image) == {1, 5}
+    for mid in (1, 5):
+        r = image[mid]
+        assert (r["width"], r["height"]) == (8 + mid, 6 + mid)
+        assert 0.0 <= r["mean_luma"] <= 1.0 and len(r["feature"]) == 8
