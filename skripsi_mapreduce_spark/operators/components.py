@@ -104,3 +104,64 @@ def duplicate_groups(
         F.col("component").alias("group_id"),
         (F.col("node") == F.col("component")).alias("is_keeper"),
     )
+
+
+def pagerank_e8(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    node_col: str = "node",
+) -> DataFrame:
+    """Weighted PageRank over an edge list, in pure int64 e8 fixed point
+    so ranks are bit-identical across engines, runs, and partitionings
+    (no float summation-order hazard — the repo's kmeans_fixedpoint
+    convention applied to the power iteration).
+
+    ``edges``: (src, dst, weight) with positive integer weights;
+    ``nodes``: one row per node id (isolated nodes rank at the base).
+    Per iteration each node sends ``(rank_e8 * w) div wout`` along every
+    out-edge (truncating integer division, identical in Spark ``div``
+    and DuckDB ``//`` for non-negative operands) and collects
+    ``base + (damping_pct * Σ in-contrib) div 100``; dangling nodes'
+    mass simply evaporates (the no-redistribution variant — documented,
+    deterministic, and the common formulation for link-graph sketches).
+
+    Scale: the edge table shuffles by src once per iteration (join with
+    the 1-row-per-node rank table) and aggregates by dst — the standard
+    Pregel-free DataFrame PageRank; ranks are narrow (node, long),
+    lineage is cut per iteration, and no driver collect happens at any
+    size. n_iter is a fixed small constant by design (rank sketches for
+    corpus-weighting converge in a handful of iterations).
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank needs a non-empty node set")
+    e8 = 10**8
+    base = (100 - damping_pct) * e8 // (100 * n_nodes)
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("wout"))
+    ew = edges.join(out_w, "src").localCheckpoint(eager=False)
+    ranks = nodes.select(
+        F.col(node_col).alias("node"), F.lit(e8 // n_nodes).cast("long").alias("rank_e8")
+    )
+    for _ in range(n_iter):
+        contrib = ew.join(ranks, ew["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            F.expr("(rank_e8 * weight) div wout").alias("c"),
+        )
+        agg = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.select(F.col(node_col).alias("node"))
+            .join(agg, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("rank_e8"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -1,0 +1,182 @@
+"""Deterministic cardinality / frequency sketches — the approximate
+counting layer a 100 TB pipeline runs BEFORE committing to exact
+aggregation (how many distinct URLs per domain? which tokens are heavy
+hitters?), sized so the sketch state is constant per group regardless of
+corpus size.
+
+Both sketches replace engine-native randomness with the repo's md5
+integer draw (operators/pipeline._draw60 convention), so every counter
+and every estimate is a pure function of the data — reproducible across
+runs, partitionings, retries, and engines, and therefore hash-matchable
+against a DuckDB oracle stating the same arithmetic (unlike
+``approx_count_distinct``'s HLL++, whose binary state is engine-private).
+
+- KMV (k minimum values / bottom-k) distinct estimator: per group keep
+  the k smallest 60-bit hash draws of the keys; with h_k = the k-th
+  smallest normalized to (0,1], estimate D = (k-1)/h_k (Bar-Yossef et
+  al. 2002, the classic KMV form). Exact below k (the sketch holds every
+  key), unbiased-ish above with rel. error ~ 1/sqrt(k-2).
+- Count-min sketch (Cormode & Muthukrishnan 2005): d independent hash
+  rows of w counters; point estimate = min over rows. Counters are ONE
+  ``groupBy(row, col).count()`` — the whole sketch is d*w rows and
+  estimation is a broadcast join against it.
+
+Scale notes. KMV: the only shuffle is a distinct + a per-group window
+over DISTINCT keys; state per group is the key set (the same bound any
+exact count-distinct pays) but the *output* is k values — at true scale
+swap the window for a per-partition bottom-k partial aggregate; the
+estimator arithmetic is unchanged. CMS: two hash aggregations, one of
+them over a key space capped at d*w — scan-speed at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import e_int
+
+_SIXTY = float(1 << 60)  # 1152921504606846976
+
+
+def _draw60_expr(col: F.Column, salt: str) -> F.Column:
+    """60-bit uniform integer draw, pure function of (salt, value) —
+    same construction as operators/pipeline._draw60."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate.
+
+    Returns ``(group_col, n_exact, est_e4)`` — the exact distinct count
+    (for free: it's the window frame size) and the KMV estimate as an
+    e4-scaled BIGINT. Groups with fewer than k distinct keys report the
+    exact count (the sketch degenerates to the full key set — standard
+    KMV behavior).
+
+    Determinism: rows ordered by (draw, key) so equal draws (md5
+    collisions) can't flip which hash is "k-th"; the estimate divides
+    the same integer literals in every engine.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    pairs = df.select(F.col(group_col), F.col(key_col)).distinct()
+    h = _draw60_expr(F.col(key_col), salt)
+    w_rank = Window.partitionBy(group_col).orderBy("h", key_col)
+    w_all = Window.partitionBy(group_col)
+    ranked = pairs.select(
+        group_col,
+        F.col(key_col),
+        h.alias("h"),
+    ).select(
+        group_col,
+        "h",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n_exact"),
+    )
+    kth = ranked.filter(
+        (F.col("rn") == F.lit(k))
+        | ((F.col("n_exact") < F.lit(k)) & (F.col("rn") == F.col("n_exact")))
+    )
+    est = F.when(
+        F.col("n_exact") >= F.lit(k),
+        F.lit(float(k - 1) * _SIXTY) / F.col("h").cast("double"),
+    ).otherwise(F.col("n_exact").cast("double"))
+    return kth.select(
+        group_col,
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        e_int(est, 4).alias("est_e4"),
+    )
+
+
+def cms_counters(
+    items: DataFrame,
+    item_col: str = "word",
+    d: int = 4,
+    w: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build the count-min counter table over an item stream (one row
+    per occurrence): ``(r, c, cnt)`` with r in [0, d) and c in [0, w).
+    One explode (×d) + one hash aggregate whose key space is capped at
+    d*w — the sketch stays 4096 rows no matter the corpus size."""
+    rows = items.select(
+        F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"),
+        F.col(item_col).alias("item"),
+    ).select(
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(salt),
+                            F.col("r").cast("string"),
+                            F.lit(":"),
+                            F.col("item"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % w
+        ).alias("c"),
+    )
+    return rows.groupBy("r", "c").agg(F.count("*").cast("bigint").alias("cnt"))
+
+
+def cms_estimate(
+    probes: DataFrame,
+    counters: DataFrame,
+    item_col: str = "word",
+    d: int = 4,
+    w: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-estimate each probe item's frequency from the counter
+    table: min over the d rows' counters at the item's columns. The
+    counter table is ≤ d*w rows — broadcast, so estimation is a narrow
+    map-side join however many probes arrive."""
+    cells = probes.select(
+        F.col(item_col),
+        F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"),
+    ).select(
+        item_col,
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(salt),
+                            F.col("r").cast("string"),
+                            F.lit(":"),
+                            F.col(item_col),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % w
+        ).alias("c"),
+    )
+    joined = cells.join(F.broadcast(counters), ["r", "c"], "left").select(
+        item_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy(item_col).agg(F.min("cnt").cast("bigint").alias("n_est"))

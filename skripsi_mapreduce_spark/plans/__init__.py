@@ -3,6 +3,7 @@
 from .relational import ORACLE, QUERIES  # noqa: F401
 from . import extensions  # noqa: F401  (registers into QUERIES/ORACLE)
 from . import relational2  # noqa: F401  (registers into QUERIES/ORACLE)
+from . import extensions2  # noqa: F401  (registers into QUERIES/ORACLE)
 
 # The external correctness gate adjudicates the FIRST ~50 registry entries
 # in dict order (rounds 1 and 2 both cut off at exactly position 50).
@@ -30,6 +31,10 @@ _PROMOTED = [
     # new in round 3 — must be adjudicated this round
     "emb_kmeans",
     "pack_blocks",
+    "sketch_kmv_distinct",
+    "sketch_cms_topk",
+    "graph_pagerank",
+    "bpe_encode",
 ]
 _TAIL = [
     # retired this round (green r2)

@@ -936,21 +936,22 @@ def ta_unigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 5
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
-    """Unrolled DuckDB twin of operators/bpe.learn_bpe: each step is a
-    pair-count aggregate + deterministic argmax + a greedy merge pass
-    stated with the SAME closed form as operators/bpe._apply_merge
-    (mark adjacent (a,b) positions; select marks at odd distance from
-    the last unmarked position — greedy non-overlap; rebuild skipping
-    successors of selections), so the learned merges match
-    string-for-string."""
+def _bpe_ctes(n_merges: int, carry_word: bool = False) -> str:
+    """The unrolled learn-BPE CTE chain shared by the bpe_merges and
+    bpe_encode oracles: wc (corpus word count), w0..w{n} (the vocab
+    symbol-sequence table after each merge), m0..m{n-1} (the argmax
+    merges). With ``carry_word`` each w{t} also carries the original
+    word, so w{n} doubles as the learned tokenizer's dictionary
+    (word -> final symbol sequence); the aggregates that pick the merges
+    are unaffected by the extra column."""
+    word_sel = "word, " if carry_word else ""
     ctes = [
         rf"""wc AS (
         SELECT word, COUNT(*) AS cnt FROM (
             SELECT unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS word
             FROM documents) GROUP BY word),
     w0 AS (
-        SELECT array_to_string(list_transform(range(1, length(word) + 1),
+        SELECT {word_sel}array_to_string(list_transform(range(1, length(word) + 1),
                                               i -> substring(word, CAST(i AS INT), 1)), ' ') AS seq,
                cnt
         FROM wc)"""
@@ -964,13 +965,13 @@ def _bpe_oracle_sql(n_merges: int) -> str:
         GROUP BY 1, 2),
     m{t} AS (SELECT a, b, c FROM p{t} ORDER BY c DESC, a, b LIMIT 1),
     y{t} AS (
-        SELECT s, cnt,
+        SELECT {word_sel}s, cnt,
                list_transform(range(1, len(s)),
                               i -> CASE WHEN s[i] = m.a AND s[i + 1] = m.b
                                         THEN 1 ELSE 0 END) AS mk
-        FROM (SELECT string_split(seq, ' ') AS s, cnt FROM w{t}) CROSS JOIN m{t} m),
+        FROM (SELECT {word_sel}string_split(seq, ' ') AS s, cnt FROM w{t}) CROSS JOIN m{t} m),
     z{t} AS (
-        SELECT s, cnt, mk,
+        SELECT {word_sel}s, cnt, mk,
                list_transform(range(1, len(mk) + 1),
                               i -> CASE WHEN mk[i] = 1
                                         AND ((i - COALESCE(list_max(list_filter(range(1, i + 1),
@@ -978,7 +979,7 @@ def _bpe_oracle_sql(n_merges: int) -> str:
                                         THEN 1 ELSE 0 END) AS sel
         FROM y{t}),
     w{t + 1} AS (
-        SELECT array_to_string(
+        SELECT {word_sel}array_to_string(
                  list_transform(
                    list_filter(range(1, len(s) + 1),
                                i -> NOT (i >= 2 AND COALESCE(sel[i - 1], 0) = 1)),
@@ -987,12 +988,23 @@ def _bpe_oracle_sql(n_merges: int) -> str:
                cnt
         FROM z{t} CROSS JOIN m{t} m)"""
         )
+    return ", ".join(ctes)
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled DuckDB twin of operators/bpe.learn_bpe: each step is a
+    pair-count aggregate + deterministic argmax + a greedy merge pass
+    stated with the SAME closed form as operators/bpe._apply_merge
+    (mark adjacent (a,b) positions; select marks at odd distance from
+    the last unmarked position — greedy non-overlap; rebuild skipping
+    successors of selections), so the learned merges match
+    string-for-string."""
     selects = " UNION ALL ".join(
         f"SELECT {t} AS step, a AS sym_a, b AS sym_b, a || b AS merged, "
         f"CAST(c AS BIGINT) AS pair_count FROM m{t}"
         for t in range(n_merges)
     )
-    return f"WITH {', '.join(ctes)} {selects} ORDER BY step"
+    return f"WITH {_bpe_ctes(n_merges)} {selects} ORDER BY step"
 
 
 @query("bpe_merges", _bpe_oracle_sql(_BPE_MERGES))

@@ -1,0 +1,230 @@
+r"""Round-3 extension surface: deterministic sketches (KMV distinct,
+count-min heavy hitters), an integer-exact PageRank over the TPC-H trade
+graph, and BPE tokenizer APPLICATION (encode the corpus under learned
+merges) — each hash-matched against a DuckDB oracle stating the same
+arithmetic.
+
+Shares every cross-engine convention with plans/extensions.py: md5
+integer draws for randomness, scaled-BIGINT (_e4/_e8) hash surfaces,
+ASCII token regex in the oracle dialect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..functions.text import TOKEN_PATTERN
+from .extensions import ASCII_TOKEN, _BPE_MERGES, _bpe_ctes
+from .relational import ORACLE, QUERIES, e_int_sql, query  # noqa: F401
+
+_KMV_K = 64
+_CMS_D, _CMS_W, _CMS_TOP = 4, 1024, 20
+_SIXTY_SQL = "1152921504606846976.0"  # 2^60 as a double literal
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch — per-order-status customer cardinality
+# ---------------------------------------------------------------------------
+@query(
+    "sketch_kmv_distinct",
+    f"""
+    WITH pairs AS (SELECT DISTINCT o_orderstatus, o_custkey FROM orders),
+    h AS (SELECT o_orderstatus, o_custkey,
+                 CAST('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS h
+          FROM pairs),
+    r AS (SELECT o_orderstatus, h,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY h, o_custkey) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_orderstatus) AS n_exact
+          FROM h)
+    SELECT o_orderstatus, CAST(n_exact AS BIGINT) AS n_exact,
+           {e_int_sql(
+               f"CASE WHEN n_exact >= {_KMV_K}"
+               f" THEN {_KMV_K - 1}.0 * {_SIXTY_SQL} / CAST(h AS DOUBLE)"
+               f" ELSE CAST(n_exact AS DOUBLE) END", 4)} AS est_e4
+    FROM r
+    WHERE rn = {_KMV_K} OR (n_exact < {_KMV_K} AND rn = n_exact)
+    ORDER BY o_orderstatus
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (k=64) of customers per order status —
+    the constant-space cardinality estimator a pipeline runs before
+    committing to an exact COUNT(DISTINCT) at corpus scale
+    (operators/sketches.kmv_distinct). Surfaces the exact count beside
+    the estimate so the oracle pins both."""
+    from ..operators.sketches import kmv_distinct
+
+    orders = load_table(spark, sf_dir, "orders")
+    return kmv_distinct(orders, "o_orderstatus", "o_custkey", k=_KMV_K).orderBy(
+        "o_orderstatus"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — heavy-hitter estimates for the top-20 corpus tokens
+# ---------------------------------------------------------------------------
+def _cms_cell_sql(word_expr: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || {word_expr}), 1, 15)"
+        f" AS BIGINT) % {_CMS_W}"
+    )
+
+
+@query(
+    "sketch_cms_topk",
+    f"""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS word
+        FROM documents),
+    cells AS (SELECT r, {_cms_cell_sql('word')} AS c
+              FROM toks CROSS JOIN range({_CMS_D}) t(r)),
+    counters AS (SELECT r, c, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+    exact AS (SELECT word, COUNT(*) AS n_exact FROM toks GROUP BY 1
+              ORDER BY n_exact DESC, word LIMIT {_CMS_TOP}),
+    probe AS (SELECT word, r, {_cms_cell_sql('word')} AS c
+              FROM exact CROSS JOIN range({_CMS_D}) t(r)),
+    est AS (SELECT p.word, MIN(COALESCE(cn.cnt, 0)) AS n_est
+            FROM probe p LEFT JOIN counters cn USING (r, c) GROUP BY 1)
+    SELECT e.word, CAST(e.n_exact AS BIGINT) AS n_exact,
+           CAST(est.n_est AS BIGINT) AS n_est
+    FROM exact e JOIN est USING (word) ORDER BY e.word
+    """,
+)
+def sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4, w=1024) over the corpus token stream,
+    probed at the exact top-20 tokens: (word, n_exact, n_est) with
+    n_est >= n_exact by construction. The whole sketch is one
+    4096-key hash aggregate; estimation is a broadcast join
+    (operators/sketches.cms_counters / cms_estimate)."""
+    from ..operators.sketches import cms_counters, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("word")
+    )
+    counters = cms_counters(toks, d=_CMS_D, w=_CMS_W)
+    exact = (
+        toks.groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "word")
+        .limit(_CMS_TOP)
+    )
+    est = cms_estimate(exact.select("word"), counters, d=_CMS_D, w=_CMS_W)
+    return exact.join(est, "word").select("word", "n_exact", "n_est").orderBy("word")
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the customer-nation -> supplier-nation trade graph
+# ---------------------------------------------------------------------------
+_PR_ITER, _PR_DAMP = 3, 85
+_PR_N = 25  # TPC-H nation is fixed at 25 rows at every SF
+_PR_INIT = 10**8 // _PR_N
+_PR_BASE = (100 - _PR_DAMP) * 10**8 // (100 * _PR_N)
+
+
+def _pagerank_oracle_sql() -> str:
+    ctes = [
+        """e AS (
+        SELECT c_nationkey AS src, s_nationkey AS dst, COUNT(*) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+    ow AS (SELECT src, SUM(w) AS wout FROM e GROUP BY 1),
+    ew AS (SELECT e.src, e.dst, e.w, ow.wout FROM e JOIN ow USING (src)),
+    nd AS (SELECT n_nationkey AS node FROM nation),
+    r0 AS (SELECT node, CAST(%d AS BIGINT) AS rank_e8 FROM nd)"""
+        % _PR_INIT
+    ]
+    for t in range(_PR_ITER):
+        ctes.append(
+            f"""s{t + 1} AS (
+        SELECT ew.dst AS node, SUM((r.rank_e8 * ew.w) // ew.wout) AS s
+        FROM ew JOIN r{t} r ON ew.src = r.node GROUP BY 1),
+    r{t + 1} AS (
+        SELECT nd.node,
+               CAST({_PR_BASE} + ({_PR_DAMP} * COALESCE(s{t + 1}.s, 0)) // 100 AS BIGINT)
+                 AS rank_e8
+        FROM nd LEFT JOIN s{t + 1} USING (node))"""
+        )
+    return (
+        f"WITH {', '.join(ctes)} "
+        f"SELECT n_nationkey, n_name, r{_PR_ITER}.rank_e8 "
+        f"FROM r{_PR_ITER} JOIN nation ON node = n_nationkey ORDER BY n_nationkey"
+    )
+
+
+@query("graph_pagerank", _pagerank_oracle_sql())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 iterations, damping 0.85, int64 e8 fixed
+    point) over the nation-level trade graph: customer's nation ->
+    supplier's nation, weighted by lineitem count. The edge aggregation
+    is the corpus-scale join (dims broadcast); the power iteration runs
+    on the 25-node rank table (operators/components.pagerank_e8 — the
+    same loop shape scales to web-graph node counts: shuffle by src,
+    aggregate by dst, no driver collect)."""
+    from ..operators.components import pagerank_e8
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("weight"))
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    ranks = pagerank_e8(edges, nodes, n_iter=_PR_ITER, damping_pct=_PR_DAMP)
+    return (
+        ranks.join(F.broadcast(nation), ranks["node"] == nation["n_nationkey"])
+        .select("n_nationkey", "n_name", "rank_e8")
+        .orderBy("n_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer application — encode the corpus under the learned merges
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_encode",
+    f"""
+    WITH {_bpe_ctes(_BPE_MERGES, carry_word=True)},
+    dict AS (SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_bpe
+             FROM w{_BPE_MERGES}),
+    toks AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS word
+             FROM documents),
+    per AS (SELECT t.doc_id, COUNT(*) AS n_words, SUM(d.n_bpe) AS n_bpe_tokens
+            FROM toks t JOIN dict d USING (word) GROUP BY 1)
+    SELECT doc.doc_id, CAST(COALESCE(per.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(per.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents doc LEFT JOIN per USING (doc_id) ORDER BY doc.doc_id
+    """,
+)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the LEARNED BPE merges (training +
+    application end to end): per document, word count and BPE symbol
+    count under the 5-merge tokenizer. The merge chain runs once per
+    DISTINCT word (dictionary-sized, operators/bpe.encode_words) and
+    documents pick up symbol counts through a broadcast join — the
+    corpus never carries symbol strings through a shuffle
+    (operators/bpe.bpe_token_count)."""
+    from ..operators.bpe import bpe_token_count, learn_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, n_merges=_BPE_MERGES)
+    return bpe_token_count(docs, merges).orderBy("doc_id")
+
+
+__all__ = ["QUERIES", "ORACLE"]
