@@ -416,3 +416,44 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
             ).otherwise(0.0)
         ).alias("nll"),
     )
+
+
+# Fixed weights for the linear quality classifier — stand-ins for a
+# trained model's coefficients (a fasttext/logreg-style keep/drop filter
+# distilled to its scoring pass). All weights are exactly-representable
+# doubles so the logit arithmetic is bit-identical across engines.
+CLASSIFIER_BIAS = -2.0
+CLASSIFIER_WEIGHTS = {
+    "alpha_ratio": 3.0,
+    "punct_ratio": -4.0,
+    "stop_ratio": 2.0,
+    "mean_word_len": 0.25,
+}
+CLASSIFIER_THRESHOLD = 0.5
+
+
+def quality_classifier(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Model-based corpus filter: a linear classifier's LOGIT over the
+    quality features, plus the keep/drop decision at a fixed threshold —
+    the scoring pass of a learned quality filter (the training-pipeline
+    step after heuristic filtering; weights here are fixed literals, the
+    operator shape is what matters).
+
+    Deliberately emits the logit rather than a sigmoid probability: the
+    features are exact k/10^4 doubles (round_exact_double) and the
+    weights exact literals, so the left-associated multiply-add chain is
+    the identical IEEE double in every engine — whereas exp() is libm-
+    dependent and NOT bit-portable. Monotonicity makes the decision
+    identical either way. Pure narrow projection — scan-speed, pushed
+    below any shuffle."""
+    cols = quality_columns(F.col(text_col))
+    z = F.lit(CLASSIFIER_BIAS)
+    for name, w in CLASSIFIER_WEIGHTS.items():
+        z = z + F.lit(w) * cols[name]
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        z.alias("logit"),
+        (z >= F.lit(CLASSIFIER_THRESHOLD)).cast("bigint").alias("keep"),
+    )

@@ -35,6 +35,9 @@ _PROMOTED = [
     "sketch_cms_topk",
     "graph_pagerank",
     "bpe_encode",
+    "ta_quality_classifier",
+    "stream_tumbling",
+    "stream_sessionization",
 ]
 _TAIL = [
     # retired this round (green r2)

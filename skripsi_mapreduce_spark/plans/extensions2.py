@@ -228,3 +228,117 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = ["QUERIES", "ORACLE"]
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filter — linear classifier logit + keep decision
+# ---------------------------------------------------------------------------
+def _rnd4_sql(expr: str) -> str:
+    """DuckDB twin of functions/numeric.round_exact_double at 4dp."""
+    return f"CAST(CAST(ROUND(({expr}) * 10000) AS BIGINT) AS DOUBLE) / 10000.0"
+
+
+def _classifier_oracle_sql() -> str:
+    from ..operators.text_analysis import (
+        CLASSIFIER_BIAS,
+        CLASSIFIER_THRESHOLD,
+        CLASSIFIER_WEIGHTS,
+    )
+    from .extensions import _STOP_LIST_SQL
+
+    # the same left-associated multiply-add chain as the Spark operator
+    z = f"{CLASSIFIER_BIAS}"
+    feats = {"alpha_ratio": "a", "punct_ratio": "p", "stop_ratio": "s", "mean_word_len": "m"}
+    for name, w in CLASSIFIER_WEIGHTS.items():
+        z = f"({z} + {w} * {feats[name]})"
+    return rf"""
+    WITH f AS (
+        SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+               CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+               CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS n_punct,
+               regexp_extract_all(lower(text), '{ASCII_TOKEN}') AS toks
+        FROM documents),
+    g AS (
+        SELECT doc_id, n_chars, n_alpha, n_punct,
+               CAST(LEN(toks) AS DOUBLE) AS n_words,
+               CAST(LEN(list_filter(toks, t -> list_contains({_STOP_LIST_SQL}, t))) AS DOUBLE) AS n_stop,
+               CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS DOUBLE) AS sum_len
+        FROM f),
+    r AS (
+        SELECT doc_id,
+               {_rnd4_sql('CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END')} AS a,
+               {_rnd4_sql('CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END')} AS p,
+               {_rnd4_sql('CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END')} AS s,
+               {_rnd4_sql('CASE WHEN n_words > 0 THEN sum_len / n_words ELSE 0.0 END')} AS m
+        FROM g)
+    SELECT doc_id,
+           {e_int_sql(z, 6)} AS logit_e6,
+           CAST(CASE WHEN {z} >= {CLASSIFIER_THRESHOLD} THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM r ORDER BY doc_id
+    """
+
+
+@query("ta_quality_classifier", _classifier_oracle_sql())
+def ta_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus filtering: a linear quality classifier's logit
+    and keep/drop decision per document (the scoring pass of a learned
+    fasttext/logreg-style filter; fixed literal weights). Emits the
+    logit, not a sigmoid — exp() is libm-dependent and not bit-portable,
+    the decision is identical either way
+    (operators/text_analysis.quality_classifier)."""
+    from ..functions.numeric import e_int
+    from ..operators.text_analysis import quality_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_classifier(docs)
+    return out.select(
+        "doc_id", e_int(F.col("logit"), 6).alias("logit_e6"), "keep"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming, adjudicated: availableNow replay of the events
+# table through the REAL streaming operators (watermark + window state),
+# hash-matched against the BATCH oracle SQL — the strongest form of the
+# repo's batch=stream parity claim (Q27/Q28 twins share one oracle).
+# ---------------------------------------------------------------------------
+_STREAM_SEQ = iter(range(1, 1 << 30))
+
+
+@query("stream_tumbling", None)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q27's tumbling 1-hour aggregation computed by Structured
+    Streaming (file-source replay -> watermark -> window groupBy ->
+    memory sink, trigger availableNow) — hash-matched against the same
+    DuckDB oracle as the batch entry (streaming/windows.tumbling_counts)."""
+    from ..streaming.windows import run_to_memory_sink, stream_events, tumbling_counts
+
+    ev = stream_events(spark, sf_dir)
+    agg = tumbling_counts(ev)
+    out = run_to_memory_sink(agg, f"stream_tumbling_{next(_STREAM_SEQ)}", "complete")
+    return out.orderBy("hour_epoch", "event_type")
+
+
+@query("stream_sessionization", None)
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q28's per-user session counts computed by Structured Streaming's
+    session_window (30-minute gap) over the replayed events — one row
+    per closed session in the sink, aggregated to per-user counts, and
+    hash-matched against the batch gaps-and-islands oracle
+    (streaming/windows.sessionized_counts)."""
+    from ..streaming.windows import run_to_memory_sink, sessionized_counts, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    agg = sessionized_counts(ev, gap="30 minutes")
+    out = run_to_memory_sink(agg, f"stream_session_{next(_STREAM_SEQ)}", "complete")
+    return (
+        out.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+# the streaming twins share the batch entries' oracles verbatim — one
+# SQL string adjudicates both engines' paths
+ORACLE["stream_tumbling"] = ORACLE["q27_tumbling_window"]
+ORACLE["stream_sessionization"] = ORACLE["q28_sessionization"]

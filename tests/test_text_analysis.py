@@ -81,3 +81,33 @@ def test_unigram_logprob_orders_rare_docs_higher(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r["doc_id"]: r["nll"] for r in unigram_logprob(df).collect()}
     assert out[2] > out[1] == out[3]
+
+
+def test_quality_classifier_known_values(spark):
+    from skripsi_mapreduce_spark.operators.text_analysis import (
+        CLASSIFIER_BIAS,
+        CLASSIFIER_THRESHOLD,
+        CLASSIFIER_WEIGHTS,
+        quality_classifier,
+        quality_score,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "!!! ??? ... ,,, ;;; ::: ((( ))) --- '''"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    feats = {r["doc_id"]: r.asDict() for r in quality_score(df).collect()}
+    out = {r["doc_id"]: r for r in quality_classifier(df).collect()}
+    for d in (1, 2, 3):
+        z = CLASSIFIER_BIAS
+        for name, w in CLASSIFIER_WEIGHTS.items():
+            z = z + w * feats[d][name]
+        assert out[d]["logit"] == z, d
+        assert out[d]["keep"] == int(z >= CLASSIFIER_THRESHOLD), d
+    # clean prose scores above punctuation soup
+    assert out[1]["logit"] > out[2]["logit"]
+    assert out[1]["keep"] == 1
