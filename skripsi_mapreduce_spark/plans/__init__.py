@@ -38,6 +38,9 @@ _PROMOTED = [
     "ta_quality_classifier",
     "stream_tumbling",
     "stream_sessionization",
+    "mm_image_decode",
+    "mm_audio_decode",
+    "mm_video_frames",
 ]
 _TAIL = [
     # retired this round (green r2)

@@ -342,3 +342,191 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SQL string adjudicates both engines' paths
 ORACLE["stream_tumbling"] = ORACLE["q27_tumbling_window"]
 ORACLE["stream_sessionization"] = ORACLE["q28_sessionization"]
+
+
+# ---------------------------------------------------------------------------
+# Multimodal, adjudicated: binary media columns built from documents,
+# decoded by the REAL codec-free paths (P6 PPM / PCM WAV via
+# mapInPandas), with integer-exact outputs so even the Python decode
+# stage is hash-matched — the blobs are solid-color / constant-amplitude,
+# making every recovered statistic an exact integer the oracle can state
+# from md5(doc_id) directly.
+# ---------------------------------------------------------------------------
+_MM_W, _MM_H = 4, 3
+_WAV_RATE, _WAV_N, _WAV_AMPMOD = 8000, 160, 30000
+
+
+@query(
+    "mm_image_decode",
+    f"""
+    SELECT doc_id,
+           CAST({_MM_W} AS INT) AS width, CAST({_MM_H} AS INT) AS height,
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) AS BIGINT) AS r,
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2) AS BIGINT) AS BIGINT) AS g,
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 2) AS BIGINT) AS BIGINT) AS b
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-column round trip, externally adjudicated: every document
+    gets a {w}x{h} solid-color P6 PPM (color = first 3 md5(doc_id)
+    bytes) built with pure column expressions (concat of binary
+    literals + unhex), decoded by the REAL mapInPandas image path
+    (operators/multimodal.extract_image_features, decode_stub=False),
+    and the recovered dimensions + mean channel values are checked
+    against the oracle's closed form. Solid color makes the channel
+    means exact integers, so the Arrow decode stage itself is
+    hash-matched — no rows-only weakening."""
+    from ..operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    header = F.lit(f"P6\n{_MM_W} {_MM_H}\n255\n".encode())
+    rgb3 = F.unhex(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6))
+    content = F.concat(header, *([rgb3] * (_MM_W * _MM_H)))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        content.alias("content"),
+        F.lit(None).cast(
+            "struct<mime:string,width:int,height:int,duration_ms:int,sample_rate:int>"
+        ).alias("meta"),
+    )
+    feats = extract_image_features(media, decode_stub=False)
+    # feature = [meanR, meanG, meanB, ...] in [0,1] float32; solid color
+    # means the scaled round-trip recovers the exact byte
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        F.round(F.element_at("feature", 1) * 255).cast("long").alias("r"),
+        F.round(F.element_at("feature", 2) * 255).cast("long").alias("g"),
+        F.round(F.element_at("feature", 3) * 255).cast("long").alias("b"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "mm_audio_decode",
+    f"""
+    SELECT doc_id,
+           CAST({round(_WAV_N * 1000 / _WAV_RATE)} AS INT) AS duration_ms,
+           CAST({_WAV_RATE} AS INT) AS sample_rate,
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                % {_WAV_AMPMOD} + 1 AS BIGINT) AS amplitude
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column round trip, externally adjudicated: every document
+    gets a 20 ms constant-amplitude PCM WAV (amplitude = md5(doc_id)
+    mod {mod} + 1) encoded executor-side in one mapInPandas, decoded by
+    the REAL audio path (operators/multimodal.extract_audio_features,
+    decode_stub=False), and duration/rate/amplitude recovered from the
+    decoded samples must match the oracle's closed form. Constant
+    amplitude makes round(rms * 32768) the exact amplitude integer."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import extract_audio_features, make_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            amp = pdf["doc_id"].map(
+                lambda d: 1
+                + int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) % _WAV_AMPMOD
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "content": amp.map(lambda a: make_wav([a] * _WAV_N, _WAV_RATE)),
+                }
+            )
+
+    media = docs.mapInPandas(build, "media_id long, kind string, content binary")
+    feats = extract_audio_features(media, decode_stub=False)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "duration_ms",
+        "sample_rate",
+        F.round(F.col("rms") * 32768).cast("long").alias("amplitude"),
+    ).orderBy("doc_id")
+
+
+_VID_FRAMES, _VID_PX = 4, 4  # 4 frames of 2x2 pixels
+
+
+@query(
+    "mm_video_frames",
+    """
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 6 * f + 1, 2) AS BIGINT) AS r,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 6 * f + 3, 2) AS BIGINT) AS g,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 6 * f + 5, 2) AS BIGINT) AS b
+    FROM documents CROSS JOIN (SELECT UNNEST([0, 2]) AS f) t
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-column round trip, externally adjudicated: every document
+    gets a 4-frame PPM-sequence video (frame f's solid color = md5
+    digest bytes 3f..3f+2), frame-sampled every 2nd frame by the REAL
+    container-splitting path (operators/multimodal.sample_frames,
+    decode_stub=False), each sampled frame decoded by the image path —
+    the full video -> frames -> features pipeline with every recovered
+    channel an exact integer the oracle states in closed form. Frames
+    explode executor-side; a video never rides a shuffle whole."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        extract_image_features,
+        make_ppm,
+        make_ppm_video,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def vid(d) -> bytes:
+            hx = hashlib.md5(str(d).encode()).digest()
+            return make_ppm_video(
+                [
+                    make_ppm(2, 2, bytes(hx[3 * f : 3 * f + 3]) * _VID_PX)
+                    for f in range(_VID_FRAMES)
+                ]
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "content": pdf["doc_id"].map(vid),
+                }
+            )
+
+    media = docs.mapInPandas(build, "media_id long, kind string, content binary")
+    frames = sample_frames(media, every_n=2, max_frames=2, decode_stub=False)
+    # carry (doc_id, frame_idx) through the image extractor in media_id
+    fmedia = frames.select(
+        (F.col("media_id") * _VID_FRAMES + F.col("frame_idx")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("frame_bytes").alias("content"),
+    )
+    feats = extract_image_features(fmedia, decode_stub=False)
+    return feats.select(
+        F.expr(f"media_id div {_VID_FRAMES}").cast("long").alias("doc_id"),
+        (F.col("media_id") % _VID_FRAMES).cast("int").alias("frame_idx"),
+        F.round(F.element_at("feature", 1) * 255).cast("long").alias("r"),
+        F.round(F.element_at("feature", 2) * 255).cast("long").alias("g"),
+        F.round(F.element_at("feature", 3) * 255).cast("long").alias("b"),
+    ).orderBy("doc_id", "frame_idx")

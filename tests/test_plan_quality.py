@@ -177,3 +177,36 @@ def test_corpus_filter_is_narrow(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "Exchange" not in p, "corpus_filter must stay shuffle-free (streamable)"
+
+
+def test_pagerank_edge_dims_broadcast_no_cartesian(spark):
+    # the nation-graph edge build broadcasts customer/supplier; the whole
+    # plan (edge aggregation + 3 rank iterations) must contain no
+    # cartesian/nested-loop join at any stage
+    p = formatted_plan(spark, "graph_pagerank")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_cms_counters_partial_aggregation(spark):
+    # the d*w counter table must partial-aggregate before its shuffle —
+    # at 100 TB the map-side collapse to <=4096 rows per task IS the op
+    p = formatted_plan(spark, "sketch_cms_topk")
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_kmv_scans_only_needed_columns(spark):
+    p = formatted_plan(spark, "sketch_kmv_distinct")
+    read = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "o_orderstatus" in read and "o_custkey" in read
+    assert "o_totalprice" not in read and "o_orderdate" not in read
+
+
+def test_classifier_is_pure_scan_projection(spark):
+    # the model-based filter is a narrow expression — no exchange at all
+    p = formatted_plan(spark, "ta_quality_classifier")
+    body = p.split("== Physical Plan ==")[-1]
+    # the only allowed exchange is the final orderBy's range partitioning
+    assert "hashpartitioning" not in body, body
+    assert "Join" not in body
