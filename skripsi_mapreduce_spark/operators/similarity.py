@@ -260,11 +260,24 @@ def lsh_topk_cosine(
     return topk_cosine(cands, query_vec, k, id_col, vec_col)
 
 
+def _py_dot_i64(a: list[float], b: list[float]) -> int:
+    """Driver-side twin of _dot_i64: Σ round_half_up(a_i*b_i*1e8) as int —
+    bit-identical to the engine fold (exact Decimal expansion of the
+    product double, same as _py_norm_i64)."""
+    import decimal
+
+    return sum(
+        int(decimal.Decimal(x * y * SCALE).to_integral_value(rounding=decimal.ROUND_HALF_UP))
+        for x, y in zip(a, b)
+    )
+
+
 def ivf_index(
     emb: DataFrame,
     n_list: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fixed_point: bool = False,
 ) -> tuple[DataFrame, dict[int, list[float]]]:
     """IVF coarse quantizer: assign every vector to its nearest of
     ``n_list`` coarse centroids (its inverted list). Returns the indexed
@@ -281,7 +294,13 @@ def ivf_index(
     arrays — map-side, shuffle-free, whole-stage codegen. At scale,
     WRITE the table partitioned/bucketed by ``list_id``: a probe then
     scans n_probe/n_list of the data (partition pruning), which is the
-    entire point of IVF."""
+    entire point of IVF.
+
+    ``fixed_point`` switches the assignment keys to the repo's e8
+    integer dot products (``_dot_i64``) — order-independent and
+    engine-exact, so the coarse quantizer itself becomes
+    oracle-reproducible in DuckDB (the sim_topk_ivf entry); the default
+    double path keeps the cheaper plain fold."""
     seed_rows = (
         emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy(F.md5(F.col("_id").cast("string")), "_id")
@@ -292,21 +311,25 @@ def ivf_index(
     cand = []
     for lid in sorted(centroids):
         c = centroids[lid]
-        c2 = sum(x * x for x in c)
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.lit(c).cast("array<double>"),
-                lambda x, s: x.cast("double") * s,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
         # ||v||² is constant across candidates — argmin only needs
         # ||c||² − 2·v·c; ties break to the lowest list id (struct order)
-        cand.append(
-            F.struct((F.lit(c2) - 2 * dot).alias("key"), F.lit(lid).alias("lid"))
-        )
+        if fixed_point:
+            c2_i = _py_dot_i64(c, c)
+            dot_i = _dot_i64(F.col(vec_col), F.lit(c).cast("array<double>"))
+            key = (F.lit(c2_i) - 2 * dot_i).cast("long")
+        else:
+            c2 = sum(x * x for x in c)
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.lit(c).cast("array<double>"),
+                    lambda x, s: x.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            key = F.lit(c2) - 2 * dot
+        cand.append(F.struct(key.alias("key"), F.lit(lid).alias("lid")))
     best = F.array_min(F.array(*cand))
     return emb.withColumn("list_id", best["lid"]), centroids
 
@@ -319,6 +342,7 @@ def ivf_topk_cosine(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fixed_point: bool = False,
 ) -> DataFrame:
     """IVF-flat approximate top-k: probe the ``n_probe`` inverted lists
     whose centroids are nearest the query, exact re-rank inside them.
@@ -326,10 +350,12 @@ def ivf_topk_cosine(
     instead of data-oblivious hyperplanes — better list balance on
     clustered corpora, same pruning arithmetic (probes scan
     n_probe/n_list of the table when stored partitioned by list)."""
-    indexed, centroids = ivf_index(emb, n_list, id_col, vec_col)
+    indexed, centroids = ivf_index(emb, n_list, id_col, vec_col, fixed_point=fixed_point)
     q2 = sum(x * x for x in query_vec)
 
     def _key(c: list[float]) -> float:
+        if fixed_point:
+            return float(_py_dot_i64(c, c) - 2 * _py_dot_i64(query_vec, c))
         return q2 + sum(x * x for x in c) - 2 * sum(a * b for a, b in zip(query_vec, c))
 
     probe_ids = sorted(sorted(centroids), key=lambda lid: (_key(centroids[lid]), lid))[

@@ -41,6 +41,7 @@ _PROMOTED = [
     "mm_image_decode",
     "mm_audio_decode",
     "mm_video_frames",
+    "sim_topk_ivf",
 ]
 _TAIL = [
     # retired this round (green r2)

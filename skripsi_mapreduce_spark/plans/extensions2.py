@@ -530,3 +530,71 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 2) * 255).cast("long").alias("g"),
         F.round(F.element_at("feature", 3) * 255).cast("long").alias("b"),
     ).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# IVF top-k — the coarse quantizer itself hash-matched (fixed-point keys)
+# ---------------------------------------------------------------------------
+_IVF_NLIST, _IVF_NPROBE, _IVF_K = 16, 4, 10
+_E8 = "100000000.0"
+
+
+@query(
+    "sim_topk_ivf",
+    f"""
+    WITH seeds AS (
+        SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                            AS INT) AS lid
+        FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_NLIST}),
+    cx AS (SELECT s.lid, generate_subscripts(e.embedding, 1) AS i,
+                  CAST(unnest(e.embedding) AS DOUBLE) AS c
+           FROM embeddings e JOIN seeds s USING (vec_id)),
+    c2 AS (SELECT lid, SUM(CAST(ROUND(c * c * {_E8}) AS BIGINT)) AS c2 FROM cx GROUP BY lid),
+    ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+    dots AS (SELECT e.vec_id, c.lid, SUM(CAST(ROUND(e.x * c.c * {_E8}) AS BIGINT)) AS dot
+             FROM ex e JOIN cx c USING (i) GROUP BY 1, 2),
+    assign AS (SELECT vec_id, lid FROM (
+        SELECT d.vec_id, d.lid,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY c2.c2 - 2 * d.dot, d.lid) AS rn
+        FROM dots d JOIN c2 USING (lid)) t WHERE rn = 1),
+    probes AS (SELECT lid FROM (
+        SELECT q.lid, ROW_NUMBER() OVER (ORDER BY c2.c2 - 2 * q.dot, q.lid) AS rn
+        FROM (SELECT lid, dot FROM dots WHERE vec_id = 0) q JOIN c2 USING (lid)) t
+        WHERE rn <= {_IVF_NPROBE}),
+    cand AS (SELECT a.vec_id FROM assign a JOIN probes p USING (lid)),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qx AS (SELECT CAST(unnest(qv) AS DOUBLE) AS qxv, generate_subscripts(qv, 1) AS i FROM q),
+    cex AS (SELECT e.vec_id, e.x, e.i FROM ex e JOIN cand c ON c.vec_id = e.vec_id),
+    qdots AS (SELECT vec_id, SUM(CAST(ROUND(x * qxv * {_E8}) AS BIGINT)) AS dot
+              FROM cex JOIN qx USING (i) GROUP BY vec_id),
+    nrms AS (SELECT vec_id,
+                    SQRT(CAST(SUM(CAST(ROUND(x * x * {_E8}) AS BIGINT)) AS DOUBLE) / {_E8}) AS nrm
+             FROM cex GROUP BY vec_id),
+    qn AS (SELECT SQRT(CAST(SUM(CAST(ROUND(qxv * qxv * {_E8}) AS BIGINT)) AS DOUBLE) / {_E8}) AS qnrm
+           FROM qx)
+    SELECT d.vec_id,
+           CAST(ROUND(ROUND((CAST(d.dot AS DOUBLE) / {_E8}) / (n.nrm * qn.qnrm), 6) * 1000000)
+                AS BIGINT) AS score_e6
+    FROM qdots d JOIN nrms n USING (vec_id) CROSS JOIN qn
+    ORDER BY score_e6 DESC, vec_id LIMIT {_IVF_K}
+    """,
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-10 to the vec_id=0 embedding, with the
+    COARSE QUANTIZER itself hash-matched: assignment and probe selection
+    use the e8 fixed-point dot products (order-independent int64 sums),
+    so DuckDB reproduces the inverted lists, the probed lists, and the
+    re-ranked scores bit-for-bit — closing the adjudication gap the LSH
+    twin (sim_topk_lsh) already covers
+    (operators/similarity.ivf_topk_cosine, fixed_point=True)."""
+    from ..operators import similarity as sim_mod
+    from ..functions.numeric import e_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    out = sim_mod.ivf_topk_cosine(
+        emb, qvec, k=_IVF_K, n_list=_IVF_NLIST, n_probe=_IVF_NPROBE, fixed_point=True
+    )
+    return out.select("vec_id", e_int(F.col("score"), 6).alias("score_e6"))

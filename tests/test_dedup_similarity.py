@@ -393,3 +393,26 @@ def test_topk_pandas_backend_matches_builtin(spark):
         (r["vec_id"], r["score"]) for r in sim.topk_cosine_pandas(emb, q, k=25).collect()
     ]
     assert builtin == pandas_
+
+
+def test_ivf_fixed_point_all_lists_equals_exact(spark):
+    """The fixed-point (oracle-exact) assignment path preserves the IVF
+    contract: probing every list reproduces brute force, and the
+    self-hit holds at small n_probe."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    got = [
+        r["vec_id"]
+        for r in sim.ivf_topk_cosine(
+            emb, q, k=10, n_list=8, n_probe=2, fixed_point=True
+        ).collect()
+    ]
+    assert 0 in got
+    brute = [r["vec_id"] for r in sim.topk_cosine(emb, q, k=10).collect()]
+    full = [
+        r["vec_id"]
+        for r in sim.ivf_topk_cosine(
+            emb, q, k=10, n_list=8, n_probe=8, fixed_point=True
+        ).collect()
+    ]
+    assert full == brute
