@@ -75,3 +75,45 @@ def profile(df: DataFrame, rsd: float = 0.02) -> DataFrame:
         "stddev double, min_str string, max_str string"
     )
     return df.sparkSession.createDataFrame(out, schema)
+
+
+def profile_exact(df: DataFrame) -> DataFrame:
+    """The oracle-matchable subset of :func:`profile`, long-form:
+    (column, n_rows, n_null, min_repr, max_repr) — one row per input
+    column, computed in the SAME single-scan aggregation shape.
+
+    Exactness rules per dtype: integer/date/string/boolean min/max render
+    as strings with one canonical form in every engine; float/double
+    min/max are deliberately NULL here (their string rendering is
+    engine-dependent; the full :func:`profile` surfaces them as doubles
+    for human use). approx_count_distinct (HLL) is likewise excluded —
+    its binary state is engine-private (the deterministic alternative is
+    operators/sketches.kmv_distinct)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, f in enumerate(df.schema.fields):
+        c = F.col("`" + f.name.replace("`", "``") + "`")
+        aggs.append(
+            F.coalesce(F.sum(F.when(c.isNull(), 1).otherwise(0)), F.lit(0)).alias(f"_null_{i}")
+        )
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType)):
+            continue
+        if isinstance(f.dataType, _NUMERIC):
+            aggs.append(F.min(c).cast("long").cast("string").alias(f"_min_{i}"))
+            aggs.append(F.max(c).cast("long").cast("string").alias(f"_max_{i}"))
+        elif isinstance(f.dataType, (T.StringType, T.DateType)):
+            aggs.append(F.min(c).cast("string").alias(f"_min_{i}"))
+            aggs.append(F.max(c).cast("string").alias(f"_max_{i}"))
+    row = df.agg(*aggs).head().asDict()
+    out = [
+        {
+            "column": f.name,
+            "n_rows": row["_n"],
+            "n_null": row[f"_null_{i}"],
+            "min_repr": row.get(f"_min_{i}"),
+            "max_repr": row.get(f"_max_{i}"),
+        }
+        for i, f in enumerate(df.schema.fields)
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "column string, n_rows long, n_null long, min_repr string, max_repr string"
+    )

@@ -42,6 +42,8 @@ _PROMOTED = [
     "mm_audio_decode",
     "mm_video_frames",
     "sim_topk_ivf",
+    "profile_lineitem",
+    "skew_salted_agg",
 ]
 _TAIL = [
     # retired this round (green r2)
