@@ -44,6 +44,9 @@ _PROMOTED = [
     "sim_topk_ivf",
     "profile_lineitem",
     "skew_salted_agg",
+    "range_join_pairs",
+    "rollup_events",
+    "pipe_contamination",
 ]
 _TAIL = [
     # retired this round (green r2)

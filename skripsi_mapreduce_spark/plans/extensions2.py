@@ -685,3 +685,106 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         e_int(F.col("sum_qty_dec")).alias("sum_qty_e4"),
         F.col("n").cast("bigint").alias("n"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Temporal operators + contamination, adjudicated
+# ---------------------------------------------------------------------------
+@query(
+    "range_join_pairs",
+    """
+    SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM events a JOIN events b ON a.user_id = b.user_id
+      AND epoch_us(b.ts) >= epoch_us(a.ts) + 1
+      AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user count of event pairs within (0s, 1h] — the bucketized
+    range join (operators/rangejoin.range_join: interval -> two-bucket
+    equi join + exact residual, never a BroadcastNestedLoopJoin) against
+    the oracle's plain non-equi join. Work is per-bucket |L|x|R|, not
+    global |L|x|R| — the difference between a shuffle join and a
+    quadratic broadcast at 100 TB."""
+    from ..operators.rangejoin import range_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = range_join(e, e, lo_seconds=0.000001, hi_seconds=3600.0, key="user_id")
+    return (
+        out.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "rollup_events",
+    f"""
+    SELECT 'hour' AS granularity,
+           CAST(EXTRACT(EPOCH FROM date_trunc('hour', ts)) AS BIGINT) AS bucket_start_epoch,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           {e_int_sql("SUM(CAST(value AS DECIMAL(20,4)))")} AS total_value_e4
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day',
+           CAST(EXTRACT(EPOCH FROM date_trunc('day', ts)) AS BIGINT),
+           event_type, CAST(COUNT(*) AS BIGINT),
+           {e_int_sql("SUM(CAST(value AS DECIMAL(20,4)))")}
+    FROM events GROUP BY 2, 3
+    ORDER BY granularity, bucket_start_epoch, event_type
+    """,
+)
+def rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity continuous aggregate (hour + day x event_type)
+    in ONE scan via grouping sets (operators/rangejoin.time_rollup) —
+    the oracle states the same result as two plain GROUP BYs. At 100 TB
+    the grouping-sets form reads events once instead of once per
+    granularity."""
+    from ..functions.numeric import e_int
+    from ..operators.rangejoin import time_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    out = time_rollup(
+        e,
+        ["hour", "day"],
+        [
+            F.count("*").cast("bigint").alias("n"),
+            e_int(F.sum(F.col("value").cast("decimal(20,4)"))).alias("total_value_e4"),
+        ],
+        group_cols=["event_type"],
+    )
+    return out.orderBy("granularity", "bucket_start_epoch", "event_type")
+
+
+@query(
+    "pipe_contamination",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{ASCII_TOKEN}') AS t
+        FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS shingle
+        FROM toks, UNNEST(range(1, LEN(t) - 6)) r(i)
+        WHERE LEN(t) >= 8),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0),
+    ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 20 = 0)
+    SELECT tr.doc_id, ev.eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def pipe_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan, adjudicated: train docs (doc_id not
+    divisible by 20) that share a verbatim 8-gram with the held-out eval
+    slice (doc_id divisible by 20). The Spark side joins on md5 digests
+    with the eval side broadcast (operators/pipeline.contamination_check
+    — shuffle carries 32-byte hashes, never text); the oracle joins the
+    raw shingles — identical pair counts."""
+    from ..operators.pipeline import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    out = contamination_check(train, ev, shingle_size=8)
+    return out.orderBy("doc_id", "eval_id")
