@@ -47,6 +47,7 @@ _PROMOTED = [
     "range_join_pairs",
     "rollup_events",
     "pipe_contamination",
+    "stream_stateful_anomalies",
 ]
 _TAIL = [
     # retired this round (green r2)

@@ -788,3 +788,76 @@ def pipe_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.filter(F.col("doc_id") % 20 == 0)
     out = contamination_check(train, ev, shingle_size=8)
     return out.orderBy("doc_id", "eval_id")
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator (applyInPandasWithState), adjudicated:
+# the per-user online anomaly fold re-stated as a DuckDB list_reduce over
+# the identically-ordered value sequence — count/mean/anomaly updates are
+# the same IEEE double operations in the same order, so the integer
+# outputs (running_count, n_anomalies) hash-match; the float mean stays
+# off the adjudicated surface.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_stateful_anomalies",
+    """
+    WITH ordered AS (
+        -- order at MICROSECOND precision (epoch_us), not raw storage
+        -- precision: the Spark stream normalizes nanos to micros, so a
+        -- nanos-typed file would otherwise break same-microsecond ties
+        -- differently in the two engines
+        SELECT user_id, list(value ORDER BY epoch_us(ts), event_id) AS vs
+        FROM events GROUP BY user_id),
+    folded AS (
+        -- DuckDB 1.0 list_reduce evaluates struct-accumulator fields
+        -- SEQUENTIALLY (a later field reads an earlier field's already-
+        -- updated value), so the fold is written to never read an
+        -- earlier-declared acc field: the element carries its own
+        -- 1-based index instead of the fold counting. Element structs
+        -- must share the accumulator's type, so the index rides in
+        -- 'anom' and the value in 'mean'.
+        SELECT user_id, len(vs) AS n,
+               list_reduce(
+                 list_prepend(
+                   struct_pack(anom := CAST(0 AS BIGINT),
+                               mean := CAST(0.0 AS DOUBLE)),
+                   list_transform(range(1, len(vs) + 1),
+                     i -> struct_pack(anom := CAST(i AS BIGINT),
+                                      mean := CAST(vs[i] AS DOUBLE)))),
+                 (acc, x) -> struct_pack(
+                    anom := acc.anom + CASE WHEN x.anom > 1
+                                            AND x.mean > 3.0 * acc.mean
+                                            THEN 1 ELSE 0 END,
+                    mean := acc.mean + (x.mean - acc.mean)
+                            / CAST(x.anom AS DOUBLE))
+               ) AS st
+        FROM ordered)
+    SELECT user_id, CAST(n AS BIGINT) AS running_count, st.anom AS n_anomalies
+    FROM folded ORDER BY user_id
+    """,
+)
+def stream_stateful_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming path under external adjudication:
+    applyInPandasWithState keeps a (count, mean) state per user across
+    micro-batches and flags values above 3x the running mean
+    (streaming/stateful.running_mean_anomalies). The fold is ordered by
+    (ts, event_id), so the oracle's sequential list_reduce performs the
+    SAME double operations in the SAME order — integer outputs match
+    bit-for-bit. Multi-batch replays still match: running_count is the
+    max across batch rows, anomalies sum."""
+    from ..streaming.stateful import running_mean_anomalies
+    from ..streaming.windows import run_to_memory_sink, stream_events
+
+    ev = stream_events(spark, sf_dir).select("ts", "event_id", "user_id", "value")
+    out = running_mean_anomalies(ev, sigma_factor=3.0)
+    sunk = run_to_memory_sink(
+        out, f"stream_stateful_{next(_STREAM_SEQ)}", "append"
+    )
+    return (
+        sunk.groupBy("user_id")
+        .agg(
+            F.max("running_count").cast("bigint").alias("running_count"),
+            F.sum("n_anomalies").cast("bigint").alias("n_anomalies"),
+        )
+        .orderBy("user_id")
+    )

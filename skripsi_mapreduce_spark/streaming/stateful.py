@@ -50,8 +50,12 @@ def running_mean_anomalies(
         n_anomalies = 0
         # intra-batch rows arrive in arbitrary chunk/shuffle order; an
         # online fold over event time must sort by ts first or the
-        # anomaly flags become run-dependent
-        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        # anomaly flags become run-dependent — with event_id as the
+        # tie-break when present, so equal timestamps fold in ONE order
+        # (required for the cross-engine oracle of the adjudicated entry)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        sort_cols = [c for c in ("ts", "event_id") if c in batch.columns]
+        batch = batch.sort_values(sort_cols)
         for v in batch["value"]:
             v = float(v)
             if count > 0 and v > sigma_factor * mean:
