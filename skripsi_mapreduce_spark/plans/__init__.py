@@ -48,6 +48,7 @@ _PROMOTED = [
     "rollup_events",
     "pipe_contamination",
     "stream_stateful_anomalies",
+    "q45_apply_changes",
 ]
 _TAIL = [
     # retired this round (green r2)

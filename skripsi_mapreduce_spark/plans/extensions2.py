@@ -861,3 +861,64 @@ def stream_stateful_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC MERGE (apply_changes), adjudicated: base snapshot + changelog ->
+# final table under SQL MERGE semantics, as ONE max_by aggregate
+# ---------------------------------------------------------------------------
+@query(
+    "q45_apply_changes",
+    f"""
+    WITH ev AS (SELECT event_id, user_id, event_type, ts, value FROM events),
+    snap AS (SELECT user_id, event_type, event_id, ts, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev WHERE event_id % 3 = 0) t WHERE rn = 1),
+    chg AS (SELECT user_id, event_type, event_id, ts, value,
+                   CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op
+            FROM ev WHERE event_id % 3 <> 0),
+    allv AS (SELECT user_id, event_type, 0 AS src, CAST(NULL AS VARCHAR) AS op,
+                    event_id, ts, value FROM snap
+             UNION ALL
+             SELECT user_id, event_type, 1, op, event_id, ts, value FROM chg),
+    win AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY src DESC, ts DESC) AS rn
+        FROM allv) t WHERE rn = 1)
+    SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           {e_int_sql('value')} AS value_e4
+    FROM win WHERE op IS NULL OR op <> 'D'
+    ORDER BY user_id, event_type
+    """,
+)
+def q45_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MERGE semantics as one aggregate (operators/cdc.apply_changes):
+    a base snapshot (latest event per (user, type) among event_id % 3 ==
+    0) merged with a changelog (the remaining events; every 7th id is a
+    delete) — the latest change per key beats older changes and the
+    snapshot, delete-winners drop out. One max_by hash aggregate with
+    map-side partial combining: the exchange carries ~|keys| rows, not
+    |versions| — no per-key window sort on a 100 TB changelog."""
+    from ..functions.numeric import e_int
+    from ..operators.cdc import apply_changes, latest_snapshot
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    snap = latest_snapshot(
+        ev.filter(F.col("event_id") % 3 == 0),
+        ["user_id", "event_type"],
+        ts_col="ts",
+        tiebreak=["event_id"],
+    )
+    chg = ev.filter(F.col("event_id") % 3 != 0).withColumn(
+        "op", F.when(F.col("event_id") % 7 == 0, F.lit("D")).otherwise(F.lit("U"))
+    )
+    merged = apply_changes(snap, chg, ["user_id", "event_type"], ts_col="ts")
+    return merged.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).cast("bigint").alias("ts_us"),
+        e_int(F.col("value")).alias("value_e4"),
+    ).orderBy("user_id", "event_type")
