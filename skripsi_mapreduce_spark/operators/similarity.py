@@ -308,30 +308,63 @@ def ivf_index(
         .collect()
     )
     centroids = {i: [float(x) for x in r["_v"]] for i, r in enumerate(seed_rows)}
+    if fixed_point:
+        # cached placeholder expression tree (same driver-cost pattern as
+        # bpe._apply_merge_cached): n_list fixed-point folds are ~1000
+        # py4j Column nodes, rebuilt-from-scratch cost ~0.5-1s per call;
+        # bind the data-dependent centroid literals via withColumn and
+        # let Catalyst constant-fold them into the lambdas
+        out = emb.withColumn("_ivf_v", F.col(vec_col))
+        for lid in sorted(centroids):
+            c = centroids[lid]
+            out = out.withColumn(f"_ivf_c{lid}", F.lit(c).cast("array<double>"))
+            out = out.withColumn(f"_ivf_c2_{lid}", F.lit(_py_dot_i64(c, c)))
+        out = out.withColumn("list_id", _ivf_assign_cached(n_list)).drop(
+            "_ivf_v", *[f"_ivf_c{i}" for i in centroids], *[f"_ivf_c2_{i}" for i in centroids]
+        )
+        return out, centroids
     cand = []
     for lid in sorted(centroids):
         c = centroids[lid]
         # ||v||² is constant across candidates — argmin only needs
         # ||c||² − 2·v·c; ties break to the lowest list id (struct order)
-        if fixed_point:
-            c2_i = _py_dot_i64(c, c)
-            dot_i = _dot_i64(F.col(vec_col), F.lit(c).cast("array<double>"))
-            key = (F.lit(c2_i) - 2 * dot_i).cast("long")
-        else:
-            c2 = sum(x * x for x in c)
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.lit(c).cast("array<double>"),
-                    lambda x, s: x.cast("double") * s,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            key = F.lit(c2) - 2 * dot
+        c2 = sum(x * x for x in c)
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.lit(c).cast("array<double>"),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        key = F.lit(c2) - 2 * dot
         cand.append(F.struct(key.alias("key"), F.lit(lid).alias("lid")))
     best = F.array_min(F.array(*cand))
     return emb.withColumn("list_id", best["lid"]), centroids
+
+
+_IVF_ASSIGN_EXPRS: dict[int, F.Column] = {}
+
+
+def _ivf_assign_cached(n_list: int) -> F.Column:
+    """The fixed-point argmin-assignment Column tree over placeholder
+    columns ``_ivf_v`` / ``_ivf_c{i}`` / ``_ivf_c2_{i}``, built once per
+    (process, n_list). Semantics identical to the inline form: key_i =
+    ||c_i||²_e8 − 2·(v·c_i)_e8 as int64, argmin with lowest-list-id
+    tie-break via struct ordering."""
+    if n_list not in _IVF_ASSIGN_EXPRS:
+        cand = [
+            F.struct(
+                (F.col(f"_ivf_c2_{lid}") - 2 * _dot_i64(F.col("_ivf_v"), F.col(f"_ivf_c{lid}")))
+                .cast("long")
+                .alias("key"),
+                F.lit(lid).alias("lid"),
+            )
+            for lid in range(n_list)
+        ]
+        _IVF_ASSIGN_EXPRS[n_list] = F.array_min(F.array(*cand))["lid"]
+    return _IVF_ASSIGN_EXPRS[n_list]
 
 
 def ivf_topk_cosine(
