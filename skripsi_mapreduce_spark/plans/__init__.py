@@ -49,6 +49,7 @@ _PROMOTED = [
     "pipe_contamination",
     "stream_stateful_anomalies",
     "q45_apply_changes",
+    "dedup_semantic",
 ]
 _TAIL = [
     # retired this round (green r2)

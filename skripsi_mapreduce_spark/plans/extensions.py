@@ -1178,10 +1178,12 @@ def pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LLM-pipeline use: cluster-balanced sampling / semantic dedup over
 # document embeddings.
 # ---------------------------------------------------------------------------
-@query(
-    "emb_kmeans",
-    f"""
-    WITH w AS (
+def _emb_kmeans_ctes() -> str:
+    """The fixed-point embedding-K-Means CTE chain through the final
+    assignment table ``a2`` (doc_id, cluster, dist2) — shared by the
+    emb_kmeans summary oracle and the dedup_semantic (SemDeDup) oracle
+    in plans/extensions2.py."""
+    return f"""w AS (
         SELECT vec_id AS doc_id,
                generate_subscripts(embedding, 1) - 1 AS word,
                {e_int_sql('CAST(unnest(embedding) AS DOUBLE)', 4)} AS w
@@ -1221,7 +1223,13 @@ def pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ORDER BY d2.x2 + c1n.c2 - 2 * COALESCE(dot2.dot, 0), c1n.cluster) AS rn
             FROM d2 CROSS JOIN c1n
             LEFT JOIN dot2 ON dot2.doc_id = d2.doc_id AND dot2.cluster = c1n.cluster) t
-           WHERE rn = 1)
+           WHERE rn = 1)"""
+
+
+@query(
+    "emb_kmeans",
+    f"""
+    WITH {_emb_kmeans_ctes()}
     SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(SUM(dist2) AS BIGINT) AS sse_e8
     FROM a2 GROUP BY cluster ORDER BY cluster

@@ -922,3 +922,98 @@ def q45_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts")).cast("bigint").alias("ts_us"),
         e_int(F.col("value")).alias("value_e4"),
     ).orderBy("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
+# space, then compare pairs ONLY within a cluster — the trick that makes
+# embedding-level dedup tractable at corpus scale (within-cluster
+# all-pairs is bounded by cluster size, and k grows with N). Adjudicated
+# end to end: the fixed-point K-Means assignments are engine-exact, and
+# the within-cluster cosines use the e8 integer kernel.
+# ---------------------------------------------------------------------------
+_SEM_TOP = 5  # top pairs per cluster on the adjudicated surface
+
+
+def _semantic_oracle_sql() -> str:
+    from .extensions import _emb_kmeans_ctes
+
+    return f"""
+    WITH {_emb_kmeans_ctes()},
+    pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.cluster
+              FROM a2 x JOIN a2 y
+                ON x.cluster = y.cluster AND x.doc_id < y.doc_id),
+    ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+    dots AS (SELECT p.cluster, p.id_a, p.id_b,
+                    SUM(CAST(ROUND(xa.x * xb.x * 100000000.0) AS BIGINT)) AS dot
+             FROM pairs p
+             JOIN ex xa ON xa.vec_id = p.id_a
+             JOIN ex xb ON xb.vec_id = p.id_b AND xb.i = xa.i
+             GROUP BY 1, 2, 3),
+    nrms AS (SELECT vec_id,
+                    SQRT(CAST(SUM(CAST(ROUND(x * x * 100000000.0) AS BIGINT)) AS DOUBLE)
+                         / 100000000.0) AS nrm
+             FROM ex GROUP BY vec_id),
+    scored AS (SELECT d.cluster, d.id_a, d.id_b,
+                      CAST(ROUND(ROUND((CAST(d.dot AS DOUBLE) / 100000000.0)
+                                       / (na.nrm * nb.nrm), 6) * 1000000) AS BIGINT)
+                        AS cosine_e6
+               FROM dots d JOIN nrms na ON na.vec_id = d.id_a
+               JOIN nrms nb ON nb.vec_id = d.id_b),
+    top AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                                     ORDER BY cosine_e6 DESC, id_a, id_b) AS rn
+        FROM scored) t WHERE rn <= {_SEM_TOP})
+    SELECT cluster, id_a, id_b, cosine_e6
+    FROM top ORDER BY cluster, cosine_e6 DESC, id_a, id_b
+    """
+
+
+@query("dedup_semantic", _semantic_oracle_sql())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster the embeddings with the
+    engine-exact fixed-point K-Means (k=4, two passes — the same
+    assignments emb_kmeans adjudicates), then score cosine ONLY within
+    each cluster and surface the top {top} most-similar pairs per
+    cluster. The cluster scoping is what scales: all-pairs work is
+    bounded by cluster size, never corpus size (at 100 TB, k grows with
+    N so clusters stay bounded, and the pair join is an equi-join on
+    cluster id). Cosines use the e8 fixed-point kernel
+    (operators/similarity.cosine_col) — engine-exact end to end."""
+    from pyspark.sql import Window as W
+
+    from ..functions.numeric import e_int
+    from ..operators.kmeans import kmeans_fixedpoint
+    from ..operators.similarity import pair_cosine_pandas
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.posexplode("embedding").alias("word", "x"),
+    ).select("doc_id", "word", e_int(F.col("x").cast("double"), 4).alias("x_e4"))
+    assign = kmeans_fixedpoint(
+        w, k=4, n_assign_passes=2, weight_col="x_e4", output="assignments"
+    ).select("doc_id", "cluster")
+    a = assign.select(F.col("doc_id").alias("id_a"), F.col("cluster"))
+    b = assign.select(F.col("doc_id").alias("id_b"), F.col("cluster").alias("_cb"))
+    pairs = a.join(b, (F.col("cluster") == F.col("_cb")) & (F.col("id_a") < F.col("id_b"))).select(
+        "cluster", "id_a", "id_b"
+    )
+    # vectorized numpy pair kernel: at 500k within-cluster pairs the
+    # interpreted HOF fold is the bottleneck (~30x slower); the kernel
+    # broadcasts the vector matrix, Arrow moves only narrow pair rows,
+    # and its fixed-point quantization is bit-identical to _dot_i64
+    scored = pair_cosine_pandas(pairs, emb).select(
+        "cluster", "id_a", "id_b", e_int(F.col("cosine"), 6).alias("cosine_e6")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("cluster").orderBy(F.desc("cosine_e6"), "id_a", "id_b")
+    )
+    return (
+        scored.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= _SEM_TOP)
+        .select("cluster", "id_a", "id_b", "cosine_e6")
+        .orderBy("cluster", F.desc("cosine_e6"), "id_a", "id_b")
+    )

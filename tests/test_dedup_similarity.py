@@ -416,3 +416,39 @@ def test_ivf_fixed_point_all_lists_equals_exact(spark):
         ).collect()
     ]
     assert full == brute
+
+
+def test_pair_cosine_pandas_bit_identical_to_hof(spark):
+    """The vectorized pair kernel must equal the built-in fixed-point
+    fold bit-for-bit (same quantization, same 6dp rounding)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(40)
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]][:200],
+        ["id_a", "id_b"],
+    )
+    fast = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in sim.pair_cosine_pandas(pairs, emb).collect()
+    }
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    slow_df = (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(sim.cosine_col(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+    )
+    slow = {(r["id_a"], r["id_b"]): r["cosine"] for r in slow_df.collect()}
+    assert fast == slow
+
+
+def test_pair_cosine_pandas_guards_vector_count(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_vectors"):
+        sim.pair_cosine_pandas(pairs, emb, max_vectors=1)
