@@ -129,24 +129,29 @@ def pagerank_e8(
 
     Scale: the edge table shuffles by src once per iteration (join with
     the 1-row-per-node rank table) and aggregates by dst — the standard
-    Pregel-free DataFrame PageRank; ranks are narrow (node, long),
-    lineage is cut per iteration, and no driver collect happens at any
-    size. n_iter is a fixed small constant by design (rank sketches for
-    corpus-weighting converge in a handful of iterations).
+    Pregel-free DataFrame PageRank; ranks are narrow (node, long) and no
+    driver collect happens at any size. Lineage is cut every
+    ``checkpoint_every`` iterations, NOT every iteration: for shallow
+    fixed loops Catalyst's ReusedExchange serves the repeated edge
+    subtree from one shuffle and the plan stays cheap, while measured
+    per-iteration localCheckpoints cost ~1-2s each in RDD conversion —
+    4x the entire 3-iteration query. Deep loops still get periodic cuts
+    so the plan can't grow unboundedly.
     """
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    checkpoint_every = 8
     n_nodes = nodes.count()
     if n_nodes == 0:
         raise ValueError("pagerank needs a non-empty node set")
     e8 = 10**8
     base = (100 - damping_pct) * e8 // (100 * n_nodes)
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("wout"))
-    ew = edges.join(out_w, "src").localCheckpoint(eager=False)
+    ew = edges.join(out_w, "src")
     ranks = nodes.select(
         F.col(node_col).alias("node"), F.lit(e8 // n_nodes).cast("long").alias("rank_e8")
     )
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = ew.join(ranks, ew["src"] == ranks["node"]).select(
             F.col("dst").alias("node"),
             F.expr("(rank_e8 * weight) div wout").alias("c"),
@@ -162,6 +167,7 @@ def pagerank_e8(
                     + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
                 ).cast("long").alias("rank_e8"),
             )
-            .localCheckpoint(eager=False)
         )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
