@@ -295,18 +295,23 @@ def kmeans_fixedpoint(
     cent = w.join(F.broadcast(seed_df), "doc_id").select(
         "cluster", "word", F.col("w").alias("cw")
     )
-    d2 = (
-        w.groupBy("doc_id")
-        .agg(F.sum(F.col("w") * F.col("w")).alias("x2"))
-        .localCheckpoint(eager=False)  # cached at first use, reused per pass
-    )
+    # lineage cuts only pay for themselves on DEEP loops: each lazy
+    # localCheckpoint costs real RDD-conversion time (measured ~0.5-1s
+    # total at sf0.1) while Catalyst's ReusedExchange already serves the
+    # repeated d2/cent subtrees from one shuffle when the plan is
+    # shallow — same finding as components.pagerank_e8
+    deep = n_assign_passes > 4
+    d2 = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("x2"))
+    if deep:
+        d2 = d2.localCheckpoint(eager=False)  # cached at first use, reused per pass
 
     assign = None
     for p in range(max(n_assign_passes, 1)):
         assign = _assign_fixedpoint(w, d2, cent)
         if p == n_assign_passes - 1:
             break
-        assign = assign.localCheckpoint(eager=False)  # feeds sizes + update
+        if deep:
+            assign = assign.localCheckpoint(eager=False)  # feeds sizes + update
         csize = assign.groupBy("cluster").agg(F.count("*").alias("n"))
         cent = (
             w.join(assign.select("doc_id", "cluster"), "doc_id")
@@ -326,8 +331,9 @@ def kmeans_fixedpoint(
             # embeddings) must survive (!= 0, not > 0; identical on the
             # nonnegative TF-IDF path)
             .filter(F.col("cw") != 0)
-            .localCheckpoint(eager=False)  # cut per-iteration lineage
         )
+        if deep:
+            cent = cent.localCheckpoint(eager=False)  # cut per-iteration lineage
     if output == "assignments":
         # (doc_id, cluster, dist2) of the LAST pass — the input to
         # cluster-scoped downstream work (SemDeDup-style within-cluster
