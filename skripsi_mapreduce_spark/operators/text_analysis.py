@@ -457,3 +457,69 @@ def quality_classifier(
         z.alias("logit"),
         (z >= F.lit(CLASSIFIER_THRESHOLD)).cast("bigint").alias("keep"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", lam: float = 0.75
+) -> DataFrame:
+    """Per-doc mean negative log-likelihood under an interpolated BIGRAM
+    model of the corpus — one step up the KenLM ladder from
+    :func:`unigram_logprob`: p(w|prev) = lam * c(prev,w)/c(prev,*) +
+    (1-lam) * c(w)/T. Documents with fewer than two tokens score 0.
+
+    Returns (doc_id, n_bigrams, nll). The same cross-engine discipline
+    as the unigram model: each distinct bigram's ln p is rounded to 8dp
+    and summed as DECIMAL scaled by its per-doc count —
+    order-independent, shuffle-proof.
+
+    Scale: the bigram model table is corpus-bigram-bounded (zipf-small
+    vs corpus bytes) and broadcasts for the scoring join; the corpus is
+    tokenized once, bigrams come from one array transform (no
+    self-join), and T is the only driver scalar."""
+    toks = _tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("a"), F.element_at(toks, i + 1).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bi = df.select(F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("p")).select(
+        "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    btf = bi.groupBy("doc_id", "a", "b").agg(F.count("*").alias("tf"))
+    cab = btf.groupBy("a", "b").agg(F.sum("tf").alias("cab"))
+    ca = cab.groupBy("a").agg(F.sum("cab").alias("ca"))
+    uni = df.select(F.explode(toks).alias("word")).groupBy("word").agg(
+        F.count("*").alias("cw")
+    )
+    t_total = uni.agg(F.sum("cw")).collect()[0][0] or 0
+    p = F.lit(lam) * (F.col("cab").cast("double") / F.col("ca").cast("double")) + F.lit(
+        1.0 - lam
+    ) * (F.col("cw").cast("double") / F.lit(float(max(t_total, 1))))
+    model = (
+        cab.join(ca, "a")
+        .join(uni.withColumnRenamed("word", "b"), "b")
+        .select("a", "b", F.round(F.log(p), 8).cast("decimal(18,8)").alias("lnp"))
+    )
+    per = (
+        btf.join(F.broadcast(model), ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            (-(F.sum(F.col("tf").cast("decimal(12,0)") * F.col("lnp")))).alias("s"),
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    out = df.select(F.col(id_col).alias("doc_id")).join(per, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        round_exact_double(
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.col("s").cast("double") / F.col("n_bigrams").cast("double"),
+            ).otherwise(0.0)
+        ).alias("nll"),
+    )

@@ -50,6 +50,7 @@ _PROMOTED = [
     "stream_stateful_anomalies",
     "q45_apply_changes",
     "dedup_semantic",
+    "ta_bigram_lp",
 ]
 _TAIL = [
     # retired this round (green r2)

@@ -1017,3 +1017,51 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster", "id_a", "id_b", "cosine_e6")
         .orderBy("cluster", F.desc("cosine_e6"), "id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring — one step up the KenLM ladder from ta_unigram_lp
+# ---------------------------------------------------------------------------
+@query(
+    "ta_bigram_lp",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{ASCII_TOKEN}') AS t
+        FROM documents),
+    bi AS (SELECT doc_id, t[i] AS a, t[i + 1] AS b
+           FROM toks, UNNEST(range(1, LEN(t))) r(i) WHERE LEN(t) >= 2),
+    btf AS (SELECT doc_id, a, b, COUNT(*) AS tf FROM bi GROUP BY 1, 2, 3),
+    cab AS (SELECT a, b, SUM(tf) AS cab FROM btf GROUP BY 1, 2),
+    ca AS (SELECT a, SUM(cab) AS ca FROM cab GROUP BY 1),
+    cw AS (SELECT word, COUNT(*) AS cw FROM (
+        SELECT unnest(t) AS word FROM toks) GROUP BY 1),
+    tot AS (SELECT SUM(cw) AS t FROM cw),
+    model AS (
+        SELECT cab.a, cab.b,
+               CAST(ROUND(LN((0.75 * (CAST(cab.cab AS DOUBLE) / CAST(ca.ca AS DOUBLE)))
+                             + (0.25 * (CAST(cw.cw AS DOUBLE) / CAST(tot.t AS DOUBLE)))), 8)
+                    AS DECIMAL(18,8)) AS lnp
+        FROM cab JOIN ca USING (a) JOIN cw ON cw.word = cab.b CROSS JOIN tot),
+    per AS (SELECT doc_id, -SUM(CAST(tf AS DECIMAL(12,0)) * lnp) AS s, SUM(tf) AS n
+            FROM btf JOIN model USING (a, b) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_bigrams,
+           {e_int_sql('CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END')} AS nll_e4
+    FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id
+    """,
+)
+def ta_bigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean negative log-likelihood under the corpus's own interpolated
+    bigram model (lam=0.75 bigram + 0.25 unigram backoff) — the
+    perplexity-filter stand-in at order 2
+    (operators/text_analysis.bigram_logprob). The bigram model table is
+    zipf-small and broadcasts; bigrams come from one array transform,
+    never a self-join."""
+    from ..functions.numeric import e_int
+    from ..operators.text_analysis import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bigram_logprob(docs)
+    return out.select(
+        "doc_id", "n_bigrams", e_int(F.col("nll")).alias("nll_e4")
+    ).orderBy("doc_id")
