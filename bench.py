@@ -3,6 +3,12 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
 
+The stdout line is kept COMPACT (the driver captures only a fixed-size
+output tail, and round 3's 90-query line outgrew it — the official perf
+record was lost to truncation): ``queries`` carries only the slowest
+entries, and the full per-query timing dict is written to
+``BENCH.local.json`` next to this script.
+
 Each query is executed twice conceptually: the timed run materializes the
 full result via ``df.foreach`` semantics (``count`` after a no-op cache-free
 plan) so we measure engine execution, not driver-side row transfer.
@@ -21,7 +27,12 @@ def main() -> None:
     from skripsi_mapreduce_spark.plans import QUERIES
     from skripsi_mapreduce_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    # showConsoleProgress off: stage progress bars write carriage-return
+    # noise into the captured output stream and crowd the fixed-size tail
+    # the driver keeps.
+    spark = get_spark(
+        app_name="bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
 
     # Untimed warm-up: JIT/codegen/classloading otherwise lands entirely
     # on whichever query happens to run first (alphabetically the heavy
@@ -68,13 +79,30 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    full = {
+        "metric": "declared_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # Full per-query record -> artifact file (driver-independent).
+    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.local.json")
+    with open(local_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    # Stdout: ONE compact JSON line that fits the driver's tail capture —
+    # total + sf + the 10 slowest queries only (the actionable offenders).
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "declared_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": len(timings),
+                "queries_full": "BENCH.local.json",
                 "sf": sf_val,
             }
         )

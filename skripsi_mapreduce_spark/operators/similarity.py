@@ -278,6 +278,7 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fixed_point: bool = False,
+    kernel: str = "numpy",
 ) -> tuple[DataFrame, dict[int, list[float]]]:
     """IVF coarse quantizer: assign every vector to its nearest of
     ``n_list`` coarse centroids (its inverted list). Returns the indexed
@@ -300,7 +301,15 @@ def ivf_index(
     integer dot products (``_dot_i64``) — order-independent and
     engine-exact, so the coarse quantizer itself becomes
     oracle-reproducible in DuckDB (the sim_topk_ivf entry); the default
-    double path keeps the cheaper plain fold."""
+    double path keeps the cheaper plain fold.
+
+    ``kernel`` selects the fixed-point assignment backend (SCALING.md's
+    kernel-selection rule: interpreted HOF folds are fine per-row, but
+    the coarse quantizer is per-row x n_list — pair-shaped as n_list
+    grows). ``"numpy"`` (default) runs one Arrow-batched matmul-shaped
+    pass against the n_list x dim centroid matrix, bit-identical to the
+    HOF fold (pinned by test); ``"hof"`` keeps the pure-JVM expression
+    path for audits and zero-Python deployments."""
     seed_rows = (
         emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy(F.md5(F.col("_id").cast("string")), "_id")
@@ -309,6 +318,8 @@ def ivf_index(
     )
     centroids = {i: [float(x) for x in r["_v"]] for i, r in enumerate(seed_rows)}
     if fixed_point:
+        if kernel == "numpy":
+            return _ivf_assign_numpy(emb, centroids, vec_col), centroids
         # cached placeholder expression tree (same driver-cost pattern as
         # bpe._apply_merge_cached): n_list fixed-point folds are ~1000
         # py4j Column nodes, rebuilt-from-scratch cost ~0.5-1s per call;
@@ -367,6 +378,58 @@ def _ivf_assign_cached(n_list: int) -> F.Column:
     return _IVF_ASSIGN_EXPRS[n_list]
 
 
+def _ivf_assign_numpy(
+    emb: DataFrame, centroids: dict[int, list[float]], vec_col: str
+) -> DataFrame:
+    """Arrow/numpy coarse-assignment kernel: input schema + ``list_id``.
+
+    Per Arrow batch, one vectorized pass computes every (vector, list)
+    fixed-point key — key_i = ||c_i||²_e8 − 2·(v·c_i)_e8 as int64, the
+    SAME quantization as ``_dot_i64`` (products in double, round half
+    away from zero at 1e8, integer sum), so assignments are BIT-IDENTICAL
+    to the HOF expression path (pinned by test). ``np.argmin`` takes the
+    first minimum, reproducing the struct-min lowest-list-id tie-break.
+
+    Why this exists: the HOF path is n_list interpreted folds PER VECTOR
+    (higher-order functions sit outside whole-stage codegen) — per-row x
+    n_list is pair-shaped work as n_list grows, the exact situation
+    SCALING.md's kernel rule reserves for Arrow/numpy. Here the batch
+    does n_list rounded elementwise products over a (batch x dim) matrix
+    — matmul-shaped, no Python per row. Centroids (n_list x dim) ride in
+    the serialized closure (KBs); vectors never leave their partitions."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    n_list = len(centroids)
+    C = np.array([centroids[i] for i in range(n_list)], dtype=np.float64)
+    c2 = np.array([_py_dot_i64(centroids[i], centroids[i]) for i in range(n_list)])
+    c2 = c2.astype(np.float64)  # < 2^53 — exact in double
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                out = pdf.copy()
+                out["list_id"] = np.array([], dtype=np.int32)
+                yield out
+                continue
+            mat = np.vstack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            # keys: (batch x n_list); each dot is Σ_j round_half_away(
+            # (x_j * c_ij) * 1e8) — per-element rounding forbids a true
+            # matmul, so loop the n_list rows (vectorized over the batch)
+            keys = np.empty((len(pdf), n_list), dtype=np.float64)
+            for i in range(n_list):
+                prod = mat * C[i]
+                dots = _round_half_away(prod * SCALE).sum(axis=1)
+                keys[:, i] = c2[i] - 2.0 * dots
+            out = pdf.copy()
+            out["list_id"] = np.argmin(keys, axis=1).astype(np.int32)
+            yield out
+
+    schema = T.StructType(list(emb.schema.fields) + [T.StructField("list_id", T.IntegerType())])
+    return emb.mapInPandas(assign, schema)
+
+
 def ivf_topk_cosine(
     emb: DataFrame,
     query_vec: list[float],
@@ -376,6 +439,7 @@ def ivf_topk_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fixed_point: bool = False,
+    kernel: str = "numpy",
 ) -> DataFrame:
     """IVF-flat approximate top-k: probe the ``n_probe`` inverted lists
     whose centroids are nearest the query, exact re-rank inside them.
@@ -383,7 +447,9 @@ def ivf_topk_cosine(
     instead of data-oblivious hyperplanes — better list balance on
     clustered corpora, same pruning arithmetic (probes scan
     n_probe/n_list of the table when stored partitioned by list)."""
-    indexed, centroids = ivf_index(emb, n_list, id_col, vec_col, fixed_point=fixed_point)
+    indexed, centroids = ivf_index(
+        emb, n_list, id_col, vec_col, fixed_point=fixed_point, kernel=kernel
+    )
     q2 = sum(x * x for x in query_vec)
 
     def _key(c: list[float]) -> float:

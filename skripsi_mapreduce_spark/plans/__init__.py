@@ -6,30 +6,77 @@ from . import relational2  # noqa: F401  (registers into QUERIES/ORACLE)
 from . import extensions2  # noqa: F401  (registers into QUERIES/ORACLE)
 
 # The external correctness gate adjudicates the FIRST ~50 registry entries
-# in dict order (rounds 1 and 2 both cut off at exactly position 50).
-# Rotate the tail so every entry gets driver-adjudicated in some round.
-# Round 3: promote the six entries with no driver-green row yet —
-# bpe_merges / emb_random_projection (red in r2, both root-caused and
-# fixed this round), kmeans_documents (red r1 on the decimal-rendering
-# artifact, fixed by the scaled-BIGINT sweep), q31/q32/q34 (same) —
-# plus the three r1-green entries that sat just past the r2 cutoff.
-# Retire the seven r2-green q35-q42 promotions to the tail; tail entries
-# all hold a full driver-green row from r1 or r2 and stay pinned by the
-# local oracle suite every run.
+# in dict order (rounds 1-3 all cut off at exactly position 50).
+# Rotate the tail so every entry's freshest driver-green row stays recent.
+# Round 4 head (per the r3 verdict's rotation demand):
+#  (a) entries whose KERNELS changed in r3 after their last driver row
+#      (dedup/similarity family, tfidf, kmeans),
+#  (b) entries changed or added THIS round (sim_topk_ivf numpy quantizer,
+#      kmeans_documents cached assign, ta_trigram_lp),
+#  (c) the r1-green q09-q26 batch (stalest evidence in the repo),
+#  (d) everything whose last driver-green is r2.
+# Tail = r3-greens (freshest evidence, code unchanged, still pinned by the
+# local oracle suite every run).
 _PROMOTED = [
-    # never driver-green — must be adjudicated this round
+    # (b) changed/new this round — must be adjudicated
+    "sim_topk_ivf",
+    "kmeans_documents",
+    "ta_trigram_lp",
+    # (a) kernels changed in r3 after last driver row (r2)
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "sim_topk_cosine",
+    "sim_topk_lsh",
+    "tfidf_longform",
+    "emb_kmeans",
+    # (c) last driver-green r1
+    "q09_semi_join",
+    "q10_anti_join",
+    "q11_range_self_join",
+    "q12_cross_join",
+    "q13_scalar_subquery",
+    "q14_correlated_subquery",
+    "q19_set_ops",
+    "q20_rollup",
+    "q22_string_fns",
+    "q23_date_fns",
+    "q26_distinct",
+    # (d) last driver-green r2
+    "q35_regexp",
+    "q36_histogram",
+    "q37_null_semantics",
+    "q38_array_agg",
+    "q39_props_extract",
+    "q40_asof_join",
+    "q41_unpivot",
+    "q42_sliding_window",
+    "q43_latest_snapshot",
+    "q44_corr_stats",
+    "ta_bm25_topk",
+    "ta_token_stats",
+    "ta_quality",
+    "ta_langid",
+    "ta_fingerprint",
+    "ta_chunking",
+    "ta_repetition",
+    "ta_crossdup",
+    "ta_passage_removal",
+    "ta_unigram_lp",
+    "mix_weighted_topk",
+    "mix_stratified",
+]
+_TAIL = [
+    # green r3 — freshest driver evidence, rotated out of the head
     "bpe_merges",
     "emb_random_projection",
-    "kmeans_documents",
     "q31_pivot",
     "q32_quantiles",
     "q34_ntile",
-    # green r1, unadjudicated since (sat at positions 51-56 in r2)
     "dedup_cross_corpus",
     "etl_sequential_ids",
     "q33_listagg",
-    # new in round 3 — must be adjudicated this round
-    "emb_kmeans",
     "pack_blocks",
     "sketch_kmv_distinct",
     "sketch_cms_topk",
@@ -41,7 +88,6 @@ _PROMOTED = [
     "mm_image_decode",
     "mm_audio_decode",
     "mm_video_frames",
-    "sim_topk_ivf",
     "profile_lineitem",
     "skew_salted_agg",
     "range_join_pairs",
@@ -51,28 +97,6 @@ _PROMOTED = [
     "q45_apply_changes",
     "dedup_semantic",
     "ta_bigram_lp",
-]
-_TAIL = [
-    # retired this round (green r2)
-    "q35_regexp",
-    "q36_histogram",
-    "q37_null_semantics",
-    "q38_array_agg",
-    "q40_asof_join",
-    "q41_unpivot",
-    "q42_sliding_window",
-    # retired in round 2 (green r1)
-    "q09_semi_join",
-    "q10_anti_join",
-    "q13_scalar_subquery",
-    "q14_correlated_subquery",
-    "q11_range_self_join",
-    "q12_cross_join",
-    "q19_set_ops",
-    "q20_rollup",
-    "q22_string_fns",
-    "q23_date_fns",
-    "q26_distinct",
 ]
 
 

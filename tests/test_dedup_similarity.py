@@ -418,6 +418,19 @@ def test_ivf_fixed_point_all_lists_equals_exact(spark):
     assert full == brute
 
 
+def test_ivf_numpy_assign_bit_identical_to_hof(spark):
+    """The Arrow/numpy coarse-assignment kernel (the default) must assign
+    every vector to the SAME inverted list as the JVM HOF expression path
+    — same e8 fixed-point keys, same lowest-list-id tie-break."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    np_idx, np_cent = sim.ivf_index(emb, n_list=16, fixed_point=True, kernel="numpy")
+    hof_idx, hof_cent = sim.ivf_index(emb, n_list=16, fixed_point=True, kernel="hof")
+    assert np_cent == hof_cent
+    a = {r["vec_id"]: r["list_id"] for r in np_idx.select("vec_id", "list_id").collect()}
+    b = {r["vec_id"]: r["list_id"] for r in hof_idx.select("vec_id", "list_id").collect()}
+    assert a == b and len(a) == emb.count()
+
+
 def test_pair_cosine_pandas_bit_identical_to_hof(spark):
     """The vectorized pair kernel must equal the built-in fixed-point
     fold bit-for-bit (same quantization, same 6dp rounding)."""
