@@ -407,14 +407,16 @@ def kmeans_ml(
     from pyspark.ml.clustering import KMeans as MLKMeans
     from pyspark.ml.linalg import SparseVector, VectorUDT
 
-    # contiguous 0..V-1 indices: rank over the small vocab table
-    from pyspark.sql import Window
+    # contiguous 0..V-1 indices via the two-phase distributed rank — a
+    # global row_number() window would collapse the vocab table to one
+    # partition, a real bottleneck at open-vocabulary scale (r3 verdict);
+    # the total row count falls out of the same pass (no extra count job)
+    from .etl import assign_sequential_ids
 
-    vocab = features.select(word_col).distinct().select(
-        F.col(word_col),
-        (F.row_number().over(Window.orderBy(word_col)) - 1).alias("_idx"),
+    vocab, dim = assign_sequential_ids(
+        features.select(word_col).distinct(), [word_col], id_col="_idx", with_total=True
     )
-    dim = vocab.count()
+    vocab = vocab.withColumn("_idx", (F.col("_idx") - 1).cast("int"))
     indexed = (
         features.join(F.broadcast(vocab), word_col)
         .groupBy(F.col(id_col).alias("doc_id"))

@@ -523,3 +523,98 @@ def bigram_logprob(
             ).otherwise(0.0)
         ).alias("nll"),
     )
+
+
+def trigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam3: float = 0.6,
+    lam2: float = 0.3,
+    lam1: float = 0.1,
+) -> DataFrame:
+    """Per-doc mean negative log-likelihood under an interpolated TRIGRAM
+    model — the next rung up the KenLM ladder from :func:`bigram_logprob`:
+    p(c|a,b) = lam3·c(a,b,c)/c(a,b,*) + lam2·c(b,c)/c(b,*) + lam1·c(c)/T
+    (Jelinek-Mercer interpolation with fixed weights; every division is
+    over corpus counts, so the model is fully determined by one tokenize
+    pass). Documents with fewer than three tokens score 0.
+
+    Returns (doc_id, n_trigrams, nll). Cross-engine discipline as the
+    lower orders: each distinct trigram's ln p is rounded to 8dp and
+    summed as DECIMAL scaled by its per-doc count — order-independent.
+    The interpolation literals (0.6/0.3/0.1) are written identically in
+    both engines, and the sum is left-associated identically, so the
+    double is bit-equal despite the weights not being dyadic.
+
+    Scale: trigram/bigram/unigram model tables are all corpus-vocabulary
+    bounded (zipf-small) and broadcast for the scoring join; n-grams come
+    from array transforms over ONE tokenization — no self-joins; T is the
+    only driver scalar."""
+    toks = _tokens(F.col(text_col))
+    tris = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("a"),
+                F.element_at(toks, i + 1).alias("b"),
+                F.element_at(toks, i + 2).alias("c"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string,c:string>>"))
+    tri = df.select(F.col(id_col).alias("doc_id"), F.explode(tris).alias("t")).select(
+        "doc_id", F.col("t.a").alias("a"), F.col("t.b").alias("b"), F.col("t.c").alias("c")
+    )
+    ttf = tri.groupBy("doc_id", "a", "b", "c").agg(F.count("*").alias("tf"))
+    cabc = ttf.groupBy("a", "b", "c").agg(F.sum("tf").alias("cabc"))
+    cab = cabc.groupBy("a", "b").agg(F.sum("cabc").alias("cab"))
+    # bigram/unigram backoff counts over the FULL corpus token stream
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("x"), F.element_at(toks, i + 1).alias("y")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    cbc = (
+        df.select(F.explode(bigrams).alias("p"))
+        .groupBy(F.col("p.x").alias("b"), F.col("p.y").alias("c"))
+        .agg(F.count("*").alias("cbc"))
+    )
+    cb = cbc.groupBy("b").agg(F.sum("cbc").alias("cb"))
+    uni = df.select(F.explode(toks).alias("c")).groupBy("c").agg(F.count("*").alias("cw"))
+    t_total = uni.agg(F.sum("cw")).collect()[0][0] or 0
+    p = (
+        F.lit(lam3) * (F.col("cabc").cast("double") / F.col("cab").cast("double"))
+        + F.lit(lam2) * (F.col("cbc").cast("double") / F.col("cb").cast("double"))
+        + F.lit(lam1) * (F.col("cw").cast("double") / F.lit(float(max(t_total, 1))))
+    )
+    model = (
+        cabc.join(cab, ["a", "b"])
+        .join(cbc, ["b", "c"])
+        .join(cb, "b")
+        .join(uni, "c")
+        .select("a", "b", "c", F.round(F.log(p), 8).cast("decimal(18,8)").alias("lnp"))
+    )
+    per = (
+        ttf.join(F.broadcast(model), ["a", "b", "c"])
+        .groupBy("doc_id")
+        .agg(
+            (-(F.sum(F.col("tf").cast("decimal(12,0)") * F.col("lnp")))).alias("s"),
+            F.sum("tf").cast("bigint").alias("n_trigrams"),
+        )
+    )
+    out = df.select(F.col(id_col).alias("doc_id")).join(per, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("n_trigrams", F.lit(0)).cast("bigint").alias("n_trigrams"),
+        round_exact_double(
+            F.when(
+                F.col("n_trigrams") > 0,
+                F.col("s").cast("double") / F.col("n_trigrams").cast("double"),
+            ).otherwise(0.0)
+        ).alias("nll"),
+    )

@@ -121,11 +121,17 @@ def tfidf_long(
         cap = int(max_df * n_docs) if isinstance(max_df, float) else int(max_df)
         dfreq_full = dfreq_full.filter(F.col("df") <= cap)
     if max_features is not None:
-        w = Window.orderBy(F.col("df").desc(), F.col("word"))
-        # |vocab| rows only — the global window runs over the small df
-        # table, never the corpus.
+        # Two-phase distributed rank (etl.assign_sequential_ids): range-
+        # partition on (df desc, word), rank within partitions, add
+        # offsets. A plain global row_number() window collapses the vocab
+        # table to ONE partition — tolerable for a closed adjective list,
+        # a real bottleneck at a 100M-word open vocabulary (r3 verdict).
+        from .etl import assign_sequential_ids
+
         dfreq_full = (
-            dfreq_full.withColumn("_rk", F.row_number().over(w))
+            assign_sequential_ids(
+                dfreq_full, [F.col("df").desc(), F.col("word")], id_col="_rk"
+            )
             .filter(F.col("_rk") <= int(max_features))
             .drop("_rk")
         )

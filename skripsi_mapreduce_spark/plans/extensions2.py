@@ -1065,3 +1065,57 @@ def ta_bigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_bigrams", e_int(F.col("nll")).alias("nll_e4")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Trigram LM scoring — the KenLM ladder's next rung (r3 verdict #8)
+# ---------------------------------------------------------------------------
+@query(
+    "ta_trigram_lp",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{ASCII_TOKEN}') AS t
+        FROM documents),
+    tri AS (SELECT doc_id, t[i] AS a, t[i + 1] AS b, t[i + 2] AS c
+            FROM toks, UNNEST(range(1, LEN(t) - 1)) r(i) WHERE LEN(t) >= 3),
+    ttf AS (SELECT doc_id, a, b, c, COUNT(*) AS tf FROM tri GROUP BY 1, 2, 3, 4),
+    cabc AS (SELECT a, b, c, SUM(tf) AS cabc FROM ttf GROUP BY 1, 2, 3),
+    cab AS (SELECT a, b, SUM(cabc) AS cab FROM cabc GROUP BY 1, 2),
+    bi AS (SELECT t[i] AS b, t[i + 1] AS c
+           FROM toks, UNNEST(range(1, LEN(t))) r(i) WHERE LEN(t) >= 2),
+    cbc AS (SELECT b, c, COUNT(*) AS cbc FROM bi GROUP BY 1, 2),
+    cb AS (SELECT b, SUM(cbc) AS cb FROM cbc GROUP BY 1),
+    cw AS (SELECT word, COUNT(*) AS cw FROM (
+        SELECT unnest(t) AS word FROM toks) GROUP BY 1),
+    tot AS (SELECT SUM(cw) AS t FROM cw),
+    model AS (
+        SELECT cabc.a, cabc.b, cabc.c,
+               CAST(ROUND(LN((0.6 * (CAST(cabc.cabc AS DOUBLE) / CAST(cab.cab AS DOUBLE)))
+                             + (0.3 * (CAST(cbc.cbc AS DOUBLE) / CAST(cb.cb AS DOUBLE)))
+                             + (0.1 * (CAST(cw.cw AS DOUBLE) / CAST(tot.t AS DOUBLE)))), 8)
+                    AS DECIMAL(18,8)) AS lnp
+        FROM cabc JOIN cab USING (a, b) JOIN cbc USING (b, c) JOIN cb USING (b)
+             JOIN cw ON cw.word = cabc.c CROSS JOIN tot),
+    per AS (SELECT doc_id, -SUM(CAST(tf AS DECIMAL(12,0)) * lnp) AS s, SUM(tf) AS n
+            FROM ttf JOIN model USING (a, b, c) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_trigrams,
+           {e_int_sql('CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END')} AS nll_e4
+    FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id
+    """,
+)
+def ta_trigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean negative log-likelihood under the corpus's own interpolated
+    trigram model (0.6 trigram + 0.3 bigram + 0.1 unigram Jelinek-Mercer
+    backoff) — the perplexity-filter stand-in at order 3
+    (operators/text_analysis.trigram_logprob). All three model tables are
+    zipf-small and broadcast; n-grams come from array transforms over one
+    tokenization, never a self-join."""
+    from ..functions.numeric import e_int
+    from ..operators.text_analysis import trigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = trigram_logprob(docs)
+    return out.select(
+        "doc_id", "n_trigrams", e_int(F.col("nll")).alias("nll_e4")
+    ).orderBy("doc_id")

@@ -567,6 +567,45 @@ def avro_schema_for(schema: T.StructType, name: str = "record0") -> str:
 # ---------------------------------------------------------------------------
 # Distributed Spark IO
 # ---------------------------------------------------------------------------
+import re as _re
+
+_SCHEME_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path, jvm) for a schemed URI via the JVM Hadoop FS API
+    — the seam that makes ``hdfs://``/``s3a://``/``file://`` paths work
+    without any Python-side filesystem library."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _fs_read_bytes(spark: SparkSession, uri: str) -> bytes:
+    """Read one file fully through the Hadoop FS (driver-side; used only
+    for the schema sniff — one small file)."""
+    fs, hpath, jvm = _hadoop_fs(spark, uri)
+    stream = fs.open(hpath)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data)
+
+
+def _fs_first_avro(spark: SparkSession, path: str) -> str:
+    """First ``*.avro`` URI under a schemed path (dir, glob, or file)."""
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    if fs.exists(hpath) and fs.getFileStatus(hpath).isDirectory():
+        hpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/*.avro")
+    statuses = fs.globStatus(hpath)
+    cands = sorted(str(s.getPath().toString()) for s in (statuses or []) if s.isFile())
+    if not cands:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    return cands[0]
+
+
 def read_avro_python(
     spark: SparkSession, path: str, avro_schema_json: str | None = None
 ) -> DataFrame:
@@ -574,18 +613,31 @@ def read_avro_python(
 
     Part files are scanned by the binaryFile source (parallel, pruned)
     and decoded executor-side in Arrow batches. If ``avro_schema_json``
-    is not given it is sniffed from one local file (explicit schema is
-    the 100 TB convention anyway — a sniff is one extra driver read)."""
-    if avro_schema_json is None:
-        import glob as _glob
+    is not given it is sniffed from one file (explicit schema is the
+    100 TB convention anyway — a sniff is one extra driver read).
 
-        cands = sorted(
-            _glob.glob(os.path.join(path, "*.avro")) if os.path.isdir(path) else _glob.glob(path)
-        )
-        if not cands:
-            raise FileNotFoundError(f"no .avro files under {path}")
-        with open(cands[0], "rb") as fh:
-            avro_schema_json, _ = read_container(fh.read())
+    Schemed URIs (``hdfs://``, ``s3a://``, ``file://``, ...) work end to
+    end: the binaryFile source already reads any Hadoop filesystem, and
+    the driver-side schema sniff routes through the JVM FileSystem API;
+    plain paths keep the POSIX fast path."""
+    schemed = bool(_SCHEME_RE.match(path))
+    if avro_schema_json is None:
+        if schemed:
+            avro_schema_json, _ = read_container(
+                _fs_read_bytes(spark, _fs_first_avro(spark, path))
+            )
+        else:
+            import glob as _glob
+
+            cands = sorted(
+                _glob.glob(os.path.join(path, "*.avro"))
+                if os.path.isdir(path)
+                else _glob.glob(path)
+            )
+            if not cands:
+                raise FileNotFoundError(f"no .avro files under {path}")
+            with open(cands[0], "rb") as fh:
+                avro_schema_json, _ = read_container(fh.read())
     schema = spark_schema_for(avro_schema_json)
     names = [f.name for f in schema.fields]
 
@@ -595,13 +647,28 @@ def read_avro_python(
         for pdf in batches:
             for content in pdf["content"]:
                 _, records = read_container(bytes(content))
+                # object dtype throughout: an EMPTY container (a part file
+                # from an empty partition) would otherwise produce default
+                # float64 columns that cannot convert to list/struct arrow
+                # types
                 yield pd.DataFrame(
-                    {n: [r[n] for r in records] for n in names}, columns=names
+                    {
+                        n: pd.Series([r[n] for r in records], dtype="object")
+                        for n in names
+                    },
+                    columns=names,
                 )
 
-    files = spark.read.format("binaryFile").load(
-        os.path.join(path, "*.avro") if os.path.isdir(path) else path
-    )
+    if schemed:
+        fs, hpath, _jvm = _hadoop_fs(spark, path)
+        load_path = (
+            path.rstrip("/") + "/*.avro"
+            if fs.exists(hpath) and fs.getFileStatus(hpath).isDirectory()
+            else path
+        )
+    else:
+        load_path = os.path.join(path, "*.avro") if os.path.isdir(path) else path
+    files = spark.read.format("binaryFile").load(load_path)
     return files.select("content").mapInPandas(_decode_files, schema)
 
 
@@ -611,11 +678,19 @@ def write_avro_python(df: DataFrame, path: str, codec: str = "deflate") -> int:
     :func:`write_container_stream`). Overwrite semantics (O39). Returns
     the number of rows written.
 
-    PATH CONTRACT: local or shared-POSIX filesystems only — the overwrite
-    cleanup and the per-partition ``open()`` use OS file APIs, and the
-    reader's schema sniff does too, so ``hdfs://``/``s3://`` URIs are not
-    supported by this pure-Python sink (route those through a Hadoop-FS
-    backed writer; every executor must see the same mounted path)."""
+    PATH CONTRACT: plain paths take the fast path — per-partition
+    ``open()`` on a local/shared-POSIX filesystem (executor-side IO, no
+    data through the driver). Schemed URIs (``hdfs://``, ``s3a://``,
+    ``file://``, ...) route through the JVM Hadoop FileSystem API:
+    partitions still ENCODE their container bytes executor-side, but the
+    bytes stream to the target through the driver one partition at a time
+    (``toLocalIterator`` — bounded by the largest part file, since Python
+    workers have no JVM gateway to write remote filesystems directly).
+    That makes the schemed route a compatibility seam, not the bulk-write
+    fast path; for peak throughput on a cluster, point the sink at a
+    shared mount or use the POSIX path per executor."""
+    if _SCHEME_RE.match(path):
+        return _write_avro_hadoop_fs(df, path, codec)
     import shutil
 
     if os.path.exists(path):
@@ -624,27 +699,7 @@ def write_avro_python(df: DataFrame, path: str, codec: str = "deflate") -> int:
     schema_json = avro_schema_for(df.schema)
     avro_schema = json.loads(schema_json)
     names = [f["name"] for f in avro_schema["fields"]]
-
-    def _py(v):
-        # numpy/pandas scalars and containers -> plain python for the codec.
-        # Containers FIRST: ndarray.item() unwraps single-element arrays to
-        # their scalar, which would turn ['good'] into the string 'good'.
-        if v is None:
-            return None
-        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-            return [_py(x) for x in v]
-        if isinstance(v, dict):
-            return {k: _py(x) for k, x in v.items()}
-        if hasattr(v, "item") and not isinstance(v, (bytes, str)):
-            try:
-                return v.item()
-            except (ValueError, AttributeError):
-                pass
-        import math
-
-        if isinstance(v, float) and math.isnan(v):
-            return None
-        return v
+    _py = _py_scalar
 
     def _write_partition(batches) -> Iterator:
         import pandas as pd
@@ -665,3 +720,69 @@ def write_avro_python(df: DataFrame, path: str, codec: str = "deflate") -> int:
 
     out = df.mapInPandas(_write_partition, "path string, n long").collect()
     return int(sum(r["n"] for r in out))
+
+
+def _py_scalar(v):
+    # numpy/pandas scalars and containers -> plain python for the codec.
+    # Containers FIRST: ndarray.item() unwraps single-element arrays to
+    # their scalar, which would turn ['good'] into the string 'good'.
+    if v is None:
+        return None
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return [_py_scalar(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _py_scalar(x) for k, x in v.items()}
+    if hasattr(v, "item") and not isinstance(v, (bytes, str)):
+        try:
+            return v.item()
+        except (ValueError, AttributeError):
+            pass
+    import math
+
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    return v
+
+
+def _write_avro_hadoop_fs(df: DataFrame, path: str, codec: str) -> int:
+    """Schemed-URI sink: executor-side container ENCODING, driver-side
+    streaming to the target filesystem via py4j (see write_avro_python's
+    path contract). Overwrite semantics through FileSystem.delete."""
+    import io as _io
+
+    spark = df.sparkSession
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+    fs.mkdirs(hpath)
+    schema_json = avro_schema_for(df.schema)
+    names = [f["name"] for f in json.loads(schema_json)["fields"]]
+
+    def _encode_partition(batches) -> Iterator:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+
+        def _records():
+            for pdf in batches:
+                for row in pdf[names].itertuples(index=False, name=None):
+                    yield dict(zip(names, (_py_scalar(v) for v in row)))
+
+        buf = _io.BytesIO()
+        n_rows = write_container_stream(schema_json, _records(), buf, codec)
+        yield pd.DataFrame({"pid": [pid], "n": [n_rows], "blob": [buf.getvalue()]})
+
+    enc = df.mapInPandas(_encode_partition, "pid int, n long, blob binary")
+    total = 0
+    # one part file in driver memory at a time — bounded, never the whole
+    # dataset
+    for row in enc.toLocalIterator():
+        target = jvm.org.apache.hadoop.fs.Path(hpath, f"part-{int(row['pid']):05d}.avro")
+        stream = fs.create(target, True)
+        try:
+            stream.write(bytearray(bytes(row["blob"])))
+        finally:
+            stream.close()
+        total += int(row["n"])
+    return total

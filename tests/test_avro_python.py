@@ -228,3 +228,32 @@ def test_avro_container_snappy_codec_roundtrip():
     bad[-10] ^= 0xFF
     with _pytest.raises(Exception):
         read_container(bytes(bad))
+
+
+def test_hadoop_fs_route_file_uri_roundtrip(spark, tmp_path):
+    """Schemed URIs route through the JVM Hadoop FileSystem seam
+    (r3 verdict #6): write + read via file:// must round-trip, honor
+    overwrite semantics, and sniff the schema through the FS API."""
+    from skripsi_mapreduce_spark.sources.avro_python import (
+        read_avro_python,
+        write_avro_python,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("1", "r1", "a1", "alice", ["good"], "good text"),
+            ("2", "r2", "a2", "bob", ["bad", "sad"], "bad sad text"),
+        ],
+        schemas.REVIEW_BOOK,
+    ).repartition(2)
+    uri = "file://" + str(tmp_path / "reviews_fs_avro")
+    n = write_avro_python(df, uri)
+    assert n == 2
+    back = read_avro_python(spark, uri)  # schema sniffed via Hadoop FS
+    got = sorted((r.asDict(recursive=True) for r in back.collect()), key=lambda r: r["id"])
+    want = sorted((r.asDict(recursive=True) for r in df.collect()), key=lambda r: r["id"])
+    assert got == want
+    # overwrite through FileSystem.delete
+    df2 = spark.createDataFrame([("9", "r9", "a9", "zoe", [], "")], schemas.REVIEW_BOOK)
+    assert write_avro_python(df2, uri) == 1
+    assert [r["id"] for r in read_avro_python(spark, uri).collect()] == ["9"]

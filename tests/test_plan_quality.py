@@ -210,3 +210,37 @@ def test_classifier_is_pure_scan_projection(spark):
     # the only allowed exchange is the final orderBy's range partitioning
     assert "hashpartitioning" not in body, body
     assert "Join" not in body
+
+
+def test_tfidf_max_features_no_single_partition_window(spark):
+    """max_features pruning ranks the vocab with the two-phase distributed
+    rank — no global single-partition window in the plan (r3 verdict #7:
+    real at a 100M-word open vocabulary), results identical to the global
+    window it replaced (pinned in test_cli_api by the tie-break cases)."""
+    from skripsi_mapreduce_spark.io import load_table
+    from skripsi_mapreduce_spark.operators.tfidf import tfidf_long
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = tfidf_long(docs, max_features=10)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange SinglePartition" not in p
+
+
+def test_kmeans_ml_vocab_index_no_single_partition_window(spark):
+    """The MLlib-path vocabulary index is a two-phase distributed rank,
+    not a global row_number window (r3 verdict #7)."""
+    from skripsi_mapreduce_spark.operators.etl import assign_sequential_ids
+    from skripsi_mapreduce_spark.io import load_table
+    from skripsi_mapreduce_spark.operators.tfidf import tokens_long
+
+    words = tokens_long(load_table(spark, SF_DIR, "documents")).select("word").distinct()
+    vocab, dim = assign_sequential_ids(words, ["word"], id_col="_idx", with_total=True)
+    p = vocab._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange SinglePartition" not in p
+    # contiguity contract kmeans_ml depends on: ids are exactly 1..V
+    ids = sorted(r["_idx"] for r in vocab.collect())
+    assert ids == list(range(1, dim + 1))

@@ -1,0 +1,110 @@
+"""Generate LOCAL scaling-curve data (documents + embeddings) beyond the
+driver-provided sf0.1 — evidence for the 100 TB extrapolations in
+SCALING.md (the r3 verdict: "everything is measured at sf0.1 only").
+
+Matches the driver generator's observed statistics at sf0.1 (seed=42,
+deterministic):
+
+- ``documents``: doc length ~ Uniform(10, 100) tokens drawn uniformly
+  from the same 30-word vocabulary; lang marginals (en 40%, de/es/fr/zh
+  15%); 20 uniform sources; ~5% of docs are near-copies of an earlier doc
+  (identical text + " dup" suffix — the structure dedup operators find at
+  sf0.1) and a handful are exact copies.
+- ``embeddings``: 64-dim float32, unit-norm, 10 labels with tiny
+  cluster structure (centroid norm ~0.07, residual std ~0.125) — i.e.
+  near-isotropic Gaussian on the sphere, as observed.
+
+Row counts extrapolate the driver's line: n_docs = 50000*sf,
+n_emb = 20000*sf.
+
+Usage: python tools/gen_scaledata.py 0.5 [outdir]   (default
+.scaling/sf{sf} under the repo root). NOT driver data — never used for
+correctness adjudication, only wall-time-vs-sf measurements.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = [
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "join", "filter", "big", "group", "hash",
+    "customer", "sort", "order", "slow", "line", "part", "fast", "row",
+    "the", "agg", "key", "query", "a", "scan", "batch",
+]
+LANGS = ["en", "de", "es", "fr", "zh"]
+LANG_P = [0.4, 0.15, 0.15, 0.15, 0.15]
+
+
+def gen_documents(n: int, rng: np.random.Generator) -> pa.Table:
+    texts: list[str] = []
+    langs: list[str] = []
+    sources: list[str] = []
+    for i in range(n):
+        r = rng.random()
+        if i > 10 and r < 0.05:
+            # near-copy of an earlier doc, marked with the trailing token
+            src = int(rng.integers(0, i))
+            base = texts[src]
+            texts.append(base + " dup" if r >= 0.002 else base)
+        else:
+            ln = int(rng.integers(10, 101))
+            idx = rng.integers(0, len(VOCAB), size=ln)
+            texts.append(" ".join(VOCAB[j] for j in idx))
+        langs.append(LANGS[int(rng.choice(len(LANGS), p=LANG_P))])
+        sources.append(f"src{int(rng.integers(0, 20))}")
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def gen_embeddings(n: int, rng: np.random.Generator, dim: int = 64, k: int = 10) -> pa.Table:
+    centroids = rng.normal(0.0, 0.07 / np.sqrt(dim) * np.sqrt(dim), size=(k, dim))
+    centroids *= 0.07 / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-9)
+    labels = rng.integers(0, k, size=n)
+    vecs = centroids[labels] + rng.normal(0.0, 0.125, size=(n, dim))
+    # ~2% planted near-duplicates (tiny perturbations of an earlier
+    # vector) so the near-dup operators have positives to verify, like
+    # the driver data at sf0.1
+    n_dup = n // 50
+    if n_dup:
+        src = rng.integers(0, n, size=n_dup)
+        dst = rng.integers(0, n, size=n_dup)
+        vecs[dst] = vecs[src] + rng.normal(0.0, 0.002, size=(n_dup, dim))
+        labels[dst] = labels[src]
+    vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-9)
+    emb = pa.array(list(vecs.astype(np.float32)), pa.list_(pa.float32()))
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": emb,
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def main() -> None:
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.5
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(root, ".scaling", f"sf{sf}")
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(42)
+    n_docs, n_emb = int(50000 * sf), int(20000 * sf)
+    pq.write_table(gen_documents(n_docs, rng), os.path.join(out, "documents.parquet"))
+    pq.write_table(gen_embeddings(n_emb, rng), os.path.join(out, "embeddings.parquet"))
+    print(f"wrote {out}: documents={n_docs} embeddings={n_emb}")
+
+
+if __name__ == "__main__":
+    main()
