@@ -374,15 +374,18 @@ def _shingle_bitmaps(sh: DataFrame, max_vocab: int) -> tuple[DataFrame, int] | N
     allocates an intermediate array per candidate pair.
 
     Exact by construction: the dictionary assigns one bit per DISTINCT
-    shingle (row_number over the sorted vocab — a single-partition window,
-    fine precisely because the gate caps the vocab), so
+    shingle via the two-phase distributed rank (etl.assign_sequential_ids
+    — no single-partition window even while the cap holds; the vocab
+    total falls out of the same pass), so
     |A ∩ B| = popcount(bm_a AND bm_b) with no hash-collision caveat."""
-    d = sh.select("shingle").distinct().select(
-        "shingle", (F.row_number().over(Window.orderBy("shingle")) - 1).alias("sid")
+    from .etl import assign_sequential_ids
+
+    d, vocab = assign_sequential_ids(
+        sh.select("shingle").distinct(), ["shingle"], id_col="sid", with_total=True
     )
-    vocab = d.count()
     if vocab == 0 or vocab > max_vocab:
         return None
+    d = d.withColumn("sid", F.col("sid") - 1)
     n_words = (vocab + 63) // 64
     ent = sh.join(F.broadcast(d), "shingle").select(
         "doc_id",

@@ -244,3 +244,11 @@ def test_kmeans_ml_vocab_index_no_single_partition_window(spark):
     # contiguity contract kmeans_ml depends on: ids are exactly 1..V
     ids = sorted(r["_idx"] for r in vocab.collect())
     assert ids == list(range(1, dim + 1))
+
+
+def test_dedup_bitmap_dictionary_no_single_partition(spark):
+    """The shingle-bitmap dictionary rank is the two-phase distributed
+    rank — the capped single-partition window it replaced is gone from
+    both bitmap-kernel consumers (round 4)."""
+    for name in ("dedup_minhash", "dedup_ngram_jaccard"):
+        assert "Exchange SinglePartition" not in formatted_plan(spark, name), name
