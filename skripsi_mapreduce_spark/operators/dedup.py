@@ -917,3 +917,60 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def semantic_near_dups(
+    emb: DataFrame,
+    k: int | str = "auto",
+    n_assign_passes: int = 2,
+    top_per_cluster: int = 5,
+    target_cluster_size: int = 500,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (the operator behind the
+    dedup_semantic entry): cluster embeddings with the engine-exact
+    fixed-point K-Means, score cosine ONLY within each cluster
+    (vectorized pair kernel, bit-identical to the HOF fold), and keep the
+    ``top_per_cluster`` most-similar pairs per cluster. Returns
+    (cluster, id_a, id_b, cosine_e6).
+
+    ``k="auto"`` derives k = ceil(n / target_cluster_size) from one count
+    job — the measured scaling knob (SCALING.md round-4 curve): with k
+    FIXED, within-cluster pair work grows ~(n/k)²·k = n²/k (5.6s → 380s
+    over 10× data); with k ∝ n, cluster size — and so pair work per unit
+    of data — stays constant (6.2s → 43.9s, linear). The adjudicated
+    entry pins k=4 because the DuckDB oracle must replay the exact
+    partitioning."""
+    import math
+
+    from ..functions.numeric import e_int
+    from .kmeans import kmeans_fixedpoint
+    from .similarity import pair_cosine_pandas
+
+    if k == "auto":
+        k = max(2, math.ceil(emb.count() / target_cluster_size))
+    w = emb.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(vec_col).alias("word", "x"),
+    ).select("doc_id", "word", e_int(F.col("x").cast("double"), 4).alias("x_e4"))
+    assign = kmeans_fixedpoint(
+        w, k=int(k), n_assign_passes=n_assign_passes, weight_col="x_e4",
+        output="assignments",
+    ).select("doc_id", "cluster")
+    a = assign.select(F.col("doc_id").alias("id_a"), F.col("cluster"))
+    b = assign.select(F.col("doc_id").alias("id_b"), F.col("cluster").alias("_cb"))
+    pairs = a.join(
+        b, (F.col("cluster") == F.col("_cb")) & (F.col("id_a") < F.col("id_b"))
+    ).select("cluster", "id_a", "id_b")
+    scored = pair_cosine_pandas(pairs, emb, id_col=id_col, vec_col=vec_col).select(
+        "cluster", "id_a", "id_b", e_int(F.col("cosine"), 6).alias("cosine_e6")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("cluster").orderBy(F.desc("cosine_e6"), "id_a", "id_b")
+    )
+    return (
+        scored.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= int(top_per_cluster))
+        .select("cluster", "id_a", "id_b", "cosine_e6")
+    )

@@ -464,17 +464,38 @@ def ivf_topk_cosine(
     return topk_cosine(cands, query_vec, k, id_col, vec_col)
 
 
+def auto_n_planes(n_vectors: int, target_bucket_size: int = 64, floor: int = 4) -> int:
+    """Hyperplane count for ``n_vectors`` so the EXPECTED bucket size
+    stays ~``target_bucket_size``: planes = ceil(log2(n / target)).
+
+    This is the measured scaling knob (SCALING.md round-4 curve): with
+    planes held constant, in-bucket pair work grows ~n² (47.8s at sf1.0);
+    scaling planes with log n restores near-linearity (17.0s). Multi-probe
+    widens candidates by (planes+1)×, so bucket count must OUTPACE n —
+    hence ceil, plus a floor for tiny inputs."""
+    import math
+
+    if n_vectors <= target_bucket_size:
+        return floor
+    return max(floor, math.ceil(math.log2(n_vectors / target_bucket_size)))
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int | None = None,
+    n_planes: int | str | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold.
 
     ``n_planes=None``: all-pairs form — the verification kernel and the
     recall baseline. O(n²) pairs; audit use only.
+
+    ``n_planes="auto"``: derive the plane count from the vector count via
+    :func:`auto_n_planes` (one count job) — the production default, since
+    a FIXED plane count is a measured quadratic cliff as the corpus grows
+    (SCALING.md round-4 curve).
 
     ``n_planes=p`` (the scale path): hyperplane-LSH bucketing. Every
     vector gets a p-bit bucket from the deterministic md5-parity
@@ -492,6 +513,8 @@ def embedding_near_dups(
     Norms are computed ONCE per vector before the pair join (N folds),
     not per pair (would be 2·N² folds) — per-pair work is the dot product
     only."""
+    if n_planes == "auto":
+        n_planes = auto_n_planes(emb.count())
     # pinned: both sides of the self-join reuse one materialization, so
     # norms really are computed once per vector (N folds, not 2N)
     base_cols = [

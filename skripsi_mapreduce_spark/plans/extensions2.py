@@ -979,44 +979,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     each cluster and surface the top {top} most-similar pairs per
     cluster. The cluster scoping is what scales: all-pairs work is
     bounded by cluster size, never corpus size (at 100 TB, k grows with
-    N so clusters stay bounded, and the pair join is an equi-join on
-    cluster id). Cosines use the e8 fixed-point kernel
-    (operators/similarity.cosine_col) — engine-exact end to end."""
-    from pyspark.sql import Window as W
-
-    from ..functions.numeric import e_int
-    from ..operators.kmeans import kmeans_fixedpoint
-    from ..operators.similarity import pair_cosine_pandas
+    N so clusters stay bounded — operators/dedup.semantic_near_dups
+    k="auto", measured linear in SCALING.md — and the pair join is an
+    equi-join on cluster id; k is PINNED to 4 here because the oracle
+    must replay the exact partitioning). Cosines use the e8 fixed-point
+    kernel via the vectorized pair kernel (bit-identical to _dot_i64) —
+    engine-exact end to end."""
+    from ..operators.dedup import semantic_near_dups
 
     emb = load_table(spark, sf_dir, "embeddings")
-    w = emb.select(
-        F.col("vec_id").alias("doc_id"),
-        F.posexplode("embedding").alias("word", "x"),
-    ).select("doc_id", "word", e_int(F.col("x").cast("double"), 4).alias("x_e4"))
-    assign = kmeans_fixedpoint(
-        w, k=4, n_assign_passes=2, weight_col="x_e4", output="assignments"
-    ).select("doc_id", "cluster")
-    a = assign.select(F.col("doc_id").alias("id_a"), F.col("cluster"))
-    b = assign.select(F.col("doc_id").alias("id_b"), F.col("cluster").alias("_cb"))
-    pairs = a.join(b, (F.col("cluster") == F.col("_cb")) & (F.col("id_a") < F.col("id_b"))).select(
-        "cluster", "id_a", "id_b"
-    )
-    # vectorized numpy pair kernel: at 500k within-cluster pairs the
-    # interpreted HOF fold is the bottleneck (~30x slower); the kernel
-    # broadcasts the vector matrix, Arrow moves only narrow pair rows,
-    # and its fixed-point quantization is bit-identical to _dot_i64
-    scored = pair_cosine_pandas(pairs, emb).select(
-        "cluster", "id_a", "id_b", e_int(F.col("cosine"), 6).alias("cosine_e6")
-    )
-    rn = F.row_number().over(
-        W.partitionBy("cluster").orderBy(F.desc("cosine_e6"), "id_a", "id_b")
-    )
-    return (
-        scored.withColumn("_rn", rn)
-        .filter(F.col("_rn") <= _SEM_TOP)
-        .select("cluster", "id_a", "id_b", "cosine_e6")
-        .orderBy("cluster", F.desc("cosine_e6"), "id_a", "id_b")
-    )
+    out = semantic_near_dups(emb, k=4, top_per_cluster=_SEM_TOP)
+    return out.orderBy("cluster", F.desc("cosine_e6"), "id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

@@ -465,3 +465,38 @@ def test_pair_cosine_pandas_guards_vector_count(spark):
 
     with _pytest.raises(ValueError, match="max_vectors"):
         sim.pair_cosine_pandas(pairs, emb, max_vectors=1)
+
+
+def test_auto_n_planes_scaling_rule():
+    """planes = ceil(log2(n / target)), floored — the measured SCALING.md
+    knob. Spot values: 2k vectors/64 target -> 5; 20k -> 9; tiny -> floor."""
+    assert sim.auto_n_planes(100, target_bucket_size=64) == 4  # floor
+    assert sim.auto_n_planes(2000, target_bucket_size=64) == 5
+    assert sim.auto_n_planes(20000, target_bucket_size=64) == 9
+    assert sim.auto_n_planes(0) == 4
+
+
+def test_embedding_near_dups_auto_planes_matches_explicit(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    p = sim.auto_n_planes(n)
+    auto = sorted(map(tuple, sim.embedding_near_dups(emb, 0.9, n_planes="auto").collect()))
+    explicit = sorted(map(tuple, sim.embedding_near_dups(emb, 0.9, n_planes=p).collect()))
+    assert auto == explicit
+
+
+def test_semantic_near_dups_operator_auto_k(spark):
+    """The lifted SemDeDup operator: k='auto' derives from the corpus
+    size; output schema and per-cluster cap hold; fixed-k path equals the
+    adjudicated entry's shape."""
+    from skripsi_mapreduce_spark.operators.dedup import semantic_near_dups
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = semantic_near_dups(emb, k="auto", target_cluster_size=100, top_per_cluster=3)
+    rows = out.collect()
+    assert out.columns == ["cluster", "id_a", "id_b", "cosine_e6"]
+    per = {}
+    for r in rows:
+        per[r["cluster"]] = per.get(r["cluster"], 0) + 1
+        assert r["id_a"] < r["id_b"]
+    assert per and all(v <= 3 for v in per.values())
