@@ -480,6 +480,63 @@ def auto_n_planes(n_vectors: int, target_bucket_size: int = 64, floor: int = 4) 
     return max(floor, math.ceil(math.log2(n_vectors / target_bucket_size)))
 
 
+def write_ivf_partitioned(
+    emb: DataFrame,
+    path: str,
+    n_list: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fixed_point: bool = True,
+    kernel: str = "numpy",
+) -> dict[int, list[float]]:
+    """Materialize the IVF index the way a 100 TB deployment stores it:
+    parquet PARTITIONED BY ``list_id``, one directory per inverted list.
+    Returns the centroid table (persist it next to the data; it is the
+    whole 'index' — n_list × dim floats).
+
+    This is the operational half of the IVF pruning claim: a probe that
+    filters ``list_id IN (...)`` against this layout is satisfied by
+    PARTITION PRUNING — the scan touches n_probe/n_list of the files and
+    the explain plan shows it (pinned by test). Assignment happens once
+    at write time (map-side, shuffle-free), so query-time cost is just
+    centroid distances (driver, n_list rows) + the pruned scan."""
+    indexed, centroids = ivf_index(
+        emb, n_list, id_col, vec_col, fixed_point=fixed_point, kernel=kernel
+    )
+    indexed.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    return centroids
+
+
+def probe_ivf_partitioned(
+    spark,
+    path: str,
+    centroids: dict[int, list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fixed_point: bool = True,
+) -> DataFrame:
+    """Top-k probe against a :func:`write_ivf_partitioned` store: pick the
+    ``n_probe`` nearest lists driver-side (n_list rows of arithmetic),
+    scan ONLY those partitions (partition pruning — `list_id IN (...)` is
+    a directory filter, no data read outside the probed lists), exact
+    re-rank inside."""
+
+    def _key(c: list[float]) -> float:
+        if fixed_point:
+            return float(_py_dot_i64(c, c) - 2 * _py_dot_i64(query_vec, c))
+        return sum(x * x for x in c) - 2 * sum(a * b for a, b in zip(query_vec, c))
+
+    probe_ids = sorted(sorted(centroids), key=lambda lid: (_key(centroids[lid]), lid))[
+        :n_probe
+    ]
+    stored = spark.read.parquet(path)
+    cands = stored.filter(F.col("list_id").isin([int(i) for i in probe_ids]))
+    return topk_cosine(cands, query_vec, k, id_col, vec_col)
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.99,

@@ -180,3 +180,67 @@ def cms_estimate(
         item_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
     return joined.groupBy(item_col).agg(F.min("cnt").cast("bigint").alias("n_est"))
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95, 0.99),
+) -> DataFrame:
+    """Mergeable equi-width histogram quantile sketch: ``(q_e4, est_e4)``.
+
+    The sketch state is ONE bounded hash aggregate — n_bins integer
+    counters over fixed [lo, hi) bins (out-of-range values clamp to the
+    edge bins) — so it merges across partitions/files/days by plain
+    addition, the property approx quantiles need at 100 TB (exact
+    interpolated quantiles, entry q32, need a full sort per probe).
+    Estimates interpolate linearly inside the containing bin at
+    continuous rank r = q·(N−1).
+
+    Unlike approx_percentile's engine-private GK/KLL state, every number
+    here is a pure function of the data: integer counters plus double
+    arithmetic written in the same shape on both engines, so the DuckDB
+    oracle reproduces the estimates bit-for-bit. The bin-locate step runs
+    on the collected counter table (≤ n_bins rows — bounded like the
+    k-centroid collects); the estimate arithmetic itself is engine-side
+    Column math so no Python float enters the hash surface."""
+    if not (hi > lo and n_bins >= 1):
+        raise ValueError("need hi > lo and n_bins >= 1")
+    width = (hi - lo) / n_bins
+    b = F.floor((F.col(value_col).cast("double") - F.lit(float(lo))) / F.lit(width))
+    b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b.cast("int")))
+    counts = {
+        r["bin"]: r["cnt"]
+        for r in df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count("*").alias("cnt")
+        ).collect()
+    }
+    n = sum(counts.values())
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "q_e4 bigint, est_e4 bigint")
+    cum = 0
+    edges = []  # (bin, cnt, cum_before)
+    for bin_ in sorted(counts):
+        edges.append((bin_, counts[bin_], cum))
+        cum += counts[bin_]
+    rows = []
+    for q in qs:
+        r = q * float(n - 1)  # continuous rank; same double op as the oracle
+        for bin_, cnt, cum_before in edges:
+            if r >= float(cum_before) and r < float(cum_before + cnt):
+                rows.append((float(q), r, bin_, cnt, cum_before))
+                break
+    lit = spark.createDataFrame(
+        rows, "q double, r double, bin int, cnt bigint, cum_before bigint"
+    )
+    est = F.lit(float(lo)) + (
+        F.col("bin").cast("double")
+        + (F.col("r") - F.col("cum_before").cast("double")) / F.col("cnt").cast("double")
+    ) * F.lit(width)
+    return lit.select(
+        e_int(F.col("q"), 4).alias("q_e4"), e_int(est, 4).alias("est_e4")
+    )

@@ -22,6 +22,8 @@ _PROMOTED = [
     "sim_topk_ivf",
     "kmeans_documents",
     "ta_trigram_lp",
+    "sketch_hist_quantiles",
+    "dedup_semantic",
     # (a) kernels changed in r3 after last driver row (r2)
     "dedup_minhash",
     "dedup_simhash",
@@ -95,7 +97,6 @@ _TAIL = [
     "pipe_contamination",
     "stream_stateful_anomalies",
     "q45_apply_changes",
-    "dedup_semantic",
     "ta_bigram_lp",
 ]
 

@@ -1092,3 +1092,51 @@ def ta_trigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_trigrams", e_int(F.col("nll")).alias("nll_e4")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch — mergeable approximate quantiles (round 4)
+# ---------------------------------------------------------------------------
+_HQ_LO, _HQ_HI, _HQ_BINS = 900.0, 105000.0, 64
+_HQ_W = (_HQ_HI - _HQ_LO) / _HQ_BINS  # 1626.5625 — exactly representable
+
+
+@query(
+    "sketch_hist_quantiles",
+    f"""
+    WITH binned AS (
+        SELECT LEAST({_HQ_BINS - 1}, GREATEST(0,
+                 CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - {_HQ_LO}) / {_HQ_W}) AS INT)))
+               AS bin
+        FROM lineitem),
+    counts AS (SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY bin),
+    cum AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) - cnt AS cum_before FROM counts),
+    n AS (SELECT COUNT(*) AS n FROM lineitem),
+    qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.95), (0.99)),
+    tgt AS (SELECT CAST(q AS DOUBLE) AS q,
+                   CAST(q AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS r
+            FROM qs CROSS JOIN n),
+    hit AS (SELECT t.q, t.r, c.bin, c.cnt, c.cum_before
+            FROM tgt t JOIN cum c
+              ON t.r >= CAST(c.cum_before AS DOUBLE)
+             AND t.r < CAST(c.cum_before + c.cnt AS DOUBLE))
+    SELECT CAST(ROUND(q * 10000) AS BIGINT) AS q_e4,
+           CAST(ROUND(({_HQ_LO} + (CAST(bin AS DOUBLE)
+                 + (r - CAST(cum_before AS DOUBLE)) / CAST(cnt AS DOUBLE)) * {_HQ_W})
+               * 10000) AS BIGINT) AS est_e4
+    FROM hit ORDER BY q_e4
+    """,
+)
+def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantile estimates over
+    l_extendedprice (64 fixed bins, linear interpolation at continuous
+    rank q·(N−1)) — the approximate-quantile layer whose state merges by
+    integer addition at any scale, hash-matched because every counter is
+    an integer and the estimate arithmetic is written in the same double
+    shape on both engines (operators/sketches.histogram_quantiles)."""
+    from ..operators.sketches import histogram_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram_quantiles(
+        li, "l_extendedprice", _HQ_LO, _HQ_HI, _HQ_BINS
+    ).orderBy("q_e4")

