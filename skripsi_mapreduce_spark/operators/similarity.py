@@ -480,6 +480,128 @@ def auto_n_planes(n_vectors: int, target_bucket_size: int = 64, floor: int = 4) 
     return max(floor, math.ceil(math.log2(n_vectors / target_bucket_size)))
 
 
+def pq_encode(
+    emb: DataFrame,
+    centroids: dict[int, list[float]],
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding: input schema + ``codes``
+    (array<int>, one code per subspace) — each vector compressed to m
+    codebook ids (m bytes at n_codes<=256 vs dim floats: 32× smaller at
+    dim=64/m=8).
+
+    Codebook: ``centroids`` maps code -> FULL vector (the md5-min seed
+    pick, shared across subspaces — deterministic and SQL-replayable);
+    subspace s uses coordinates [s·dim/m, (s+1)·dim/m). code_s(v) =
+    argmin_c ||v_s − c_s||² over the e8 fixed-point keys
+    (c_s·c_s)_e8 − 2·(v_s·c_s)_e8, ties to the lowest code — the same
+    quantization discipline as the IVF coarse assigner, vectorized the
+    same way (Arrow batches, numpy, no Python per row)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    n_codes = len(centroids)
+    C = np.array([centroids[i] for i in range(n_codes)], dtype=np.float64)
+    dim = C.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    # per-subspace centroid self-dots, exact fixed point (Decimal twin)
+    c2 = np.empty((m, n_codes), dtype=np.float64)
+    for s in range(m):
+        for c in range(n_codes):
+            sub = centroids[c][s * d_sub : (s + 1) * d_sub]
+            c2[s, c] = float(_py_dot_i64(sub, sub))
+
+    def encode(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf) == 0:
+                out["codes"] = [[]][:0]
+                yield out
+                continue
+            mat = np.vstack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                vs = mat[:, s * d_sub : (s + 1) * d_sub]
+                keys = np.empty((len(pdf), n_codes), dtype=np.float64)
+                for c in range(n_codes):
+                    dots = _round_half_away(vs * C[c, s * d_sub : (s + 1) * d_sub] * SCALE).sum(
+                        axis=1
+                    )
+                    keys[:, c] = c2[s, c] - 2.0 * dots
+                codes[:, s] = np.argmin(keys, axis=1)  # first min = lowest code
+            out["codes"] = list(codes)
+            yield out
+
+    schema = T.StructType(
+        list(emb.schema.fields) + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
+    )
+    return emb.mapInPandas(encode, schema)
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC approximate top-k by squared Euclidean distance: returns
+    ``(vec_id, adc_e8)`` ascending (ties by id). The asymmetric-distance
+    trick: the query is NOT quantized — per subspace, its e8 distance to
+    each of the n_codes centroids goes into an m × n_codes lookup table
+    (driver-side: m·n_codes·d_sub multiplies), and every encoded vector
+    scores as Σ_s table[s][code_s] — m integer array lookups per row,
+    pure JVM expressions over literal arrays, then TakeOrdered.
+
+    At 100 TB this is the scan-the-codes tier: the scan reads m small
+    ints per vector instead of dim floats (encode once at write time),
+    and the ADC scan composes with IVF pruning (store codes partitioned
+    by list_id). Exact re-rank of the top candidates (topk_cosine on the
+    survivors) is the standard follow-up; here the ADC ranking itself is
+    the adjudicated surface (every number int64)."""
+    seed_rows = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), "_id")
+        .limit(n_codes)
+        .collect()
+    )
+    centroids = {i: [float(x) for x in r["_v"]] for i, r in enumerate(seed_rows)}
+    dim = len(query_vec)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    # ADC table: cell[s][c] = ||q_s - c_s||² in e8 fixed point
+    table: list[list[int]] = []
+    for s in range(m):
+        qs = query_vec[s * d_sub : (s + 1) * d_sub]
+        q2 = _py_dot_i64(qs, qs)
+        row = []
+        for c in range(n_codes):
+            cs = centroids[c][s * d_sub : (s + 1) * d_sub]
+            row.append(q2 + _py_dot_i64(cs, cs) - 2 * _py_dot_i64(qs, cs))
+        table.append(row)
+    encoded = pq_encode(emb, centroids, m, id_col, vec_col)
+    score = sum(
+        (
+            F.element_at(F.lit(table[s]).cast("array<long>"), F.col("codes")[s] + 1)
+            for s in range(m)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return (
+        encoded.select(F.col(id_col).alias("vec_id"), score.alias("adc_e8"))
+        .orderBy("adc_e8", "vec_id")
+        .limit(k)
+    )
+
+
 def write_ivf_partitioned(
     emb: DataFrame,
     path: str,

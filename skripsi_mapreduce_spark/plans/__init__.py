@@ -23,6 +23,7 @@ _PROMOTED = [
     "kmeans_documents",
     "ta_trigram_lp",
     "sketch_hist_quantiles",
+    "sim_topk_pq",
     "dedup_semantic",
     # (a) kernels changed in r3 after last driver row (r2)
     "dedup_minhash",

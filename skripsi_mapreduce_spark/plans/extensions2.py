@@ -1095,6 +1095,65 @@ def ta_trigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product quantization — compressed ANN codes + ADC top-k (round 4)
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_CODES, _PQ_K = 8, 16, 10
+
+
+@query(
+    "sim_topk_pq",
+    f"""
+    WITH seeds AS (
+        SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                            AS INT) AS c
+        FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_CODES}),
+    cx AS (SELECT s.c, (generate_subscripts(e.embedding, 1) - 1) // 8 AS sub,
+                  generate_subscripts(e.embedding, 1) AS i,
+                  CAST(unnest(e.embedding) AS DOUBLE) AS cv
+           FROM embeddings e JOIN seeds s USING (vec_id)),
+    c2 AS (SELECT c, sub, SUM(CAST(ROUND(cv * cv * {_E8}) AS BIGINT)) AS c2
+           FROM cx GROUP BY 1, 2),
+    ex AS (SELECT vec_id, (generate_subscripts(embedding, 1) - 1) // 8 AS sub,
+                  generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+    dots AS (SELECT e.vec_id, c.c, e.sub, SUM(CAST(ROUND(e.x * c.cv * {_E8}) AS BIGINT)) AS dot
+             FROM ex e JOIN cx c ON c.i = e.i GROUP BY 1, 2, 3),
+    codes AS (SELECT vec_id, sub, c FROM (
+        SELECT d.vec_id, d.sub, d.c,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
+                                  ORDER BY c2.c2 - 2 * d.dot, d.c) AS rn
+        FROM dots d JOIN c2 ON c2.c = d.c AND c2.sub = d.sub) t WHERE rn = 1),
+    qx AS (SELECT (generate_subscripts(embedding, 1) - 1) // 8 AS sub,
+                  generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS q
+           FROM embeddings WHERE vec_id = 0),
+    q2 AS (SELECT sub, SUM(CAST(ROUND(q * q * {_E8}) AS BIGINT)) AS q2 FROM qx GROUP BY 1),
+    qdots AS (SELECT c.c, c.sub, SUM(CAST(ROUND(q.q * c.cv * {_E8}) AS BIGINT)) AS qdot
+              FROM qx q JOIN cx c ON c.i = q.i GROUP BY 1, 2),
+    adc AS (SELECT qd.c, qd.sub, q2.q2 + c2.c2 - 2 * qd.qdot AS cell
+            FROM qdots qd JOIN q2 USING (sub) JOIN c2 ON c2.c = qd.c AND c2.sub = qd.sub),
+    scores AS (SELECT k.vec_id, SUM(a.cell) AS adc_e8
+               FROM codes k JOIN adc a ON a.sub = k.sub AND a.c = k.c GROUP BY 1)
+    SELECT vec_id, CAST(adc_e8 AS BIGINT) AS adc_e8
+    FROM scores ORDER BY adc_e8, vec_id LIMIT {_PQ_K}
+    """,
+)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 to the vec_id=0 embedding — the
+    compressed-codes ANN tier (m=8 subspaces × 16 codes: vectors scan as
+    8 small ints instead of 64 floats), hash-matched end to end because
+    codebook pick, per-subspace code assignment, and the ADC lookup sums
+    are all e8 fixed-point integers (operators/similarity.pq_topk;
+    codebook = the md5-min seed family shared with the IVF quantizer)."""
+    from ..operators import similarity as sim_mod
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return sim_mod.pq_topk(emb, qvec, k=_PQ_K, m=_PQ_M, n_codes=_PQ_CODES)
+
+
+# ---------------------------------------------------------------------------
 # Histogram quantile sketch — mergeable approximate quantiles (round 4)
 # ---------------------------------------------------------------------------
 _HQ_LO, _HQ_HI, _HQ_BINS = 900.0, 105000.0, 64

@@ -522,3 +522,30 @@ def test_ivf_partitioned_store_prunes_and_matches(spark, tmp_path):
     import glob as g
     all_parts = len(g.glob(path + "/list_id=*"))
     assert all_parts == 8
+
+
+def test_pq_encode_codes_valid_and_partition_invariant(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    seeds = (
+        emb.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), "_id").limit(16).collect()
+    )
+    cents = {i: [float(x) for x in r["_v"]] for i, r in enumerate(seeds)}
+    a = {r["vec_id"]: list(r["codes"]) for r in
+         sim.pq_encode(emb, cents, m=8).select("vec_id", "codes").collect()}
+    b = {r["vec_id"]: list(r["codes"]) for r in
+         sim.pq_encode(emb.repartition(7), cents, m=8).select("vec_id", "codes").collect()}
+    assert a == b and len(a) == emb.count()
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in a.values())
+
+
+def test_pq_topk_ordering_and_determinism(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    got = [(r["vec_id"], r["adc_e8"]) for r in sim.pq_topk(emb, q, k=10).collect()]
+    assert len(got) == 10
+    scores = [s for _, s in got]
+    assert scores == sorted(scores)  # ascending ADC distance
+    again = [(r["vec_id"], r["adc_e8"]) for r in
+             sim.pq_topk(emb.repartition(5), q, k=10).collect()]
+    assert got == again
