@@ -551,6 +551,7 @@ def pq_topk(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: dict[int, list[float]] | None = None,
 ) -> DataFrame:
     """PQ-ADC approximate top-k by squared Euclidean distance: returns
     ``(vec_id, adc_e8)`` ascending (ties by id). The asymmetric-distance
@@ -566,13 +567,14 @@ def pq_topk(
     by list_id). Exact re-rank of the top candidates (topk_cosine on the
     survivors) is the standard follow-up; here the ADC ranking itself is
     the adjudicated surface (every number int64)."""
-    seed_rows = (
-        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy(F.md5(F.col("_id").cast("string")), "_id")
-        .limit(n_codes)
-        .collect()
-    )
-    centroids = {i: [float(x) for x in r["_v"]] for i, r in enumerate(seed_rows)}
+    if centroids is None:
+        seed_rows = (
+            emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+            .orderBy(F.md5(F.col("_id").cast("string")), "_id")
+            .limit(n_codes)
+            .collect()
+        )
+        centroids = {i: [float(x) for x in r["_v"]] for i, r in enumerate(seed_rows)}
     dim = len(query_vec)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -600,6 +602,47 @@ def pq_topk(
         .orderBy("adc_e8", "vec_id")
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_list: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition — coarse quantizer prunes
+    to ``n_probe`` inverted lists (partition pruning when stored via
+    :func:`write_ivf_partitioned`), then ADC over PQ codes ranks the
+    survivors (m int lookups per vector instead of dim float multiplies).
+    Returns (vec_id, adc_e8) ascending. The PQ codebook is trained on
+    (seeded from) the FULL corpus, not the probed subset, so codes are
+    probe-independent — exactly how a write-time-encoded store behaves.
+
+    At 100 TB: scan cost = (n_probe/n_list) × (m bytes/vector); the two
+    tiers compose because both are computed at write time."""
+    seed_rows = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), "_id")
+        .limit(max(n_list, n_codes))
+        .collect()
+    )
+    seeds = {i: [float(x) for x in r["_v"]] for i, r in enumerate(seed_rows)}
+    pq_cents = {i: seeds[i] for i in range(n_codes)}
+    indexed, ivf_cents = ivf_index(emb, n_list, id_col, vec_col, fixed_point=True)
+
+    def _key(c: list[float]) -> float:
+        return float(_py_dot_i64(c, c) - 2 * _py_dot_i64(query_vec, c))
+
+    probe_ids = sorted(sorted(ivf_cents), key=lambda lid: (_key(ivf_cents[lid]), lid))[
+        :n_probe
+    ]
+    cands = indexed.filter(F.col("list_id").isin(probe_ids)).drop("list_id")
+    return pq_topk(cands, query_vec, k, m, n_codes, id_col, vec_col, centroids=pq_cents)
 
 
 def write_ivf_partitioned(

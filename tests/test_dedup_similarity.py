@@ -549,3 +549,22 @@ def test_pq_topk_ordering_and_determinism(spark):
     again = [(r["vec_id"], r["adc_e8"]) for r in
              sim.pq_topk(emb.repartition(5), q, k=10).collect()]
     assert got == again
+
+
+def test_ivfpq_composes_subset_of_full_pq(spark):
+    """IVF-PQ results are the full-corpus PQ ranking restricted to the
+    probed lists (codes are probe-independent: codebook seeded from the
+    full corpus); probing every list reproduces plain PQ exactly."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    full_pq = [(r["vec_id"], r["adc_e8"]) for r in sim.pq_topk(emb, q, k=10).collect()]
+    all_lists = [
+        (r["vec_id"], r["adc_e8"])
+        for r in sim.ivfpq_topk(emb, q, k=10, n_list=8, n_probe=8).collect()
+    ]
+    assert all_lists == full_pq
+    probed = {
+        (r["vec_id"], r["adc_e8"])
+        for r in sim.ivfpq_topk(emb, q, k=10, n_list=8, n_probe=2).collect()
+    }
+    assert probed <= {(r["vec_id"], r["adc_e8"]) for r in sim.pq_topk(emb, q, k=2000).collect()}
