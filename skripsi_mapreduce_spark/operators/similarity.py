@@ -153,6 +153,85 @@ def _round_half_away(x):
     return np.sign(x) * np.floor(np.abs(x) + 0.5)
 
 
+def topk_cosine_many(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Batched exact top-k: one pass over the corpus answers EVERY query
+    — the shape real retrieval workloads have (N queries × M vectors,
+    not one query at a time). Returns (query_id, vec_id, score), top-k
+    per query, scores bit-identical to :func:`topk_cosine` (pinned by
+    test).
+
+    Kernel: the query matrix (≤ max_queries × dim — guarded) rides in
+    the closure; each Arrow batch computes all (vector, query) scores
+    with the e8 fixed-point quantization, then keeps only its LOCAL
+    top-k per query before anything leaves the task — the map-side
+    combine for top-k, so the shuffle carries ≤ partitions × n_queries
+    × k narrow rows no matter the corpus size. A final per-query window
+    over that bounded set finishes the ranking. One corpus scan total vs
+    n_queries scans for the single-query loop."""
+    import numpy as np
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(q_id_col, q_vec_col).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"{len(q_rows)} queries > max_queries={max_queries} — chunk the "
+            "query set (the matrix rides driver->executor)"
+        )
+    q_ids = [r[0] for r in q_rows]
+    Q = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    qn = np.array([_py_norm_i64([float(x) for x in r[1]]) for r in q_rows])
+    nq = len(q_ids)
+
+    def score_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            self2 = _round_half_away(mat * mat * SCALE).sum(axis=1)
+            nrm = np.sqrt(self2 / SCALE)
+            ids = pdf[id_col].to_numpy()
+            out_q, out_v, out_s = [], [], []
+            for qi in range(nq):
+                dots = _round_half_away(mat * Q[qi] * SCALE).sum(axis=1)
+                raw = (dots / SCALE) / (nrm * qn[qi])
+                score = _round_half_away(raw * 1e6) / 1e6
+                top = min(k, len(score))
+                # local top-k: order by (-score, vec_id) like the window
+                order = np.lexsort((ids, -score))[:top]
+                out_q.extend([q_ids[qi]] * top)
+                out_v.extend(ids[order])
+                out_s.extend(score[order])
+            yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "score": out_s})
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    local = emb.select(id_col, vec_col).mapInPandas(score_batches, schema)
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def _plane_signs(p: int, dim: int) -> list[float]:
     """Hyperplane p's +1/-1 coordinates from md5 parity — reproducible in
     any engine with md5, no RNG state."""

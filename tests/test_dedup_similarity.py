@@ -568,3 +568,21 @@ def test_ivfpq_composes_subset_of_full_pq(spark):
         for r in sim.ivfpq_topk(emb, q, k=10, n_list=8, n_probe=2).collect()
     }
     assert probed <= {(r["vec_id"], r["adc_e8"]) for r in sim.pq_topk(emb, q, k=2000).collect()}
+
+
+def test_topk_cosine_many_matches_single_query_path(spark):
+    """One-scan batched top-k must equal the single-query TakeOrdered
+    path bit-for-bit, per query."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = [0, 7, 42]
+    qdf = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    many = sim.topk_cosine_many(emb, qdf, k=10)
+    got = {}
+    for r in many.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    for qid in qids:
+        q = [float(x) for x in emb.filter(F.col("vec_id") == qid).head()["embedding"]]
+        single = [(r["vec_id"], r["score"]) for r in sim.topk_cosine(emb, q, k=10).collect()]
+        assert got[qid] == single, qid
