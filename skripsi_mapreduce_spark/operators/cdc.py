@@ -73,3 +73,35 @@ def apply_changes(
         )
         .select(*keys, *[F.col(f"_r.{c}").alias(c) for c in payload])
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: turn a changelog
+    (one row per version) into validity intervals — each version valid
+    from its own timestamp until the NEXT version of the same key
+    (``valid_to`` NULL on the current version, ``is_current`` true).
+    The warehouse-side complement of :func:`latest_snapshot` (which
+    keeps only the last interval).
+
+    Supply a ``tiebreak`` making the per-key ordering total (a change
+    sequence number); exact-tie order is otherwise nondeterministic,
+    same caveat as latest_snapshot.
+
+    Scale: ONE shuffle by key (the window partition); intervals are a
+    single ``lead`` pass — no self-join, no per-version scan. Output
+    size = input size."""
+    from pyspark.sql import Window as W
+
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = W.partitionBy(*keys).orderBy(*order)
+    nxt = F.lead(F.col(ts_col)).over(w)
+    return (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", nxt)
+        .withColumn("is_current", nxt.isNull())
+    )

@@ -35,24 +35,111 @@ def _sym(edges: DataFrame) -> DataFrame:
     return fwd.unionByName(rev).filter(F.col("u") != F.col("v")).distinct()
 
 
+def _contract_local(g: DataFrame) -> DataFrame:
+    """Partition-local contraction (the Kiveris et al. §6 optimization):
+    each partition replaces its edge set by a spanning STAR onto the
+    partition-local minimum via an in-memory union-find — connectivity
+    is preserved (same node set, same reachability through shared
+    nodes), but long paths collapse to depth 1 wherever they are
+    co-located, so the global star rounds start from a graph whose
+    diameter is the number of PARTITIONS a component spans, not its
+    node count. State is bounded by the partition (never the graph):
+    the union-find holds one parent per node seen in this partition."""
+
+    def contract(batches):
+        import pandas as pd
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for a, b in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        out_u, out_v = [], []
+        for n in parent:
+            r = find(n)
+            if r != n:
+                out_u.append(n)
+                out_v.append(r)
+        yield pd.DataFrame(
+            {"u": pd.array(out_u, dtype="int64"), "v": pd.array(out_v, dtype="int64")}
+        )
+
+    return g.mapInPandas(contract, "u long, v long")
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_rounds: int = 20,
+    local_contract: bool = True,
 ) -> DataFrame:
     """(node, component) for every node in ``edges`` — component = the
     smallest node id reachable from it. Isolated nodes don't appear
     (callers left-join and coalesce to the node's own id).
+
+    ``local_contract`` runs the partition-local union-find pre-pass
+    first (see :func:`_contract_local`): one narrow map over the edges
+    typically cuts the global round count from ~log(diameter) to 2-3,
+    which matters because every round is several shuffles. Off switches
+    to the pure-join paper form (audits / zero-Python deployments).
     """
+    raw = edges.select(
+        F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    if local_contract:
+        # contract on the INPUT partitioning — upstream operators that
+        # grouped by entity (windows, groupBys) already co-located each
+        # component's edges, and the union-find is direction-agnostic,
+        # so contracting before the _sym/distinct shuffle (which would
+        # scatter edges by (u,v) hash) is what collapses whole chains.
+        raw = _contract_local(raw)
     g = _sym(
-        edges.select(F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst"))
+        raw.select(F.col("u").alias("src"), F.col("v").alias("dst"))
     ).localCheckpoint(eager=True)
 
     for _ in range(max_rounds):
         # large-star: for each u, attach neighbors v > u's min to m(u)
         m = g.groupBy("u").agg(F.min("v").alias("m"))
         m = m.select("u", F.least("u", "m").alias("m"))
+        # Fixpoint test BEFORE building the round: g is a disjoint
+        # min-rooted star forest iff every edge's smaller endpoint is
+        # its own min AND the larger endpoint's min. (Checking only
+        # "v==m(u) or u==m(v)" is NOT enough — a path a-b-c satisfies
+        # it while not being a fixpoint.) Testing the CURRENT graph
+        # instead of diffing g_new vs g saves the entire final
+        # large+small+checkpoint round once the input is already
+        # star-shaped — which the local-contraction pre-pass makes the
+        # common case.
+        e = g.filter(F.col("u") < F.col("v"))
+        mu = m.select("u", F.col("m").alias("mu"))
+        mv = m.select(F.col("u").alias("v"), F.col("m").alias("mv"))
+        bad = (
+            e.join(mu, "u")
+            .join(mv, "v")
+            .filter((F.col("mu") != F.col("u")) | (F.col("mv") != F.col("u")))
+            .limit(1)
+            .count()
+        )
+        if bad == 0:
+            # star forest: m IS the label table (root -> itself)
+            return m.select(
+                F.col("u").alias("node"), F.col("m").alias("component")
+            )
         large = (
             g.join(m, "u")
             .filter(F.col("v") > F.col("u"))
@@ -70,18 +157,12 @@ def connected_components(
             .unionByName(m2.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
         )
-        g_new = _sym(small.select(F.col("u").alias("src"), F.col("v").alias("dst"))).localCheckpoint(
+        g = _sym(small.select(F.col("u").alias("src"), F.col("v").alias("dst"))).localCheckpoint(
             eager=True
         )
-        # converged when the edge multiset is stable (star-contraction is
-        # monotone, so equal counts + subset check reduces to anti-join)
-        changed = g_new.join(g, ["u", "v"], "left_anti").limit(1).count()
-        same_size = g_new.count() == g.count()
-        g = g_new
-        if changed == 0 and same_size:
-            break
 
-    # at convergence every edge is (node, component-min)
+    # max_rounds exhausted without hitting the star-forest fixpoint:
+    # emit labels from the current graph (best effort, same as before)
     labels = g.groupBy("u").agg(F.min("v").alias("component"))
     return labels.select(
         F.col("u").alias("node"),

@@ -320,3 +320,46 @@ def prepare_corpus(
             .filter(F.col("chunk_text") != "")
         )
     return out
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    budget: int = 100_000,
+) -> DataFrame:
+    """Temperature-scaled domain mixing weights (the multilingual-LM
+    sampling scheme: upweight small domains by flattening the size
+    distribution, w_d ∝ n_d^α normalized) at α = 1/2, plus the expected
+    sample allocation for a ``budget``-row draw.
+
+    α is pinned to 0.5 because sqrt is IEEE-correctly-rounded in every
+    engine, which makes the whole computation hash-matchable: the
+    per-domain mass is the e8 fixed-point integer ROUND(sqrt(n)·1e8),
+    the normalizer is an exact int64 sum of those, and the final ratios
+    divide one exactly-represented integer by another (both < 2^53) —
+    identical doubles on Spark and DuckDB. A general-α variant is the
+    same plan with pow(); its last-ulp portability is not guaranteed,
+    so the adjudicated surface keeps α = 1/2.
+
+    Scale: one groupBy over the scan (partial-aggregated), a 1-row
+    total broadcast back — no window, no single-partition exchange."""
+    from ..functions.numeric import e_int
+
+    counts = df.groupBy(F.col(group_col).alias("domain")).agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    mass = counts.withColumn(
+        "mass_e8", F.round(F.sqrt(F.col("n_docs").cast("double")) * 1e8).cast("long")
+    )
+    total = mass.agg(F.sum("mass_e8").alias("_total"))
+    w = F.col("mass_e8").cast("double") / F.col("_total").cast("double")
+    return (
+        mass.crossJoin(F.broadcast(total))
+        .select(
+            "domain",
+            "n_docs",
+            e_int(w, 6).alias("w_e6"),
+            F.round(F.lit(float(budget)) * w).cast("long").alias("expect_n"),
+        )
+        .orderBy("domain")
+    )

@@ -244,3 +244,62 @@ def histogram_quantiles(
     return lit.select(
         e_int(F.col("q"), 4).alias("q_e4"), e_int(est, 4).alias("est_e4")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter membership sketch (round 4)
+# ---------------------------------------------------------------------------
+def bloom_position_cols(key: F.Column, m: int, k: int, salt: str = "bloom") -> list[F.Column]:
+    """The ``k`` bit positions of ``key`` in an ``m``-bit Bloom filter —
+    each an independent md5 draw (salted ``{salt}{j}``) reduced mod m.
+    Pure function of (salt, key): reproducible across engines, so the
+    whole filter is SQL-replayable (unlike Spark's native
+    ``BloomFilterAggregate``, whose bit layout is engine-private)."""
+    return [(_draw60_expr(key, f"{salt}{j}") % m).alias(f"pos{j}") for j in range(k)]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m: int = 16384,
+    k: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build the filter as its SET-BIT table: one row per distinct set
+    position (``pos: bigint``, at most min(m, k·n) rows regardless of
+    input size — the sketch property).
+
+    Scale: positions are narrow expressions over the scan; the distinct
+    is an m-bounded aggregate. A production deployment folds this row
+    set into an m-bit binary bitmap (``collect_set`` per 64-bit word or
+    the native BloomFilterAggregate) and broadcasts ~m/8 bytes; the
+    row-set form keeps every bit SQL-visible for adjudication while
+    costing the same bounded shuffle."""
+    keys = df.select(F.col(key_col).cast("string").alias("_k")).distinct()
+    pos = keys.select(
+        F.explode(F.array(*bloom_position_cols(F.col("_k"), m, k, salt))).alias("pos")
+    )
+    return pos.distinct()
+
+
+def bloom_probe(
+    bits: DataFrame,
+    probe_df: DataFrame,
+    key_col: str,
+    m: int = 16384,
+    k: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Probe: a key is (probably) a member iff ALL ``k`` of its positions
+    are set. Returns one row per distinct probe key with ``hit`` (int
+    0/1). The bit table is broadcast (≤ m rows) — the probe is a
+    map-side join against the scan, the exact shape a 100 TB
+    contamination / join-pruning pre-filter needs."""
+    keys = probe_df.select(F.col(key_col).cast("string").alias("_k")).distinct()
+    probes = keys.select(
+        "_k", F.explode(F.array(*bloom_position_cols(F.col("_k"), m, k, salt))).alias("pos")
+    )
+    marked = probes.join(
+        F.broadcast(bits.withColumn("_set", F.lit(1))), "pos", "left"
+    ).select("_k", F.coalesce(F.col("_set"), F.lit(0)).alias("_set"))
+    return marked.groupBy("_k").agg(F.min("_set").cast("int").alias("hit"))

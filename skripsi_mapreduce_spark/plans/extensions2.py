@@ -311,11 +311,17 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming (file-source replay -> watermark -> window groupBy ->
     memory sink, trigger availableNow) — hash-matched against the same
     DuckDB oracle as the batch entry (streaming/windows.tumbling_counts)."""
-    from ..streaming.windows import run_to_memory_sink, stream_events, tumbling_counts
+    from ..streaming.windows import (
+        run_to_memory_sink,
+        state_partitions,
+        stream_events,
+        tumbling_counts,
+    )
 
     ev = stream_events(spark, sf_dir)
     agg = tumbling_counts(ev)
-    out = run_to_memory_sink(agg, f"stream_tumbling_{next(_STREAM_SEQ)}", "complete")
+    with state_partitions(spark, 8):
+        out = run_to_memory_sink(agg, f"stream_tumbling_{next(_STREAM_SEQ)}", "complete")
     return out.orderBy("hour_epoch", "event_type")
 
 
@@ -326,11 +332,17 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     per closed session in the sink, aggregated to per-user counts, and
     hash-matched against the batch gaps-and-islands oracle
     (streaming/windows.sessionized_counts)."""
-    from ..streaming.windows import run_to_memory_sink, sessionized_counts, stream_events
+    from ..streaming.windows import (
+        run_to_memory_sink,
+        sessionized_counts,
+        state_partitions,
+        stream_events,
+    )
 
     ev = stream_events(spark, sf_dir)
     agg = sessionized_counts(ev, gap="30 minutes")
-    out = run_to_memory_sink(agg, f"stream_session_{next(_STREAM_SEQ)}", "complete")
+    with state_partitions(spark, 8):
+        out = run_to_memory_sink(agg, f"stream_session_{next(_STREAM_SEQ)}", "complete")
     return (
         out.groupBy("user_id")
         .agg(F.count("*").cast("bigint").alias("n_sessions"))
@@ -846,13 +858,14 @@ def stream_stateful_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit. Multi-batch replays still match: running_count is the
     max across batch rows, anomalies sum."""
     from ..streaming.stateful import running_mean_anomalies
-    from ..streaming.windows import run_to_memory_sink, stream_events
+    from ..streaming.windows import run_to_memory_sink, state_partitions, stream_events
 
     ev = stream_events(spark, sf_dir).select("ts", "event_id", "user_id", "value")
     out = running_mean_anomalies(ev, sigma_factor=3.0)
-    sunk = run_to_memory_sink(
-        out, f"stream_stateful_{next(_STREAM_SEQ)}", "append"
-    )
+    with state_partitions(spark, 8):
+        sunk = run_to_memory_sink(
+            out, f"stream_stateful_{next(_STREAM_SEQ)}", "append"
+        )
     return (
         sunk.groupBy("user_id")
         .agg(

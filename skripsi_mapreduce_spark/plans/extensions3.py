@@ -1,0 +1,442 @@
+r"""Round-4 extension surface: batched multi-query retrieval, the IVF-PQ
+composition, a SQL-replayable Bloom filter, temperature-scaled domain
+mixing, and three more Structured-Streaming adjudications (interval
+join, sliding window, streaming dedup) — each hash-matched against a
+DuckDB oracle stating the same arithmetic.
+
+Shares every cross-engine convention with plans/extensions.py /
+extensions2.py: md5 integer draws for randomness, e8 fixed-point dot
+products, scaled-BIGINT hash surfaces, microsecond-exact event-time
+arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import e_int
+from ..io import load_table
+from .relational import ORACLE, QUERIES, query  # noqa: F401
+
+_E8 = "100000000.0"  # e8 fixed-point scale as a double literal
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-query exact top-k — one corpus scan answers every query
+# ---------------------------------------------------------------------------
+_MANY_NQ, _MANY_K = 4, 10
+
+
+@query(
+    "sim_topk_many",
+    f"""
+    WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings),
+    qx AS (SELECT vec_id AS qid, x AS qv, i FROM ex WHERE vec_id < {_MANY_NQ}),
+    dots AS (SELECT q.qid, e.vec_id,
+                    SUM(CAST(ROUND(e.x * q.qv * {_E8}) AS BIGINT)) AS dot
+             FROM ex e JOIN qx q USING (i) GROUP BY 1, 2),
+    nrms AS (SELECT vec_id,
+                    SQRT(CAST(SUM(CAST(ROUND(x * x * {_E8}) AS BIGINT)) AS DOUBLE) / {_E8}) AS nrm
+             FROM ex GROUP BY vec_id),
+    scored AS (SELECT d.qid, d.vec_id,
+                      CAST(ROUND(ROUND((CAST(d.dot AS DOUBLE) / {_E8}) / (n.nrm * qn.nrm), 6)
+                                 * 1000000) AS BIGINT) AS score_e6
+               FROM dots d JOIN nrms n USING (vec_id)
+               JOIN nrms qn ON qn.vec_id = d.qid),
+    r AS (SELECT qid, vec_id, score_e6,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_e6 DESC, vec_id) AS rn
+          FROM scored)
+    SELECT CAST(qid AS BIGINT) AS query_id, vec_id, score_e6
+    FROM r WHERE rn <= {_MANY_K} ORDER BY query_id, score_e6 DESC, vec_id
+    """,
+)
+def sim_topk_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact retrieval: top-10 cosine neighbours for FOUR query
+    vectors in ONE corpus scan (operators/similarity.topk_cosine_many) —
+    the N-queries × M-vectors shape real retrieval workloads have. The
+    kernel keeps a local top-k per query inside each Arrow batch (the
+    map-side combine for top-k), so the shuffle carries ≤ partitions ×
+    queries × k narrow rows; scores are the same e8 fixed-point / e6
+    rounding as sim_topk_cosine, pinned bit-identical by test."""
+    from ..operators import similarity as sim_mod
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < _MANY_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sim_mod.topk_cosine_many(emb, qdf, k=_MANY_K)
+    return out.select(
+        "query_id", "vec_id", e_int(F.col("score"), 6).alias("score_e6")
+    ).orderBy("query_id", F.col("score_e6").desc(), "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — coarse-pruned ADC ranking over probe-independent PQ codes
+# ---------------------------------------------------------------------------
+_IP_NLIST, _IP_NPROBE, _IP_M, _IP_CODES, _IP_K = 16, 4, 8, 16, 10
+
+
+@query(
+    "sim_topk_ivfpq",
+    f"""
+    WITH seeds AS (
+        SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                            AS INT) AS sid
+        FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IP_NLIST}),
+    cx AS (SELECT s.sid AS lid, generate_subscripts(e.embedding, 1) AS i,
+                  CAST(unnest(e.embedding) AS DOUBLE) AS c
+           FROM embeddings e JOIN seeds s USING (vec_id)),
+    c2 AS (SELECT lid, SUM(CAST(ROUND(c * c * {_E8}) AS BIGINT)) AS c2 FROM cx GROUP BY lid),
+    ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+    dots AS (SELECT e.vec_id, c.lid, SUM(CAST(ROUND(e.x * c.c * {_E8}) AS BIGINT)) AS dot
+             FROM ex e JOIN cx c USING (i) GROUP BY 1, 2),
+    assign AS (SELECT vec_id, lid FROM (
+        SELECT d.vec_id, d.lid,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY c2.c2 - 2 * d.dot, d.lid) AS rn
+        FROM dots d JOIN c2 USING (lid)) t WHERE rn = 1),
+    probes AS (SELECT lid FROM (
+        SELECT q.lid, ROW_NUMBER() OVER (ORDER BY c2.c2 - 2 * q.dot, q.lid) AS rn
+        FROM (SELECT lid, dot FROM dots WHERE vec_id = 0) q JOIN c2 USING (lid)) t
+        WHERE rn <= {_IP_NPROBE}),
+    cand AS (SELECT a.vec_id FROM assign a JOIN probes p USING (lid)),
+    pcx AS (SELECT s.sid AS c, (generate_subscripts(e.embedding, 1) - 1) // 8 AS sub,
+                   generate_subscripts(e.embedding, 1) AS i,
+                   CAST(unnest(e.embedding) AS DOUBLE) AS cv
+            FROM embeddings e JOIN seeds s USING (vec_id)),
+    pc2 AS (SELECT c, sub, SUM(CAST(ROUND(cv * cv * {_E8}) AS BIGINT)) AS c2
+            FROM pcx GROUP BY 1, 2),
+    cex AS (SELECT e.vec_id, e.x, e.i, (e.i - 1) // 8 AS sub
+            FROM ex e JOIN cand USING (vec_id)),
+    pdots AS (SELECT e.vec_id, p.c, e.sub,
+                     SUM(CAST(ROUND(e.x * p.cv * {_E8}) AS BIGINT)) AS dot
+              FROM cex e JOIN pcx p ON p.i = e.i GROUP BY 1, 2, 3),
+    codes AS (SELECT vec_id, sub, c FROM (
+        SELECT d.vec_id, d.sub, d.c,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
+                                  ORDER BY p2.c2 - 2 * d.dot, d.c) AS rn
+        FROM pdots d JOIN pc2 p2 ON p2.c = d.c AND p2.sub = d.sub) t WHERE rn = 1),
+    qx AS (SELECT (generate_subscripts(embedding, 1) - 1) // 8 AS sub,
+                  generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS q
+           FROM embeddings WHERE vec_id = 0),
+    q2 AS (SELECT sub, SUM(CAST(ROUND(q * q * {_E8}) AS BIGINT)) AS q2 FROM qx GROUP BY 1),
+    qdots AS (SELECT p.c, p.sub, SUM(CAST(ROUND(q.q * p.cv * {_E8}) AS BIGINT)) AS qdot
+              FROM qx q JOIN pcx p ON p.i = q.i GROUP BY 1, 2),
+    adc AS (SELECT qd.c, qd.sub, q2.q2 + p2.c2 - 2 * qd.qdot AS cell
+            FROM qdots qd JOIN q2 USING (sub) JOIN pc2 p2 ON p2.c = qd.c AND p2.sub = qd.sub),
+    scores AS (SELECT k.vec_id, SUM(a.cell) AS adc_e8
+               FROM codes k JOIN adc a ON a.sub = k.sub AND a.c = k.c GROUP BY 1)
+    SELECT vec_id, CAST(adc_e8 AS BIGINT) AS adc_e8
+    FROM scores ORDER BY adc_e8, vec_id LIMIT {_IP_K}
+    """,
+)
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, the production ANN composition, hash-matched END TO END:
+    the fixed-point coarse quantizer prunes to 4 of 16 inverted lists
+    (partition pruning against a write_ivf_partitioned store), then ADC
+    over probe-independent PQ codes (m=8 × 16-code codebook trained on
+    the FULL corpus — write-time encoding) ranks the survivors. Every
+    number along the way (assignment keys, probe picks, code argmins,
+    ADC cells) is an e8 int64, so DuckDB replays the lists, the codes,
+    and the final ranking bit-for-bit
+    (operators/similarity.ivfpq_topk)."""
+    from ..operators import similarity as sim_mod
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return sim_mod.ivfpq_topk(
+        emb, qvec, k=_IP_K, n_list=_IP_NLIST, n_probe=_IP_NPROBE,
+        m=_IP_M, n_codes=_IP_CODES,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — SQL-replayable membership sketch (round 4)
+# ---------------------------------------------------------------------------
+_BLOOM_M, _BLOOM_K = 16384, 4
+
+
+_BLOOM_POS_SQL = (
+    f"CAST('0x' || substr(md5('bloom' || CAST(j AS VARCHAR) || ':' || key), 1, 15)"
+    f" AS BIGINT) % {_BLOOM_M}"
+)
+
+
+@query(
+    "sketch_bloom",
+    f"""
+    WITH members AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key
+                     FROM orders WHERE o_orderstatus = 'F'),
+    js(j) AS (VALUES (0), (1), (2), (3)),
+    bits AS (SELECT DISTINCT {_BLOOM_POS_SQL} AS pos
+             FROM members CROSS JOIN js),
+    probes AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS key FROM customer),
+    pp AS (SELECT key, {_BLOOM_POS_SQL} AS pos
+           FROM probes CROSS JOIN js),
+    hits AS (SELECT key, MIN(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS hit
+             FROM pp LEFT JOIN bits b USING (pos) GROUP BY key)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(h.hit) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN m.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN h.hit = 1 AND m.key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_pos
+    FROM hits h LEFT JOIN members m USING (key)
+    """,
+)
+def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch, every bit SQL-visible: build a
+    16384-bit / 4-hash filter over the customers that have an 'F'-status
+    order, probe EVERY customer, and surface (probed, hits, true
+    members, false positives) — the join-pruning / contamination
+    pre-filter a 100 TB pipeline broadcasts before a shuffle join. The
+    md5 position draws make the filter a pure function of the data
+    (engine-native Bloom aggregates have private bit layouts), so the
+    false-positive count itself is adjudicated
+    (operators/sketches.bloom_build/bloom_probe)."""
+    from ..operators.sketches import bloom_build, bloom_probe
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    members = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    bits = bloom_build(members, "o_custkey", _BLOOM_M, _BLOOM_K)
+    probed = bloom_probe(bits, cust, "c_custkey", _BLOOM_M, _BLOOM_K)
+    mem_keys = members.select(
+        F.col("o_custkey").cast("string").alias("_k")
+    ).distinct().withColumn("_is_m", F.lit(1))
+    return (
+        probed.join(mem_keys, "_k", "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n_probed"),
+            F.sum("hit").cast("bigint").alias("n_hits"),
+            F.sum(F.coalesce(F.col("_is_m"), F.lit(0))).cast("bigint").alias("n_members"),
+            F.sum(
+                F.when((F.col("hit") == 1) & F.col("_is_m").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_false_pos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixing (α = 1/2)
+# ---------------------------------------------------------------------------
+_MIX_BUDGET = 100_000
+
+
+@query(
+    "mix_temperature",
+    f"""
+    WITH counts AS (SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY source),
+    mass AS (SELECT domain, n_docs,
+                    CAST(ROUND(SQRT(CAST(n_docs AS DOUBLE)) * 100000000.0) AS BIGINT) AS mass_e8
+             FROM counts),
+    total AS (SELECT SUM(mass_e8) AS t FROM mass)
+    SELECT domain, n_docs,
+           CAST(ROUND((CAST(mass_e8 AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000) AS BIGINT) AS w_e6,
+           CAST(ROUND({float(_MIX_BUDGET)} * (CAST(mass_e8 AS DOUBLE) / CAST(t AS DOUBLE)))
+                AS BIGINT) AS expect_n
+    FROM mass CROSS JOIN total ORDER BY domain
+    """,
+)
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing at α = 1/2 (the multilingual-LM
+    upsampling scheme: w_d ∝ √n_d normalized) over documents.source,
+    with the expected allocation of a 100k-row sample budget. sqrt is
+    the one power that is IEEE-correctly-rounded everywhere, so the
+    whole weight table hash-matches: integer masses, exact int64
+    normalizer, exact-integer→double division on both engines
+    (operators/pipeline.temperature_weights)."""
+    from ..operators.pipeline import temperature_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_weights(docs, "source", _MIX_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming, round-4 adjudications: interval join, sliding
+# window, streaming dedup — availableNow replay through the REAL
+# streaming operators, hash-matched against batch oracle SQL.
+# ---------------------------------------------------------------------------
+_STREAM3_SEQ = iter(range(1, 1 << 30))
+_IJ_WINDOW_S = 1800  # purchase within 30 minutes of a click
+
+
+@query(
+    "stream_interval_join",
+    f"""
+    SELECT l.event_id AS l_event_id, r.event_id AS r_event_id
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'purchase'
+     AND epoch_us(r.ts) >= epoch_us(l.ts)
+     AND epoch_us(r.ts) <= epoch_us(l.ts) + {_IJ_WINDOW_S * 1_000_000}
+    ORDER BY l_event_id, r_event_id
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join computed by Structured
+    Streaming: clicks joined to same-user purchases within [0, 30 min],
+    both sides replayed through readStream with 1-hour watermarks (the
+    bounded-state formulation — the time-range condition lets the state
+    store evict rows once the watermark passes their eligibility
+    window), hash-matched against the batch SQL statement of the same
+    join (streaming/joins.interval_join)."""
+    from ..streaming.joins import interval_join
+    from ..streaming.windows import run_to_memory_sink, state_partitions, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = interval_join(left, right, key="user_id", lo_seconds=0,
+                           hi_seconds=_IJ_WINDOW_S)
+    pairs = joined.select(
+        F.col("event_id").alias("l_event_id"), F.col("r_event_id")
+    )
+    # a stream-stream join keeps FOUR state stores per partition; size
+    # the store count to the replay (8.3s -> 2.6s vs 32 partitions)
+    with state_partitions(spark, 8):
+        out = run_to_memory_sink(
+            pairs, f"stream_ij_{next(_STREAM3_SEQ)}", "append"
+        )
+    return out.orderBy("l_event_id", "r_event_id")
+
+
+@query("stream_sliding", None)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q42's sliding 1h/30m window computed by Structured Streaming
+    (file replay -> watermark -> window groupBy -> memory sink) —
+    hash-matched against the SAME DuckDB oracle as the batch entry
+    (streaming/windows.sliding_counts), completing the
+    tumbling/session/sliding trio of batch=stream parity proofs."""
+    from ..streaming.windows import (
+        run_to_memory_sink,
+        sliding_counts,
+        state_partitions,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    agg = sliding_counts(ev)
+    with state_partitions(spark, 8):
+        out = run_to_memory_sink(agg, f"stream_sliding_{next(_STREAM3_SEQ)}", "complete")
+    return out.orderBy("win_start_epoch", "event_type")
+
+
+@query(
+    "stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication through
+    dropDuplicatesWithinWatermark (state evicted as the watermark
+    passes — the only dedup formulation that survives an unbounded
+    stream): replay events, keep the first arrival per (user_id,
+    event_type), surface the kept KEY SET, which is order-independent
+    and therefore hash-matchable against batch DISTINCT. The replay
+    arrives within one watermark horizon, so the streaming kept-set
+    equals exact DISTINCT by the operator's contract
+    (streaming/windows.streaming_dedup)."""
+    from ..streaming.windows import (
+        run_to_memory_sink,
+        state_partitions,
+        stream_events,
+        streaming_dedup,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    dd = streaming_dedup(ev, ["user_id", "event_type"])
+    with state_partitions(spark, 8):
+        out = run_to_memory_sink(dd, f"stream_dedup_{next(_STREAM3_SEQ)}", "append")
+    return out.select("user_id", "event_type").orderBy("user_id", "event_type")
+
+
+# the streaming sliding twin shares the batch entry's oracle verbatim
+ORACLE["stream_sliding"] = ORACLE["q42_sliding_window"]
+
+
+# ---------------------------------------------------------------------------
+# Connected components, adjudicated: the REAL large-star/small-star
+# iteration runs on per-user event chains — a graph whose transitive
+# closure the oracle can state in closed form (chain component = the
+# user's minimum event id), while the Spark side must actually
+# propagate labels across ~log(chain length) contraction rounds.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_components",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS n, MIN(event_id) AS m
+               FROM events GROUP BY user_id)
+    SELECT e.event_id AS node, c.m AS component
+    FROM events e JOIN c USING (user_id)
+    WHERE c.n > 1 ORDER BY node
+    """,
+)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed connected components (Kiveris et al. large-star/
+    small-star, operators/components.connected_components) adjudicated
+    end to end: the input graph chains each user's events in event-id
+    order (~13-node paths — label propagation genuinely takes multiple
+    contraction rounds), and the oracle states the closed-form closure
+    (every chain's component is the user's minimum event id). Completes
+    the graph family's evidence: pagerank was oracle-green in r3, the
+    components operator only had local union-find tests until now."""
+    from pyspark.sql import Window as W
+
+    from ..operators.components import connected_components
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    edges = (
+        ev.withColumn("prev", F.lag("event_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("prev", "event_id")
+    )
+    comp = connected_components(edges, "prev", "event_id")
+    return comp.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("component").cast("bigint").alias("component"),
+    ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build — the warehouse-side complement of q43/q45
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_scd2",
+    """
+    SELECT event_id, user_id,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               AS valid_to_us,
+           CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                AS BOOLEAN) AS is_current
+    FROM events ORDER BY event_id
+    """,
+)
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build (operators/cdc.scd2_history): the events
+    changelog becomes validity intervals — each version valid from its
+    timestamp until the key's next version, NULL/is_current on the open
+    one. One shuffle by key, one lead() pass, no self-join; the
+    (ts, event_id) tiebreak makes the per-key order total so the
+    intervals hash-match."""
+    from ..operators.cdc import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = scd2_history(ev, ["user_id"], "ts", tiebreak=["event_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    ).orderBy("event_id")

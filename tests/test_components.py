@@ -60,3 +60,24 @@ def test_duplicate_groups_vs_onepass_divergence(spark):
         for r in duplicate_groups(pairs).collect()
     }
     assert groups == {(2, 2, True), (3, 2, False), (10, 2, False)}
+
+
+def test_components_contracted_equals_pure_join_form(spark):
+    """local_contract=True (partition-local union-find pre-pass) must be
+    result-identical to the pure large-star/small-star form on a graph
+    deliberately scattered across partitions."""
+    rng = random.Random(7)
+    nodes = list(range(1, 200))
+    edges = [(i, i + 1) for i in range(1, 80)] + [
+        tuple(rng.sample(nodes, 2)) for _ in range(120)
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(16)
+    a = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(df, local_contract=True).collect()
+    )
+    b = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(df, local_contract=False).collect()
+    )
+    assert a == b and dict(a) == _py_components(edges)
