@@ -105,3 +105,34 @@ def scd2_history(
         .withColumn("valid_to", nxt)
         .withColumn("is_current", nxt.isNull())
     )
+
+
+def merge_aggregates(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    count_col: str = "n",
+    sum_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incremental maintenance of an algebraic aggregate: combine a
+    materialized aggregate with the aggregate of new rows by FULL OUTER
+    join + coalesced addition — the O(|delta|) path that replaces a full
+    recompute (counts and sums are commutative monoids; avg/var derive
+    from them downstream).
+
+    Scale: ONE shuffle keyed by the group columns, sized by the number
+    of GROUPS touched, not the fact-table row count — the whole point of
+    keeping the aggregate materialized. The same shape maintains any
+    merge-able state (the sketches in operators/sketches.py merge by
+    integer addition too)."""
+    sums = [count_col] + list(sum_cols or [])
+    b = base.select(*keys, *[F.col(c).alias(f"_b_{c}") for c in sums])
+    d = delta.select(*keys, *[F.col(c).alias(f"_d_{c}") for c in sums])
+    j = b.join(d, keys, "full_outer")
+    out_cols = [
+        (
+            F.coalesce(F.col(f"_b_{c}"), F.lit(0)) + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+        ).alias(c)
+        for c in sums
+    ]
+    return j.select(*keys, *out_cols)

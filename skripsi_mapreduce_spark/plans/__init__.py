@@ -29,6 +29,8 @@ _PROMOTED = [
     "stream_dedup",
     "graph_components",
     "cdc_scd2",
+    "skew_salted_join",
+    "cdc_incremental_agg",
     "sim_topk_ivf",
     "kmeans_documents",
     "ta_trigram_lp",

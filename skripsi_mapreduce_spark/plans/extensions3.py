@@ -440,3 +440,95 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("valid_to").alias("valid_to_us"),
         "is_current",
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Skew-proof JOIN: salted big side x replicated-broadcast small side
+# ---------------------------------------------------------------------------
+@query(
+    "skew_salted_join",
+    """
+    SELECT s.s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+                      * 10000) AS BIGINT) AS revenue_e4
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_nationkey ORDER BY s.s_nationkey
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key JOIN shape made skew-proof by hand: the fact side is
+    salted into 16 buckets and the dimension side replicated ×16 into
+    the broadcast (operators/skew.salted_broadcast_left), then the
+    aggregation keeps the salt through its partial phase — no single
+    (suppkey) hash bucket can dominate a task even when one supplier is
+    90% of the rows. Decimal-exact sums make the two-phase result
+    bit-equal to the plain join+GROUP BY the oracle states (the same
+    guarantee skew_salted_agg pins for aggregation)."""
+    from ..operators.skew import salted_broadcast_left
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    j = salted_broadcast_left(li, sup, ["suppkey"], buckets=16)
+    partial = j.groupBy("s_nationkey", "_salt").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(20,4)")).alias("_s"),
+    )
+    return (
+        partial.groupBy("s_nationkey")
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_items"),
+            e_int(F.sum("_s")).alias("revenue_e4"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance — the CDC family's third leg
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_incremental_agg",
+    """
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) * 10000)
+                AS BIGINT) AS sum_value_e4
+    FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type
+    """,
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/cdc.merge_aggregates):
+    a materialized per-(user, event_type) count/sum built from two
+    thirds of the events is combined with the aggregate of the
+    remaining delta by FULL OUTER join + monoid addition — and must
+    equal the from-scratch aggregate the oracle computes over ALL
+    events. Exactness comes from decimal partial sums scaled to BIGINT
+    before the merge (integer addition commutes across any batch
+    split). This is the O(|delta|) maintenance path the CDC family
+    (q43 snapshot, q45 MERGE, cdc_scd2 history) feeds at 100 TB."""
+    from ..operators.cdc import merge_aggregates
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count("*").cast("bigint").alias("n"),
+            e_int(F.sum(F.col("value").cast("decimal(20,4)"))).alias("sum_value_e4"),
+        )
+
+    base = agg(ev.filter(F.col("event_id") % 3 != 2))
+    delta = agg(ev.filter(F.col("event_id") % 3 == 2))
+    out = merge_aggregates(base, delta, ["user_id", "event_type"], "n", ["sum_value_e4"])
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_value_e4").cast("bigint").alias("sum_value_e4"),
+    ).orderBy("user_id", "event_type")

@@ -55,3 +55,50 @@ def test_apply_changes_change_beats_snapshot_regardless_of_ts(spark):
     changes = spark.createDataFrame([(1, 5, "chg", "U")], ["k", "ts", "val", "op"])
     out = apply_changes(snap, changes, ["k"], ts_col="ts").collect()
     assert [(r["k"], r["val"]) for r in out] == [(1, "chg")]
+
+
+def test_scd2_history_intervals(spark):
+    from skripsi_mapreduce_spark.operators.cdc import scd2_history
+
+    rows = [
+        (1, "k1", 100), (2, "k1", 200), (3, "k1", 300),
+        (4, "k2", 150),
+    ]
+    df = spark.createDataFrame(rows, "ver long, key string, ts long")
+    out = {r["ver"]: r for r in scd2_history(df, ["key"], "ts", ["ver"]).collect()}
+    assert (out[1]["valid_from"], out[1]["valid_to"], out[1]["is_current"]) == (100, 200, False)
+    assert (out[2]["valid_from"], out[2]["valid_to"], out[2]["is_current"]) == (200, 300, False)
+    assert (out[3]["valid_from"], out[3]["valid_to"], out[3]["is_current"]) == (300, None, True)
+    assert (out[4]["valid_from"], out[4]["valid_to"], out[4]["is_current"]) == (150, None, True)
+
+
+def test_merge_aggregates_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from skripsi_mapreduce_spark.operators.cdc import merge_aggregates
+
+    rows = [(i % 7, i, i * 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "g long, i long, v long")
+
+    def agg(d):
+        return d.groupBy("g").agg(
+            F.count("*").cast("bigint").alias("n"), F.sum("v").cast("bigint").alias("s")
+        )
+
+    base = agg(df.filter(F.col("i") % 3 != 0))
+    delta = agg(df.filter(F.col("i") % 3 == 0))
+    merged = sorted(
+        (r["g"], r["n"], r["s"])
+        for r in merge_aggregates(base, delta, ["g"], "n", ["s"]).collect()
+    )
+    full = sorted((r["g"], r["n"], r["s"]) for r in agg(df).collect())
+    assert merged == full
+
+
+def test_merge_aggregates_handles_new_and_untouched_groups(spark):
+    from skripsi_mapreduce_spark.operators.cdc import merge_aggregates
+
+    base = spark.createDataFrame([("a", 2, 10), ("b", 1, 5)], "g string, n long, s long")
+    delta = spark.createDataFrame([("b", 3, 30), ("c", 1, 7)], "g string, n long, s long")
+    out = {r["g"]: (r["n"], r["s"]) for r in merge_aggregates(base, delta, ["g"], "n", ["s"]).collect()}
+    assert out == {"a": (2, 10), "b": (4, 35), "c": (1, 7)}

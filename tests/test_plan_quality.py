@@ -252,3 +252,29 @@ def test_dedup_bitmap_dictionary_no_single_partition(spark):
     both bitmap-kernel consumers (round 4)."""
     for name in ("dedup_minhash", "dedup_ngram_jaccard"):
         assert "Exchange SinglePartition" not in formatted_plan(spark, name), name
+
+
+def test_bloom_probe_is_broadcast_join(spark):
+    """The Bloom bit table (≤ m rows) must reach the probe side as a
+    broadcast — a shuffled probe would defeat the sketch's purpose as a
+    pre-shuffle filter."""
+    p = formatted_plan(spark, "sketch_bloom")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_mix_temperature_no_single_partition_exchange(spark):
+    """The 1-row normalizer joins back via broadcast; the weight table
+    must not collapse to one partition (no global window)."""
+    p = formatted_plan(spark, "mix_temperature")
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_cdc_scd2_single_shuffle_by_key(spark):
+    """SCD2 is one window pass over a key-partitioned exchange — no
+    self-join, no extra shuffles beyond the key partitioning."""
+    p = formatted_plan(spark, "cdc_scd2")
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 2  # window key + none extra
+    assert "Window" in p
