@@ -280,6 +280,7 @@ def random_projection(
     out_dim: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "numpy",
 ) -> DataFrame:
     """JL-style dimensionality reduction: project each embedding onto
     ``out_dim`` deterministic ±1 hyperplanes (the Achlioptas sign family,
@@ -290,12 +291,49 @@ def random_projection(
     engine-exact, so even the compressed representation is
     oracle-checkable.
 
-    Scale: one narrow projection over the scan (out_dim folds of the
-    vector per row, all codegen) — no shuffle, no Python. Downstream
+    Scale: one narrow projection over the scan — no shuffle. Downstream
     consumers (coarse ANN, clustering, visual inspection) read out_dim
     longs instead of ``dim`` floats: at 100 TB the compressed table is
     out_dim/dim of the column bytes and the projection can be computed
-    at WRITE time like the LSH bucket."""
+    at WRITE time like the LSH bucket.
+
+    ``kernel`` follows SCALING.md's kernel-selection rule: the work is
+    per-row × out_dim interpreted HOF folds (higher-order lambdas are
+    NOT codegen'd), which is pair-shaped as out_dim grows — ``"numpy"``
+    (default) runs one Arrow-batched matmul-shaped pass against the
+    out_dim × dim sign matrix, bit-identical to the fold (pinned by
+    test); ``"hof"`` keeps the pure-JVM expression path for audits and
+    zero-Python deployments."""
+    if kernel == "numpy":
+        import numpy as np
+
+        from pyspark.sql import types as T
+
+        S = np.array([_plane_signs(p, dim) for p in range(out_dim)], dtype=np.float64)
+
+        def project(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame({"vec_id": pd.array([], dtype="int64"),
+                                        "proj_e8": []})
+                    continue
+                mat = np.vstack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+                cols = [
+                    _round_half_away(mat * S[p] * SCALE).sum(axis=1).astype(np.int64)
+                    for p in range(out_dim)
+                ]
+                out = np.stack(cols, axis=1)
+                yield pd.DataFrame({"vec_id": pdf[id_col], "proj_e8": list(out)})
+
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("proj_e8", T.ArrayType(T.LongType())),
+            ]
+        )
+        return emb.select(id_col, vec_col).mapInPandas(project, schema)
     coords = [_proj_i64(F.col(vec_col), _plane_signs(p, dim)) for p in range(out_dim)]
     return emb.select(
         F.col(id_col).alias("vec_id"), F.array(*coords).alias("proj_e8")

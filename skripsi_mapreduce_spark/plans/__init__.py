@@ -31,6 +31,11 @@ _PROMOTED = [
     "cdc_scd2",
     "skew_salted_join",
     "cdc_incremental_agg",
+    # kernels/exec-config changed THIS round after their r3 driver row
+    "emb_random_projection",
+    "stream_tumbling",
+    "stream_sessionization",
+    "stream_stateful_anomalies",
     "sim_topk_ivf",
     "kmeans_documents",
     "ta_trigram_lp",
@@ -85,7 +90,6 @@ _PROMOTED = [
 _TAIL = [
     # green r3 — freshest driver evidence, rotated out of the head
     "bpe_merges",
-    "emb_random_projection",
     "q31_pivot",
     "q32_quantiles",
     "q34_ntile",
@@ -98,8 +102,6 @@ _TAIL = [
     "graph_pagerank",
     "bpe_encode",
     "ta_quality_classifier",
-    "stream_tumbling",
-    "stream_sessionization",
     "mm_image_decode",
     "mm_audio_decode",
     "mm_video_frames",
@@ -108,7 +110,6 @@ _TAIL = [
     "range_join_pairs",
     "rollup_events",
     "pipe_contamination",
-    "stream_stateful_anomalies",
     "q45_apply_changes",
     "ta_bigram_lp",
 ]

@@ -586,3 +586,24 @@ def test_topk_cosine_many_matches_single_query_path(spark):
         q = [float(x) for x in emb.filter(F.col("vec_id") == qid).head()["embedding"]]
         single = [(r["vec_id"], r["score"]) for r in sim.topk_cosine(emb, q, k=10).collect()]
         assert got[qid] == single, qid
+
+
+def test_random_projection_numpy_bit_identical_to_hof(spark):
+    """Kernel-selection rule: the Arrow/numpy projection must reproduce
+    the interpreted HOF fold bit-for-bit (same e8 rounding, same int64
+    sums) — the same pin pair_cosine_pandas and the IVF assigner carry."""
+    from skripsi_mapreduce_spark.io import load_table
+    from skripsi_mapreduce_spark.operators.similarity import random_projection
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = sorted(
+        (r["vec_id"], tuple(r["proj_e8"]))
+        for r in random_projection(emb, 64, 8, kernel="numpy").collect()
+    )
+    b = sorted(
+        (r["vec_id"], tuple(r["proj_e8"]))
+        for r in random_projection(emb, 64, 8, kernel="hof").collect()
+    )
+    assert a == b and len(a) > 0
