@@ -94,16 +94,40 @@ def gen_embeddings(n: int, rng: np.random.Generator, dim: int = 64, k: int = 10)
     )
 
 
+def gen_events(n: int, rng: np.random.Generator) -> pa.Table:
+    """Matches the driver's events at sf0.1 (100k rows, 1500 users ≈ 67
+    events/user, ts uniform over Jan 2024, value ~ U(0, 560) at 2dp,
+    5 uniform event types, props = {"k": int})."""
+    n_users = max(int(n * 0.015), 1)
+    base_us = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = base_us + rng.integers(0, span_us, size=n)
+    types = np.array(["click", "view", "purchase", "signup", "error"])
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, n_users, size=n), pa.int64()),
+            "event_type": pa.array(types[rng.integers(0, 5, size=n)], pa.string()),
+            "value": pa.array(np.round(rng.uniform(0, 560, size=n), 2), pa.float64()),
+            "props": pa.array(
+                [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, size=n)], pa.string()
+            ),
+        }
+    )
+
+
 def main() -> None:
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.5
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(root, ".scaling", f"sf{sf}")
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(42)
-    n_docs, n_emb = int(50000 * sf), int(20000 * sf)
+    n_docs, n_emb, n_ev = int(50000 * sf), int(20000 * sf), int(1_000_000 * sf)
     pq.write_table(gen_documents(n_docs, rng), os.path.join(out, "documents.parquet"))
     pq.write_table(gen_embeddings(n_emb, rng), os.path.join(out, "embeddings.parquet"))
-    print(f"wrote {out}: documents={n_docs} embeddings={n_emb}")
+    pq.write_table(gen_events(n_ev, rng), os.path.join(out, "events.parquet"))
+    print(f"wrote {out}: documents={n_docs} embeddings={n_emb} events={n_ev}")
 
 
 if __name__ == "__main__":
