@@ -248,6 +248,7 @@ def kmeans_fixedpoint(
     word_col: str = "word",
     weight_col: str = "w_e4",
     output: str = "summary",
+    assign_kernel: str = "auto",
 ) -> DataFrame:
     """Oracle-exact Lloyd over FIXED-POINT features — every number in the
     whole algorithm is an int64, so a SQL oracle (DuckDB) reproduces it
@@ -272,9 +273,16 @@ def kmeans_fixedpoint(
 
     Scale: centroids (k × active vocab) travel as a broadcast table; per
     pass the docs shuffle once for the dot-product groupBy and once for
-    the update groupBy, both map-side partial-aggregated. No driver-side
-    centroid materialization at all — the k-row seed collect is the only
-    collect."""
+    the update groupBy, both map-side partial-aggregated. No centroid
+    VECTOR ever materializes on the driver; the bounded collects are the
+    k-row seed pick and (pivot kernel) the k-long ‖c‖² table.
+
+    ``assign_kernel``: ``"pivot"`` computes each pass's per-cluster dots
+    as ONE groupBy(doc_id).pivot(cluster) aggregation and the argmin as
+    a row expression (k columns wide — right up to a few thousand
+    clusters); ``"join"`` keeps the (doc_id, cluster)-keyed join form
+    for huge k. ``"auto"`` picks pivot at k ≤ 256. Both are bit-equal
+    (pinned by test)."""
     w = weights.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(word_col).alias("word"),
@@ -305,9 +313,17 @@ def kmeans_fixedpoint(
     if deep:
         d2 = d2.localCheckpoint(eager=False)  # cached at first use, reused per pass
 
+    pivot = assign_kernel == "pivot" or (assign_kernel == "auto" and k <= 256)
     assign = None
     for p in range(max(n_assign_passes, 1)):
-        assign = _assign_fixedpoint(w, d2, cent)
+        if pivot:
+            # the pivot kernel collects the k-row ||c||^2 table, which
+            # executes the cent chain; checkpoint the bounded k x vocab
+            # table first so the chain runs once, not once per consumer
+            cent = cent.localCheckpoint(eager=True)
+            assign = _assign_fixedpoint_pivot(w, d2, cent)
+        else:
+            assign = _assign_fixedpoint(w, d2, cent)
         if p == n_assign_passes - 1:
             break
         if deep:
@@ -349,6 +365,51 @@ def kmeans_fixedpoint(
             F.sum("dist2").cast("bigint").alias("sse_e8"),
         )
         .orderBy("cluster")
+    )
+
+
+def _assign_fixedpoint_pivot(w: DataFrame, d2: DataFrame, cent: DataFrame) -> DataFrame:
+    """Pivot-form of the fixed-point assignment: ONE groupBy(doc_id)
+    pivot produces every per-cluster dot as a column, then the argmin is
+    a pure row expression over literal ‖c‖² values — replacing the
+    (doc_id, cluster)-keyed shuffle + (doc_id, cluster) join + argmin
+    groupBy of the join form with a single doc-keyed shuffle.
+
+    The k-row ‖c‖² collect is bounded (k longs) and the only driver
+    materialization beyond the seed pick; candidate clusters are exactly
+    the clusters present in ``cent`` (an empty cluster is NOT a
+    candidate — same contract as the join form's c2 cross join). Integer
+    arithmetic is identical to the join form, so results are bit-equal
+    (pinned by test). Right for k up to a few thousand (pivot width = k
+    columns); the join form remains the huge-k path."""
+    c2_rows = (
+        cent.groupBy("cluster").agg(F.sum(F.col("cw") * F.col("cw")).alias("c2")).collect()
+    )
+    c2 = {int(r["cluster"]): int(r["c2"]) for r in c2_rows}
+    clusters = sorted(c2)
+    dots = (
+        w.join(F.broadcast(cent), "word")
+        .groupBy("doc_id")
+        .pivot("cluster", clusters)
+        .agg(F.sum(F.col("w") * F.col("cw")))
+    )
+    joined = d2.join(dots, "doc_id", "left")
+    cands = [
+        F.struct(
+            (
+                F.col("x2")
+                + F.lit(c2[c])
+                - 2 * F.coalesce(F.col(f"`{c}`"), F.lit(0).cast("long"))
+            ).alias("dist2"),
+            F.lit(c).cast("int").alias("cluster"),
+        )
+        for c in clusters
+    ]
+    best = F.array_min(F.array(*cands))
+    return joined.select(
+        "doc_id",
+        best["cluster"].alias("cluster"),
+        best["dist2"].alias("dist2"),
     )
 
 

@@ -166,3 +166,31 @@ def test_kmeans_fixedpoint_signed_features(spark):
     # the corpus has two clean signed clusters; a >0 zero-drop would
     # discard the negative centroid coordinates and merge them
     assert sorted(n for n, _ in got.values()) == [3, 3]
+
+
+def test_fixedpoint_pivot_kernel_bit_equal_to_join(spark):
+    """The pivot assignment kernel (one doc-keyed pivot + expression
+    argmin) must reproduce the (doc, cluster)-join form bit-for-bit —
+    summary AND assignments surfaces."""
+    from skripsi_mapreduce_spark.operators.kmeans import kmeans_fixedpoint
+    from skripsi_mapreduce_spark.plans.extensions import _tfidf_weight_e4
+
+    from .conftest import SF_DIR
+
+    w = _tfidf_weight_e4(spark, SF_DIR)
+    for out in ("summary", "assignments"):
+        a = sorted(
+            tuple(r)
+            for r in kmeans_fixedpoint(
+                w, k=5, n_assign_passes=2, weight_col="weight_e4",
+                output=out, assign_kernel="pivot",
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in kmeans_fixedpoint(
+                w, k=5, n_assign_passes=2, weight_col="weight_e4",
+                output=out, assign_kernel="join",
+            ).collect()
+        )
+        assert a == b and len(a) > 0
