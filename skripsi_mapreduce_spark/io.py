@@ -144,3 +144,64 @@ def write_avro(df: DataFrame, path: str) -> None:
     from .sources.avro_python import write_avro_python
 
     write_avro_python(df, path, codec="deflate")
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int = 1_000_000,
+    order_by: list[str] | None = None,
+    fmt: str = "parquet",
+) -> dict:
+    """Training-data export: write ``df`` as size-bounded shards plus a
+    ``_manifest.json`` (per-file row counts, total, schema; the
+    underscore prefix keeps Spark/Hadoop readers from treating it as
+    data) — the
+    last-mile contract a downstream training loader needs (deterministic
+    shard membership, known counts, no surprise 40 GB files).
+
+    Shard bound via ``maxRecordsPerFile`` (task-local row cap, no extra
+    shuffle); ``order_by`` optionally range-partitions first so shard
+    files carry contiguous key ranges (resumable / seekable exports).
+    The manifest is written by the driver AFTER the files commit, from
+    the file-system listing + parquet footers — counts come from
+    metadata, not a second scan.
+
+    Scale: the write is the same distributed sink as write_parquet; the
+    manifest step reads #files footers (driver, bounded by shard count).
+    Returns the manifest dict."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    if fmt != "parquet":
+        raise NotImplementedError("sharded export currently writes parquet")
+    w = df
+    if order_by:
+        w = w.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
+    (
+        w.write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_shard)
+        .parquet(path)
+    )
+    files = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith("_")
+    )
+    shards = []
+    total = 0
+    for f in files:
+        md = pq_mod.ParquetFile(os.path.join(path, f)).metadata
+        shards.append({"file": f, "rows": md.num_rows})
+        total += md.num_rows
+    manifest = {
+        "format": "parquet",
+        "total_rows": total,
+        "n_shards": len(shards),
+        "rows_per_shard": rows_per_shard,
+        "schema": [f"{fld.name}:{fld.dataType.simpleString()}" for fld in df.schema.fields],
+        "shards": shards,
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest

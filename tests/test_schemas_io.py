@@ -86,3 +86,19 @@ def test_prefix_sum_matches_global_window(spark):
         acc += v
         want[k] = acc
     assert got == want
+
+
+def test_write_sharded_manifest_and_bounds(spark, tmp_path):
+    from skripsi_mapreduce_spark.io import write_sharded
+
+    df = spark.range(0, 5000).selectExpr("id", "id % 7 AS g")
+    out = str(tmp_path / "shards")
+    m = write_sharded(df, out, rows_per_shard=1200, order_by=["id"])
+    assert m["total_rows"] == 5000
+    assert all(s["rows"] <= 1200 for s in m["shards"])
+    assert m["n_shards"] >= 5  # 5000 / 1200 rounded up, per-partition
+    back = spark.read.parquet(out)
+    assert back.count() == 5000
+    import json, os
+    disk = json.load(open(os.path.join(out, "_manifest.json")))
+    assert disk["total_rows"] == 5000 and disk["shards"] == m["shards"]
