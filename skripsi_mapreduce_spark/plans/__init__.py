@@ -31,6 +31,7 @@ _PROMOTED = [
     "cdc_scd2",
     "skew_salted_join",
     "cdc_incremental_agg",
+    "sim_recall_ivf",
     # kernels/exec-config changed THIS round after their r3 driver row
     "emb_random_projection",
     "stream_tumbling",

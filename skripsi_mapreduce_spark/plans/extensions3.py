@@ -532,3 +532,51 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.col("sum_value_e4").cast("bigint").alias("sum_value_e4"),
     ).orderBy("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@10 of the IVF path vs exact top-k —
+# the oracle is COMPOSED from the two entries' own oracle strings, so
+# the evaluation measures exactly the adjudicated paths.
+# ---------------------------------------------------------------------------
+_RECALL_K = 10
+
+
+def _register_recall() -> None:
+    sql = f"""
+    SELECT CAST({_RECALL_K} AS BIGINT) AS k,
+           CAST(COUNT(e.vec_id) AS BIGINT) AS n_hit,
+           CAST(ROUND(CAST(COUNT(e.vec_id) AS DOUBLE) / {_RECALL_K}.0 * 10000)
+                AS BIGINT) AS recall_e4
+    FROM ({ORACLE["sim_topk_ivf"]}) a
+    LEFT JOIN ({ORACLE["sim_topk_cosine"]}) e USING (vec_id)
+    """
+
+    @query("sim_recall_ivf", sql)
+    def sim_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ANN quality harness: recall@10 of the fixed-point IVF probe
+        (n_probe=4 of 16 lists) against the exact cosine top-10 for the
+        vec_id=0 query — the metric that decides n_probe in production.
+        Both sides are the engine's own deterministic operators and the
+        oracle is assembled from their adjudicated oracle SQL verbatim,
+        so the evaluation itself is hash-matched (no float recall: the
+        ratio scales to an exact integer)."""
+        from ..operators import similarity as sim_mod
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+        exact = sim_mod.topk_cosine(emb, qvec, k=_RECALL_K).select("vec_id")
+        approx = sim_mod.ivf_topk_cosine(
+            emb, qvec, k=_RECALL_K, n_list=16, n_probe=4, fixed_point=True
+        ).select("vec_id")
+        joined = approx.join(exact.withColumn("_h", F.lit(1)), "vec_id", "left")
+        return joined.agg(
+            F.lit(_RECALL_K).cast("bigint").alias("k"),
+            F.count("_h").cast("bigint").alias("n_hit"),
+            e_int(F.count("_h").cast("double") / F.lit(float(_RECALL_K)), 4).alias(
+                "recall_e4"
+            ),
+        )
+
+
+_register_recall()
