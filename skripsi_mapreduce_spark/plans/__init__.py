@@ -32,6 +32,7 @@ _PROMOTED = [
     "skew_salted_join",
     "cdc_incremental_agg",
     "sim_recall_ivf",
+    "q46_lateral_topk",
     # kernels/exec-config changed THIS round after their r3 driver row
     "emb_random_projection",
     "stream_tumbling",

@@ -580,3 +580,41 @@ def _register_recall() -> None:
 
 
 _register_recall()
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery — the dialect's top-N-per-group form
+# ---------------------------------------------------------------------------
+@query(
+    "q46_lateral_topk",
+    """
+    SELECT n.n_name, l.c_name,
+           CAST(ROUND(CAST(l.c_acctbal AS DOUBLE) * 10000) AS BIGINT) AS acctbal_e4
+    FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+    ORDER BY n.n_name, acctbal_e4 DESC, c_name
+    """,
+)
+def q46_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers per nation as a correlated LATERAL subquery — the
+    SQL-standard form of top-N-per-group, run through spark.sql (Spark
+    supports JOIN LATERAL with ORDER BY/LIMIT since 3.2) against the
+    same statement in DuckDB. Complements q15/q18, which pin the window
+    and TakeOrdered forms of the identical semantics; Catalyst rewrites
+    the lateral into a ranked join, so the scale story is the window
+    one's."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, l.c_name,
+               CAST(ROUND(CAST(l.c_acctbal AS DOUBLE) * 10000) AS BIGINT) AS acctbal_e4
+        FROM nation n JOIN LATERAL (
+            SELECT c_name, c_acctbal FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+        ORDER BY n.n_name, acctbal_e4 DESC, c_name
+        """
+    )
