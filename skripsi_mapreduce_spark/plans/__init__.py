@@ -33,6 +33,8 @@ _PROMOTED = [
     "cdc_incremental_agg",
     "sim_recall_ivf",
     "q46_lateral_topk",
+    "q47_pipe_syntax",
+    "q48_variant_props",
     # kernels/exec-config changed THIS round after their r3 driver row
     "emb_random_projection",
     "stream_tumbling",

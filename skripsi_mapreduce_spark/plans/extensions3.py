@@ -618,3 +618,64 @@ def q46_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name, acctbal_e4 DESC, c_name
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 dialect surface: SQL pipe syntax and the VARIANT type
+# ---------------------------------------------------------------------------
+@query(
+    "q47_pipe_syntax",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id HAVING COUNT(*) > 1 ORDER BY user_id
+    """,
+)
+def q47_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL pipe syntax (`|>` operators) driving a real
+    filter→aggregate→having chain — the dialect's linear form of q04's
+    semantics, hash-matched against the classic statement in DuckDB.
+    Pipe stages compile to the identical Catalyst plan, so this pins
+    that the engine's newest query surface produces the same results as
+    the declarative one."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        FROM events
+        |> WHERE event_type = 'click'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n GROUP BY user_id
+        |> WHERE n > 1
+        |> ORDER BY user_id
+        """
+    )
+
+
+@query(
+    "q48_variant_props",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_high,
+           CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events
+    WHERE CAST(props->>'k' AS INTEGER) >= 50
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q48_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over the VARIANT type (Spark 4):
+    events.props parses once into a variant, `variant_get` extracts the
+    typed field, and the aggregate runs over it — the modern
+    (shredding-friendly) replacement for q39's get_json_object path,
+    hash-matched against DuckDB's JSON operators on the same column."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_high"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
