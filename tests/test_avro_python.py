@@ -257,3 +257,45 @@ def test_hadoop_fs_route_file_uri_roundtrip(spark, tmp_path):
     df2 = spark.createDataFrame([("9", "r9", "a9", "zoe", [], "")], schemas.REVIEW_BOOK)
     assert write_avro_python(df2, uri) == 1
     assert [r["id"] for r in read_avro_python(spark, uri).collect()] == ["9"]
+
+
+def test_avro_py_datasource_round_trip_and_interop(spark, tmp_path):
+    """Spark 4 Python DataSource (format 'avro_py') wraps the same codec:
+    write via the format, read via the format, and cross-read a
+    container written by the classic io.write_avro path."""
+    from skripsi_mapreduce_spark.sources.avro_datasource import register
+
+    register(spark)
+    df = spark.range(0, 500).selectExpr(
+        "id", "CAST(id % 5 AS INT) AS g", "CONCAT('n', id) AS name",
+        "CASE WHEN id % 11 = 0 THEN NULL ELSE CAST(id AS DOUBLE) / 7 END AS v",
+    )
+    out = str(tmp_path / "ds_avro")
+    df.repartition(3).write.format("avro_py").option("codec", "snappy").mode(
+        "append"
+    ).save(out)
+    back = spark.read.format("avro_py").load(out)
+    assert back.schema == df.schema
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    # interop: classic writer -> datasource reader
+    from skripsi_mapreduce_spark.io import write_avro
+
+    classic = str(tmp_path / "classic_avro")
+    write_avro(df, classic)
+    via_ds = spark.read.format("avro_py").load(classic)
+    assert sorted(tuple(r) for r in via_ds.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def test_avro_py_datasource_overwrite(spark, tmp_path):
+    from skripsi_mapreduce_spark.sources.avro_datasource import register
+
+    register(spark)
+    out = str(tmp_path / "ow_avro")
+    spark.range(0, 10).write.format("avro_py").mode("append").save(out)
+    spark.range(100, 105).write.format("avro_py").mode("overwrite").save(out)
+    got = sorted(r["id"] for r in spark.read.format("avro_py").load(out).collect())
+    assert got == [100, 101, 102, 103, 104]
