@@ -247,3 +247,54 @@ def test_streaming_corpus_filter_equals_batch(spark, tmp_path):
     )
     # the junk doc must actually have been filtered, not passed through
     assert 3 not in {r["doc_id"] for r in got.collect()}
+
+
+def test_tws_twin_gates_or_matches(spark):
+    """transformWithStateInPandas twin: parity with the
+    applyInPandasWithState path when protobuf is present; an honest
+    NotImplementedError naming the dependency when it is not (this
+    container ships without protobuf)."""
+    import pytest
+
+    from skripsi_mapreduce_spark.streaming.stateful import (
+        running_mean_anomalies,
+        running_mean_anomalies_tws,
+    )
+    from skripsi_mapreduce_spark.streaming.windows import (
+        run_to_memory_sink,
+        state_partitions,
+        stream_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            running_mean_anomalies_tws(
+                stream_events(spark, sf).select("ts", "event_id", "user_id", "value")
+            )
+        return
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    with state_partitions(spark, 8):
+        a = run_to_memory_sink(
+            running_mean_anomalies_tws(
+                stream_events(spark, sf).select("ts", "event_id", "user_id", "value")
+            ),
+            "tws_parity_a",
+            "append",
+        )
+    rows_a = sorted(tuple(r) for r in a.collect())
+    with state_partitions(spark, 8):
+        b = run_to_memory_sink(
+            running_mean_anomalies(
+                stream_events(spark, sf).select("ts", "event_id", "user_id", "value")
+            ),
+            "tws_parity_b",
+            "append",
+        )
+    rows_b = sorted(tuple(r) for r in b.collect())
+    assert rows_a == rows_b and rows_a
