@@ -117,6 +117,78 @@ def gen_events(n: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
+def _days(rng: np.random.Generator, n: int, start: str, span_days: int):
+    base = np.datetime64(f"{start}T00:00:00", "us").astype(np.int64)
+    day_us = 24 * 3600 * 1_000_000
+    return pa.array(
+        base + rng.integers(0, span_days, size=n) * day_us, pa.timestamp("us")
+    )
+
+
+def gen_tpch(sf: float, rng: np.random.Generator, out: str) -> None:
+    """Slimmed TPC-H facts/dims matched to the driver's shapes at sf0.1
+    (lineitem 6M·sf, orders 1.5M·sf, customer 150k·sf, supplier 10k·sf;
+    same columns, dtypes, value ranges). Wall-time evidence only — the
+    correctness oracles always run on the driver's own data."""
+    n_li, n_o, n_c, n_s = (
+        int(6_000_000 * sf), int(1_500_000 * sf), int(150_000 * sf), int(10_000 * sf)
+    )
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(range(25), pa.int64()),
+        "n_name": pa.array([f"NATION_{i}" for i in range(25)], pa.string()),
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int64()),
+    }), os.path.join(out, "nation.parquet"))
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array(range(5), pa.int64()),
+        "r_name": pa.array(
+            ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"], pa.string()),
+    }), os.path.join(out, "region.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(range(1, n_s + 1), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(1, n_s + 1)], pa.string()),
+        "s_nationkey": pa.array(rng.integers(0, 25, size=n_s), pa.int64()),
+        "s_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, size=n_s), 2), pa.float64()),
+    }), os.path.join(out, "supplier.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(1, n_c + 1), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(1, n_c + 1)], pa.string()),
+        "c_nationkey": pa.array(rng.integers(0, 25, size=n_c), pa.int64()),
+        "c_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, size=n_c), 2), pa.float64()),
+        "c_mktsegment": pa.array(
+            np.array(["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"])[
+                rng.integers(0, 5, size=n_c)
+            ], pa.string()),
+    }), os.path.join(out, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(1, n_o + 1), pa.int64()),
+        "o_custkey": pa.array(rng.integers(1, n_c + 1, size=n_o), pa.int64()),
+        "o_orderstatus": pa.array(
+            np.array(["O", "F", "P"])[rng.choice(3, size=n_o, p=[0.49, 0.49, 0.02])],
+            pa.string()),
+        "o_totalprice": pa.array(np.round(rng.uniform(900, 500000, size=n_o), 2), pa.float64()),
+        "o_orderdate": _days(rng, n_o, "1995-01-01", 2400),
+        "o_orderpriority": pa.array(
+            np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])[
+                rng.integers(0, 5, size=n_o)
+            ], pa.string()),
+    }), os.path.join(out, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(rng.integers(1, n_o + 1, size=n_li), pa.int64()),
+        "l_partkey": pa.array(rng.integers(1, int(200_000 * sf) + 2, size=n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(1, n_s + 1, size=n_li), pa.int64()),
+        "l_linenumber": pa.array(rng.integers(1, 8, size=n_li).astype(np.int32), pa.int32()),
+        "l_quantity": pa.array(rng.integers(1, 51, size=n_li).astype(np.float64), pa.float64()),
+        "l_extendedprice": pa.array(np.round(rng.uniform(900, 105000, size=n_li), 2), pa.float64()),
+        "l_discount": pa.array(np.round(rng.integers(0, 11, size=n_li) / 100.0, 2), pa.float64()),
+        "l_tax": pa.array(np.round(rng.integers(0, 9, size=n_li) / 100.0, 2), pa.float64()),
+        "l_returnflag": pa.array(
+            np.array(["A", "N", "R"])[rng.integers(0, 3, size=n_li)], pa.string()),
+        "l_linestatus": pa.array(
+            np.array(["O", "F"])[rng.integers(0, 2, size=n_li)], pa.string()),
+        "l_shipdate": _days(rng, n_li, "1995-01-02", 2450),
+    }), os.path.join(out, "lineitem.parquet"))
+
+
 def main() -> None:
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.5
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -127,7 +199,11 @@ def main() -> None:
     pq.write_table(gen_documents(n_docs, rng), os.path.join(out, "documents.parquet"))
     pq.write_table(gen_embeddings(n_emb, rng), os.path.join(out, "embeddings.parquet"))
     pq.write_table(gen_events(n_ev, rng), os.path.join(out, "events.parquet"))
-    print(f"wrote {out}: documents={n_docs} embeddings={n_emb} events={n_ev}")
+    gen_tpch(sf, rng, out)
+    print(
+        f"wrote {out}: documents={n_docs} embeddings={n_emb} events={n_ev} "
+        f"lineitem={int(6_000_000 * sf)}"
+    )
 
 
 if __name__ == "__main__":
