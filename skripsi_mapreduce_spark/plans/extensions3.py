@@ -300,8 +300,10 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("l_event_id"), F.col("r_event_id")
     )
     # a stream-stream join keeps FOUR state stores per partition; size
-    # the store count to the replay (8.3s -> 2.6s vs 32 partitions)
-    with state_partitions(spark, 8):
+    # the store count to the replay (measured 8.3s at 32 partitions,
+    # 2.6s at 8, 2.1s at 4 — the join keeps 4x stores, so it warrants
+    # the smallest scope of the streaming entries)
+    with state_partitions(spark, 4):
         out = run_to_memory_sink(
             pairs, f"stream_ij_{next(_STREAM3_SEQ)}", "append"
         )
