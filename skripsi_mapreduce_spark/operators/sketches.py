@@ -303,3 +303,54 @@ def bloom_probe(
         F.broadcast(bits.withColumn("_set", F.lit(1))), "pos", "left"
     ).select("_k", F.coalesce(F.col("_set"), F.lit(0)).alias("_set"))
     return marked.groupBy("_k").agg(F.min("_set").cast("int").alias("hit"))
+
+
+def kmv_bottomk(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """The KMV sketch ITSELF (not just its estimate): per group, the k
+    smallest (draw, key) pairs — ``(group_col, h, key)`` rows. This is
+    the state a distributed system ships between nodes; see
+    :func:`kmv_merge` for the union operation."""
+    pairs = df.select(F.col(group_col), F.col(key_col).alias("_key")).distinct()
+    ranked = pairs.select(
+        group_col, "_key", _draw60_expr(F.col("_key"), salt).alias("h")
+    ).withColumn(
+        "_rn",
+        F.row_number().over(Window.partitionBy(group_col).orderBy("h", "_key")),
+    )
+    return ranked.filter(F.col("_rn") <= k).select(group_col, "h", "_key")
+
+
+def kmv_merge(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Merge per-group KMV sketches into ONE sketch of the union and
+    estimate its distinct count: bottom-k of the union of the groups'
+    bottom-k sets. EXACT identity, not approximation-on-approximation —
+    every element of the union's true bottom-k is necessarily in its own
+    group's bottom-k, so merging sketch states loses nothing (the
+    property that lets a 1000-executor job combine per-partition
+    sketches into the global answer). Returns one row
+    ``(n_sketch_rows, est_e4)``; the estimate is the same (k-1)·2^60/h_k
+    arithmetic as :func:`kmv_distinct`, degenerating to the row count
+    below k."""
+    u = sketches.select("h", "_key").distinct()
+    kth = (
+        u.orderBy("h", "_key")
+        .limit(k)
+        .withColumn("_rn", F.row_number().over(Window.orderBy("h", "_key")))
+    )
+    agg = kth.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.max(F.when(F.col("_rn") == k, F.col("h"))).alias("h_k"),
+    )
+    est = F.when(
+        F.col("n_rows") >= k,
+        F.lit(float(k - 1) * _SIXTY) / F.col("h_k").cast("double"),
+    ).otherwise(F.col("n_rows").cast("double"))
+    return agg.select(
+        F.col("n_rows").alias("n_sketch_rows"), e_int(est, 4).alias("est_e4")
+    )

@@ -35,6 +35,7 @@ _PROMOTED = [
     "q46_lateral_topk",
     "q47_pipe_syntax",
     "q48_variant_props",
+    "sketch_kmv_merge",
     # kernels/exec-config changed THIS round after their r3 driver row
     "emb_random_projection",
     "stream_tumbling",

@@ -681,3 +681,46 @@ def q48_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch MERGE — the mergeability property adjudicated as an identity
+# ---------------------------------------------------------------------------
+_KMVM_K = 64
+_SIXTY_SQL = "1152921504606846976.0"  # 2^60 as a double literal
+
+
+@query(
+    "sketch_kmv_merge",
+    f"""
+    WITH keys AS (SELECT DISTINCT o_custkey AS key FROM orders
+                  WHERE o_orderstatus IN ('O', 'F')),
+    h AS (SELECT key,
+                 CAST('0x' || substr(md5('kmv:' || CAST(key AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS h
+          FROM keys),
+    r AS (SELECT h, key, ROW_NUMBER() OVER (ORDER BY h, key) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM h)
+    SELECT CAST(LEAST(n, {_KMVM_K}) AS BIGINT) AS n_sketch_rows,
+           CAST(ROUND(CASE WHEN n >= {_KMVM_K}
+                  THEN {_KMVM_K - 1}.0 * {_SIXTY_SQL} / CAST(h AS DOUBLE)
+                  ELSE CAST(n AS DOUBLE) END * 10000) AS BIGINT) AS est_e4
+    FROM r WHERE rn = LEAST(n, {_KMVM_K})
+    """,
+)
+def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY adjudicated as an exact identity: the Spark
+    side builds per-status KMV sketch STATES (bottom-64 draw rows per
+    o_orderstatus, operators/sketches.kmv_bottomk) and merges them
+    (kmv_merge: bottom-k of the union of bottom-k sets); the oracle
+    computes the DIRECT sketch over the combined key set. Hash match =
+    merging per-node sketch states loses nothing versus sketching the
+    whole dataset at once — the property that lets 1000 executors
+    combine partial sketches into the global estimate."""
+    from ..operators.sketches import kmv_bottomk, kmv_merge
+
+    orders = load_table(spark, sf_dir, "orders")
+    filt = orders.filter(F.col("o_orderstatus").isin("O", "F"))
+    sketches = kmv_bottomk(filt, "o_orderstatus", "o_custkey", _KMVM_K)
+    return kmv_merge(sketches, _KMVM_K)

@@ -172,3 +172,25 @@ def test_histogram_quantiles_clamps_and_empty(spark):
     assert out.count() == 5  # out-of-range values clamp, never drop
     empty = spark.createDataFrame([], "x double")
     assert histogram_quantiles(empty, "x", 0.0, 1.0).count() == 0
+
+
+def test_kmv_merge_identity_vs_direct_sketch(spark):
+    """Merging per-group bottom-k sketch states must equal sketching
+    the union directly — exact identity, not an approximation."""
+    from skripsi_mapreduce_spark.operators.sketches import (
+        kmv_bottomk,
+        kmv_distinct,
+        kmv_merge,
+    )
+
+    rows = [("a", i) for i in range(300)] + [("b", i) for i in range(150, 600)]
+    df = spark.createDataFrame(rows, ["g", "key"])
+    merged = kmv_merge(kmv_bottomk(df, "g", "key", k=64), k=64).collect()[0]
+    direct = kmv_distinct(
+        df.selectExpr("'all' AS g", "key"), "g", "key", k=64
+    ).collect()[0]
+    assert merged["est_e4"] == direct["est_e4"]
+    assert merged["n_sketch_rows"] == 64
+    # Python twin of the union estimate
+    draws = sorted(_draw60("kmv", i) for i in range(600))
+    assert merged["est_e4"] == round(63.0 * float(SIXTY) / float(draws[63]) * 1e4)
