@@ -205,3 +205,57 @@ def write_sharded(
     with open(os.path.join(path, "_manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     return manifest
+
+
+def write_versioned(df: DataFrame, path: str) -> int:
+    """Snapshot-versioned sink (poor-man's time travel): each call
+    writes a NEW immutable version directory ``path/v=N`` and then
+    atomically repoints ``path/_latest`` — readers never observe a
+    half-written version because the pointer moves only after the files
+    commit (the same commit-then-publish order every table format
+    uses). Returns the new version number.
+
+    Pairs with the CDC family: keep the changelog (cdc.apply_changes
+    maintains state), snapshot with write_versioned at checkpoints, and
+    cdc_scd2-style history queries read any past version via
+    :func:`read_versioned`. Single-writer contract (documented): two
+    concurrent writers could allocate the same N — serialize snapshot
+    jobs or add a lock service, exactly as with any manifest pointer."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    n = max(list_versions(path), default=0) + 1
+    df.write.mode("errorifexists").parquet(os.path.join(path, f"v={n}"))
+    tmp = os.path.join(path, "_latest.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(n))
+    os.replace(tmp, os.path.join(path, "_latest"))
+    return n
+
+
+def list_versions(path: str) -> list[int]:
+    """Committed version numbers under a :func:`write_versioned` root."""
+    import os
+
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for d in os.listdir(path):
+        if d.startswith("v=") and d[2:].isdigit():
+            out.append(int(d[2:]))
+    return sorted(out)
+
+
+def read_versioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read one committed version (default: the ``_latest`` pointer) —
+    time travel over :func:`write_versioned` snapshots."""
+    import os
+
+    if version is None:
+        with open(os.path.join(path, "_latest")) as fh:
+            version = int(fh.read().strip())
+    if version not in list_versions(path):
+        raise FileNotFoundError(f"version {version} not committed under {path}")
+    return spark.read.parquet(os.path.join(path, f"v={version}"))

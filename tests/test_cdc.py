@@ -102,3 +102,20 @@ def test_merge_aggregates_handles_new_and_untouched_groups(spark):
     delta = spark.createDataFrame([("b", 3, 30), ("c", 1, 7)], "g string, n long, s long")
     out = {r["g"]: (r["n"], r["s"]) for r in merge_aggregates(base, delta, ["g"], "n", ["s"]).collect()}
     assert out == {"a": (2, 10), "b": (4, 35), "c": (1, 7)}
+
+
+def test_versioned_writes_time_travel(spark, tmp_path):
+    from skripsi_mapreduce_spark.io import list_versions, read_versioned, write_versioned
+
+    root = str(tmp_path / "vtable")
+    assert write_versioned(spark.range(0, 10), root) == 1
+    assert write_versioned(spark.range(0, 25), root) == 2
+    assert write_versioned(spark.range(0, 7), root) == 3
+    assert list_versions(root) == [1, 2, 3]
+    assert read_versioned(spark, root).count() == 7          # latest
+    assert read_versioned(spark, root, 2).count() == 25      # time travel
+    assert read_versioned(spark, root, 1).count() == 10
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_versioned(spark, root, 9)
