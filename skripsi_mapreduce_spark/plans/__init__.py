@@ -36,6 +36,7 @@ _PROMOTED = [
     "q47_pipe_syntax",
     "q48_variant_props",
     "sketch_kmv_merge",
+    "graph_triangles",
     # kernels/exec-config changed THIS round after their r3 driver row
     "emb_random_projection",
     "stream_tumbling",

@@ -724,3 +724,66 @@ def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     filt = orders.filter(F.col("o_orderstatus").isin("O", "F"))
     sketches = kmv_bottomk(filt, "o_orderstatus", "o_custkey", _KMVM_K)
     return kmv_merge(sketches, _KMVM_K)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — community structure over the trade graph
+# ---------------------------------------------------------------------------
+@query(
+    "graph_triangles",
+    """
+    WITH raw AS (
+        SELECT c_nationkey AS a, s_nationkey AS b, COUNT(*) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+    und AS (SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v, SUM(w) AS w
+            FROM raw WHERE a <> b GROUP BY 1, 2),
+    tot AS (SELECT SUM(w) AS t FROM und),
+    e AS (SELECT u, v FROM und CROSS JOIN tot WHERE w * 300 >= t),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1 JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    x AS (SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM x GROUP BY node ORDER BY node
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle counts over the STRONG trade graph (undirected
+    customer-nation ↔ supplier-nation edges keeping above-average trade
+    weight, w·300 ≥ Σw — a data-relative integer threshold both engines
+    state identically), via the canonical a<b<c two-join chain
+    (operators/components.triangle_counts). Completes the graph family:
+    pagerank (centrality), components (connectivity), triangles
+    (community structure)."""
+    from ..operators.components import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    raw = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    und = (
+        raw.filter(F.col("a") != F.col("b"))
+        .groupBy(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .agg(F.sum("w").alias("w"))
+    )
+    tot = und.agg(F.sum("w").alias("t"))
+    e = und.crossJoin(F.broadcast(tot)).filter(
+        F.col("w") * 300 >= F.col("t")
+    ).select("u", "v")
+    return triangle_counts(e).orderBy("node")

@@ -81,3 +81,21 @@ def test_components_contracted_equals_pure_join_form(spark):
         for r in connected_components(df, local_contract=False).collect()
     )
     assert a == b and dict(a) == _py_components(edges)
+
+
+def test_triangle_counts_known_graphs(spark):
+    from skripsi_mapreduce_spark.operators.components import triangle_counts
+
+    # K4: each node is in C(3,2)=3 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(k4, "u long, v long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # triangle + pendant edge: pendant node has none and doesn't appear
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)], "u long, v long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(tri).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    # duplicate / reversed edges collapse
+    dup = spark.createDataFrame([(1, 2), (2, 1), (2, 3), (1, 3), (3, 1)], "u long, v long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(dup).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
