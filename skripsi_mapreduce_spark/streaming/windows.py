@@ -201,3 +201,42 @@ def state_partitions(spark: SparkSession, n: int = 8):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def stream_to_versioned_snapshots(
+    agg: DataFrame, path: str, name: str, output_mode: str = "complete"
+) -> list[int]:
+    """Streaming materialized view with TIME TRAVEL: drive a streaming
+    aggregation and publish each micro-batch's full result as an
+    immutable :func:`io.write_versioned` snapshot via ``foreachBatch`` —
+    readers query ``read_versioned(path)`` for the latest consistent
+    state or any past version, and never see a half-written batch (the
+    pointer moves after the files commit).
+
+    This is the maintenance loop the CDC family feeds at scale: the
+    stream keeps the aggregate incrementally (state store), snapshots
+    make it queryable-with-history. Returns the version numbers written
+    (one per non-empty micro-batch)."""
+    from ..io import write_versioned
+
+    versions: list[int] = []
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        versions.append(write_versioned(batch_df, path))
+
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .foreachBatch(publish)
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(300)
+    finally:
+        q.stop()
+    if not finished:
+        raise TimeoutError(f"streaming publish '{name}' did not finish within 300s")
+    return versions

@@ -298,3 +298,43 @@ def test_tws_twin_gates_or_matches(spark):
         )
     rows_b = sorted(tuple(r) for r in b.collect())
     assert rows_a == rows_b and rows_a
+
+
+def test_stream_to_versioned_snapshots_matches_batch(spark, tmp_path):
+    """foreachBatch -> write_versioned: the streamed aggregate's LATEST
+    snapshot equals the batch aggregate, and each version is a readable
+    consistent state."""
+    from skripsi_mapreduce_spark.io import list_versions, load_table, read_versioned
+    from skripsi_mapreduce_spark.streaming.windows import (
+        state_partitions,
+        stream_events,
+        stream_to_versioned_snapshots,
+        tumbling_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "mv")
+    ev = stream_events(spark, sf)
+    with state_partitions(spark, 8):
+        versions = stream_to_versioned_snapshots(
+            tumbling_counts(ev), root, "mv_snap", "complete"
+        )
+    assert versions and list_versions(root)[-1] == versions[-1]
+    latest = read_versioned(spark, root)
+    import pyspark.sql.functions as F
+
+    batch = (
+        load_table(spark, sf, "events")
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("bigint").alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    got = sorted(
+        (r["hour_epoch"], r["event_type"], r["n"]) for r in latest.collect()
+    )
+    want = sorted(
+        (r["hour_epoch"], r["event_type"], r["n"]) for r in batch.collect()
+    )
+    assert got == want
