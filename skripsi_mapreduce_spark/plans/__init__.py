@@ -37,6 +37,7 @@ _PROMOTED = [
     "q48_variant_props",
     "sketch_kmv_merge",
     "graph_triangles",
+    "pipe_prepare_corpus",
     # kernels/exec-config changed THIS round after their r3 driver row
     "emb_random_projection",
     "stream_tumbling",

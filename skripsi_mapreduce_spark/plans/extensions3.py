@@ -787,3 +787,106 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w") * 300 >= F.col("t")
     ).select("u", "v")
     return triangle_counts(e).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# The corpus-prep COMPOSITE, adjudicated end to end: sample -> quality
+# -> language -> exact dedup -> chunk as ONE hash-matched entry.
+# ---------------------------------------------------------------------------
+def _register_pipe_prepare() -> None:
+    from ..operators.pipeline import sample_threshold
+    from .extensions import ASCII_TOKEN, _STOP_LIST_SQL, _markers_sql
+
+    thr = sample_threshold(0.6)
+    sql = rf"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents
+        WHERE CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) < {thr}),
+    qf AS (
+        SELECT doc_id, text,
+               CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+               CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+               CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS n_punct,
+               regexp_extract_all(lower(text), '{ASCII_TOKEN}') AS toks
+        FROM base),
+    qg AS (
+        SELECT doc_id, text, toks, n_chars, n_alpha, n_punct,
+               CAST(LEN(toks) AS DOUBLE) AS n_words,
+               CAST(LEN(list_filter(toks, t -> list_contains({_STOP_LIST_SQL}, t))) AS DOUBLE) AS n_stop,
+               CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS DOUBLE) AS sum_len
+        FROM qf),
+    qr AS (
+        SELECT doc_id, text, toks,
+               CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+               CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+               CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END AS stop_ratio,
+               CASE WHEN n_words > 0 THEN sum_len / n_words ELSE 0.0 END AS mean_word_len,
+               LEAST(n_words / 20.0, 1.0) AS len_score
+        FROM qg),
+    qkeep AS (
+        SELECT doc_id, text, toks FROM qr
+        WHERE CAST(ROUND((0.3 * len_score + 0.25 * alpha_ratio
+              + 0.2 * (1.0 - LEAST(punct_ratio * 4, 1.0))
+              + 0.15 * LEAST(stop_ratio * 3, 1.0)
+              + 0.1 * (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10
+                            THEN 1.0 ELSE 0.5 END)) * 10000) AS BIGINT) >= 5500),
+    ls AS (
+        SELECT doc_id, text, toks,
+               LEN(list_filter(toks, t -> list_contains({_markers_sql('en')}, t))) AS s_en,
+               LEN(list_filter(toks, t -> list_contains({_markers_sql('es')}, t))) AS s_es,
+               LEN(list_filter(toks, t -> list_contains({_markers_sql('de')}, t))) AS s_de,
+               LEN(list_filter(toks, t -> list_contains({_markers_sql('fr')}, t))) AS s_fr,
+               LENGTH(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_cjk
+        FROM qkeep),
+    lb AS (SELECT *, GREATEST(s_en, s_es, s_de, s_fr) AS best FROM ls),
+    lkeep AS (
+        SELECT doc_id, text, toks FROM lb
+        WHERE NOT (n_cjk * 2 > LENGTH(text)) AND best > 0
+          AND s_de <> best AND s_en = best),
+    dd AS (SELECT doc_id, toks FROM (
+        SELECT doc_id, toks,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM lkeep) t WHERE rn = 1),
+    chunks AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+               array_to_string(list_slice(toks, i * 32 + 1, (i + 1) * 32), ' ') AS chunk
+        FROM dd, UNNEST(range(CAST(CEIL(LEN(toks) / 32.0) AS BIGINT))) r(i))
+    SELECT doc_id, chunk_idx, md5(chunk) AS chunk_hash,
+           CAST(LEN(string_split(chunk, ' ')) AS BIGINT) AS n_tokens
+    FROM chunks WHERE chunk <> '' ORDER BY doc_id, chunk_idx
+    """
+
+    @query("pipe_prepare_corpus", sql)
+    def pipe_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The flagship COMPOSITE under adjudication: the whole
+        prepare_corpus chain — deterministic 60% sample → quality ≥ 0.55
+        (integer-exact threshold on the 4dp-rounded score) → language
+        'en' → exact dedup (lowest id per text) → 32-token chunking —
+        hash-matched as ONE statement. Every stage is individually
+        oracle-green (mix_stratified, ta_quality, ta_langid,
+        q29_exact_dedup, ta_chunking); this entry proves the
+        COMPOSITION: one lazy plan, narrow filters below the dedup
+        shuffle, and the same rows out of both engines
+        (operators/pipeline.prepare_corpus)."""
+        from ..operators.pipeline import prepare_corpus
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = prepare_corpus(
+            docs,
+            sample_fraction=0.6,
+            min_quality=0.55,
+            languages=["en"],
+            exact_dedup=True,
+            near_dedup_threshold=None,
+            chunk_tokens=32,
+        )
+        return out.select(
+            "doc_id",
+            "chunk_idx",
+            F.md5("chunk_text").alias("chunk_hash"),
+            F.size(F.split("chunk_text", " ")).cast("bigint").alias("n_tokens"),
+        ).orderBy("doc_id", "chunk_idx")
+
+
+_register_pipe_prepare()
