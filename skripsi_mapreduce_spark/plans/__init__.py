@@ -20,6 +20,8 @@ from . import extensions3  # noqa: F401  (registers into QUERIES/ORACLE)
 # local oracle suite every run).
 _PROMOTED = [
     # (b) changed/new this round — must be adjudicated
+    "q49_recursive_cte",
+    "q50_udtf_bigrams",
     "sim_topk_many",
     "sim_topk_ivfpq",
     "sketch_bloom",

@@ -894,3 +894,113 @@ def _register_pipe_prepare() -> None:
 
 
 _register_pipe_prepare()
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 dialect surface, continued: recursive CTEs and Python UDTFs
+# ---------------------------------------------------------------------------
+_WALK_MAX_HOPS = 8
+
+
+@query(
+    "q49_recursive_cte",
+    f"""
+    WITH RECURSIVE
+    e AS (SELECT event_id,
+                 LAG(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+          FROM events),
+    roots AS (SELECT MIN(event_id) AS root FROM events GROUP BY user_id),
+    walk (node, root, hop) AS (
+        SELECT root AS node, root, 0 AS hop FROM roots
+        UNION ALL
+        SELECT e.event_id, w.root, w.hop + 1
+        FROM walk w JOIN e ON e.prev = w.node
+        WHERE w.hop < {_WALK_MAX_HOPS}
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(root AS BIGINT) AS root,
+           CAST(hop AS BIGINT) AS hop
+    FROM walk ORDER BY node, root
+    """,
+)
+def q49_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive closure via Spark 4's WITH RECURSIVE — the
+    SQL-standard iterative form the reference's driver loop (ref
+    SparkKMeans-style iteration) maps to in a declarative engine. The
+    graph is the per-user event chain (the graph_components fixture);
+    from each chain's root the walk emits (node, root, hop) out to
+    {_WALK_MAX_HOPS} hops, so recursion depth — and therefore the number
+    of Spark jobs — is bounded by a constant, not by data size. DuckDB
+    runs the IDENTICAL statement. Scale note: each recursion level is
+    one equi-join on `prev` (shuffle-hash under AQE); the hop cap makes
+    the plan 100 TB-safe the same way the PageRank/K-Means loops bound
+    their iteration counts."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    (
+        ev.withColumn("prev", F.lag("event_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("prev", "event_id")
+    ).createOrReplaceTempView("chain_edges")
+    ev.groupBy("user_id").agg(F.min("event_id").alias("root")).select(
+        "root"
+    ).createOrReplaceTempView("chain_roots")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE walk (node, root, hop) AS (
+            SELECT root AS node, root, 0 AS hop FROM chain_roots
+            UNION ALL
+            SELECT e.event_id, w.root, w.hop + 1
+            FROM walk w JOIN chain_edges e ON e.prev = w.node
+            WHERE w.hop < {_WALK_MAX_HOPS}
+        )
+        SELECT CAST(node AS BIGINT) AS node, CAST(root AS BIGINT) AS root,
+               CAST(hop AS BIGINT) AS hop
+        FROM walk ORDER BY node, root
+        """
+    )
+
+
+@query(
+    "q50_udtf_bigrams",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\b\w\w+\b') AS t
+        FROM documents),
+    idx AS (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks),
+    bg AS (SELECT t[i] || ' ' || t[i+1] AS bigram FROM idx WHERE i < LEN(t))
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def q50_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4): an Arrow-optimized table function
+    emits word bigrams per document through a LATERAL correlated join,
+    then a plain aggregate ranks the top 20 — hash-matched against
+    DuckDB's array-subscript formulation of the same bigrams. This is
+    deliberately API-parity evidence, not the scale path: the repo's
+    hot-path bigram extraction (ta_bigram_lp / ta_trigram_lp) stays in
+    JVM expressions; the UDTF exists for user-defined expansions the
+    expression language can't state, and useArrow=True keeps the
+    transfer batched (Arrow) rather than pickled row-at-a-time."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram: string", useArrow=True)
+    class _Bigrams:
+        def eval(self, text: str):
+            toks = re.findall(r"\b\w\w+\b", text.lower())
+            for i in range(len(toks) - 1):
+                yield (toks[i] + " " + toks[i + 1],)
+
+    spark.udtf.register("udtf_bigrams", _Bigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT b.bigram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents d, LATERAL udtf_bigrams(d.text) b
+        GROUP BY b.bigram ORDER BY n DESC, b.bigram LIMIT 20
+        """
+    )

@@ -24,6 +24,7 @@ ENTRIES = [
     "mix_weighted_topk",
     "etl_sequential_ids",
     "sim_topk_many",
+    "q49_recursive_cte",
 ]
 
 
