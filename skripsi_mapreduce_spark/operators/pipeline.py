@@ -117,6 +117,77 @@ def weighted_priority_sample(
     )
 
 
+def negative_samples(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    salt: str = "neg",
+) -> DataFrame:
+    """Contrastive negative sampling: for every anchor row, draw ``k``
+    deterministic negatives uniformly from the whole corpus, never the
+    anchor itself — the pair generator behind contrastive embedding /
+    reranker training data. Draw ``j`` for an anchor is
+    ``md5(salt:id:j) % (n-1)`` mapped onto the corpus's dense 1..n rank
+    with the anchor's own rank skipped (the classic re-roll-free
+    exclusion), so the sample is a pure function of (salt, id, j):
+    reproducible across runs, engines, retries, and partitionings, like
+    every sampler in this module.
+
+    Scale: the rank table comes from the two-phase range-partitioned
+    rank (etl.assign_sequential_ids — no global window), carries ONLY
+    (id, rank), and the two equi-joins (anchor->rank, draw->rank) are
+    narrow shuffles AQE handles; nothing is collected but the
+    per-partition offsets. Works unchanged whether anchors are 0.1% or
+    100% of the corpus."""
+    from .etl import assign_sequential_ids
+
+    ranked, n = assign_sequential_ids(
+        corpus.select(id_col), [id_col], id_col="_rank", with_total=True
+    )
+    if n < 2:
+        raise ValueError("negative sampling needs a corpus of at least 2 rows")
+    a = anchors.select(F.col(id_col).alias("anchor_id")).join(
+        ranked.select(F.col(id_col).alias("anchor_id"), F.col("_rank").alias("_arank")),
+        "anchor_id",
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    drawn = a.select("anchor_id", "_arank", j).withColumn(
+        "_draw",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(salt),
+                        F.col("anchor_id").cast("string"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(n - 1),
+    )
+    # candidate rank in 1..n-1; bump past the anchor's own rank -> 1..n \ {arank}
+    drawn = drawn.withColumn(
+        "_nrank",
+        F.when(F.col("_draw") + 1 >= F.col("_arank"), F.col("_draw") + 2).otherwise(
+            F.col("_draw") + 1
+        ),
+    )
+    return (
+        drawn.join(
+            ranked.select(F.col(id_col).alias("neg_id"), F.col("_rank").alias("_nrank")),
+            "_nrank",
+        )
+        .select("anchor_id", "j", "neg_id")
+    )
+
+
 def mix_weights(
     df: DataFrame,
     weights: dict[str, float],

@@ -22,6 +22,7 @@ _PROMOTED = [
     # (b) changed/new this round — must be adjudicated
     "q49_recursive_cte",
     "q50_udtf_bigrams",
+    "mix_negatives",
     "sim_topk_many",
     "sim_topk_ivfpq",
     "sketch_bloom",

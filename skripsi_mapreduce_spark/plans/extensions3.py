@@ -1004,3 +1004,46 @@ def q50_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY b.bigram ORDER BY n DESC, b.bigram LIMIT 20
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative sampling — deterministic pair generation
+# ---------------------------------------------------------------------------
+@query(
+    "mix_negatives",
+    """
+    WITH r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk,
+                      COUNT(*) OVER () AS n
+               FROM documents),
+    a AS (SELECT doc_id AS anchor_id, rk AS arank, n FROM r WHERE doc_id % 10 = 0),
+    d AS (SELECT anchor_id, arank, n, i AS j,
+                 CAST('0x' || substr(md5('neg:' || CAST(anchor_id AS VARCHAR)
+                                      || ':' || CAST(i AS VARCHAR)), 1, 15)
+                      AS BIGINT) % (n - 1) AS draw
+          FROM a, UNNEST(range(4)) s(i)),
+    m AS (SELECT anchor_id, j,
+                 CASE WHEN draw + 1 >= arank THEN draw + 2 ELSE draw + 1 END AS nrank
+          FROM d)
+    SELECT m.anchor_id, CAST(m.j AS BIGINT) AS j, r.doc_id AS neg_id
+    FROM m JOIN r ON r.rk = m.nrank
+    ORDER BY anchor_id, j
+    """,
+)
+def mix_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negative sampling (operators/pipeline.negative_samples):
+    every 10th document anchors 4 uniform negatives drawn by md5 integer
+    — never the anchor itself, via the rank-skip exclusion — the pair
+    generator behind contrastive embedding / reranker training sets.
+    The Spark side ranks the corpus with the two-phase range-partitioned
+    rank (no global window); the oracle states the identical arithmetic
+    over ROW_NUMBER. Completes the sampling family: keep-fraction
+    (mix_stratified), weighted without replacement (mix_weighted_topk),
+    temperature reweighting (mix_temperature), and now pairwise draws."""
+    from ..operators.pipeline import negative_samples
+
+    docs = load_table(spark, sf_dir, "documents")
+    anchors = docs.filter(F.col("doc_id") % 10 == 0)
+    out = negative_samples(docs, anchors, "doc_id", k=4, salt="neg")
+    return out.select(
+        "anchor_id", F.col("j").cast("bigint").alias("j"), "neg_id"
+    ).orderBy("anchor_id", "j")
