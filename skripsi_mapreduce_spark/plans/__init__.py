@@ -23,6 +23,7 @@ _PROMOTED = [
     "q49_recursive_cte",
     "q50_udtf_bigrams",
     "mix_negatives",
+    "dedup_group_keep",
     "sim_topk_many",
     "sim_topk_ivfpq",
     "sketch_bloom",

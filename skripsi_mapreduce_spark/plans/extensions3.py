@@ -1047,3 +1047,75 @@ def mix_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "anchor_id", F.col("j").cast("bigint").alias("j"), "neg_id"
     ).orderBy("anchor_id", "j")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end dedup pipeline: near-dup pairs -> components -> keep list
+# ---------------------------------------------------------------------------
+def _register_group_keep() -> None:
+    from .extensions import ASCII_TOKEN
+
+    sql = rf"""
+    WITH RECURSIVE sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS shingle
+        FROM documents),
+    hx AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
+           FROM sh CROSS JOIN range(16) r(i) GROUP BY doc_id, i),
+    bands AS (SELECT doc_id, i // 4 AS band,
+                     md5(string_agg(sig, ',' ORDER BY i)) AS band_hash
+              FROM hx GROUP BY doc_id, i // 4),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    ov AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS o
+           FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+           GROUP BY 1, 2),
+    pairs AS MATERIALIZED (
+        SELECT c.id_a, c.id_b
+        FROM cand c JOIN ov USING (id_a, id_b)
+        JOIN sizes x ON x.doc_id = c.id_a JOIN sizes y ON y.doc_id = c.id_b
+        WHERE ov.o * 1.0 / (x.n + y.n - ov.o) >= 0.8),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    walk (node, r) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.r
+    )
+    SELECT node AS doc_id, LEAST(node, MIN(r)) AS keep_id
+    FROM walk GROUP BY node ORDER BY doc_id
+    """
+
+    @query("dedup_group_keep", sql)
+    def dedup_group_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The COMPLETE near-dedup workflow as one lazy plan — the shape a
+        100 TB corpus dedup actually runs: MinHash+LSH candidate pairs at
+        Jaccard >= 0.8 (operators/dedup.minhash_near_dups, oracle-green on
+        its own as dedup_minhash) feed large-star/small-star connected
+        components (operators/components.connected_components, oracle-green
+        as graph_components), and each duplicate cluster elects its
+        minimum doc_id as the canonical survivor. Output (doc_id, keep_id)
+        for every document in a duplicate group; rows where doc_id !=
+        keep_id are the removal list. The oracle recomputes the pairs with
+        the dedup_minhash CTEs and closes them transitively with a
+        recursive CTE — same group labels, stated independently. Scale:
+        pair generation is band-bucketed (never all-pairs), components
+        contracts locally before any shuffle, and nothing here collects
+        to the driver."""
+        from ..operators import dedup as dd
+        from ..operators.components import connected_components
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = dd.minhash_near_dups(
+            docs, threshold=0.8, num_hashes=16, rows_per_band=4
+        )
+        comp = connected_components(pairs, "id_a", "id_b")
+        return comp.select(
+            F.col("node").cast("bigint").alias("doc_id"),
+            F.col("component").cast("bigint").alias("keep_id"),
+        ).orderBy("doc_id")
+
+
+_register_group_keep()
