@@ -1101,17 +1101,21 @@ def _register_group_keep() -> None:
         keep_id are the removal list. The oracle recomputes the pairs with
         the dedup_minhash CTEs and closes them transitively with a
         recursive CTE — same group labels, stated independently. Scale:
-        pair generation is band-bucketed (never all-pairs), components
-        contracts locally before any shuffle, and nothing here collects
-        to the driver."""
+        the component step consumes dedup.minhash_dup_edges — the
+        connectivity-equivalent star+rep edge set, linear in documents
+        where the expanded pair list is quadratic in duplicate-cluster
+        size (65M pairs vs ~25k edges at sf0.5, measured; equivalence
+        pinned by test) — candidate generation stays band-bucketed, the
+        components step contracts locally before any shuffle, and
+        nothing here collects to the driver."""
         from ..operators import dedup as dd
         from ..operators.components import connected_components
 
         docs = load_table(spark, sf_dir, "documents")
-        pairs = dd.minhash_near_dups(
+        edges = dd.minhash_dup_edges(
             docs, threshold=0.8, num_hashes=16, rows_per_band=4
         )
-        comp = connected_components(pairs, "id_a", "id_b")
+        comp = connected_components(edges, "id_a", "id_b")
         return comp.select(
             F.col("node").cast("bigint").alias("doc_id"),
             F.col("component").cast("bigint").alias("keep_id"),

@@ -607,3 +607,19 @@ def test_random_projection_numpy_bit_identical_to_hof(spark):
         for r in random_projection(emb, 64, 8, kernel="hof").collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_dup_edges_connectivity_equivalent(spark):
+    """minhash_dup_edges must yield the SAME components — and the same
+    node set — as the expanded pair list (the proof dedup_group_keep's
+    linear edge set stands on)."""
+    from skripsi_mapreduce_spark.io import load_table
+    from skripsi_mapreduce_spark.operators.components import connected_components
+
+    docs = load_table(spark, SF_DIR, "documents")
+    kw = dict(threshold=0.8, num_hashes=16, rows_per_band=4)
+    pairs = dd.minhash_near_dups(docs, **kw)
+    edges = dd.minhash_dup_edges(docs, **kw)
+    via_pairs = sorted(map(tuple, connected_components(pairs, "id_a", "id_b").collect()))
+    via_edges = sorted(map(tuple, connected_components(edges, "id_a", "id_b").collect()))
+    assert via_pairs == via_edges and len(via_pairs) > 0
