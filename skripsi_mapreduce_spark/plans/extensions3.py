@@ -1055,38 +1055,86 @@ def mix_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _register_group_keep() -> None:
     from .extensions import ASCII_TOKEN
 
-    sql = rf"""
-    WITH RECURSIVE sh AS MATERIALIZED (
+    # The oracle mirrors the reduction the kernel itself stands on:
+    # identical shingle SETS collapse to fingerprint groups, LSH + exact
+    # Jaccard verify runs among group REPRESENTATIVES only, and the
+    # component labels come from the rep-level graph — each group's
+    # members inherit their rep's component, whose minimum IS the
+    # component's minimum doc (every rep is its group's min). A naive
+    # recursive-CTE closure over the EXPANDED pair graph is correct but
+    # accumulates per-node reachability against ~1500-degree near-clique
+    # clusters (measured 278s at sf0.1); instead the closure is a fixed
+    # unroll of min-label propagation with a pointer jump per round
+    # (Shiloach-Vishkin shape, O(log n) convergence). Correctness does
+    # NOT rest on the unroll depth: labels only ever hold same-component
+    # node ids and the component minimum keeps itself, so if every edge
+    # is label-consistent the labels EQUAL the component minima — and
+    # when the certificate fails, a loud (-1, -1) sentinel row is
+    # emitted, breaking the hash-match instead of silently passing.
+    rounds = 8
+    prop = []
+    for k in range(rounds):
+        p, c = f"l{k}", f"l{k + 1}"
+        prop.append(f"""
+    {c} AS MATERIALIZED (
+        SELECT v.node,
+               LEAST(v.lbl, COALESCE(nb.m, v.lbl), COALESCE(pj.lbl, v.lbl)) AS lbl
+        FROM {p} v
+        LEFT JOIN (SELECT e.u AS node, MIN(l.lbl) AS m
+                   FROM redges e JOIN {p} l ON l.node = e.v GROUP BY e.u) nb
+          ON nb.node = v.node
+        LEFT JOIN {p} pj ON pj.node = v.lbl)""")
+    sql = (
+        rf"""
+    WITH sh AS MATERIALIZED (
         SELECT DISTINCT doc_id,
                unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS shingle
         FROM documents),
+    fp AS (SELECT doc_id, md5(string_agg(shingle, chr(1) ORDER BY shingle)) AS f
+           FROM sh GROUP BY doc_id),
+    grp AS MATERIALIZED (
+        SELECT doc_id, f, MIN(doc_id) OVER (PARTITION BY f) AS rep,
+               COUNT(*) OVER (PARTITION BY f) AS cnt
+        FROM fp),
+    rsh AS MATERIALIZED (
+        SELECT s.doc_id, s.shingle FROM sh s
+        JOIN grp g ON g.doc_id = s.doc_id AND g.doc_id = g.rep),
     hx AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
-           FROM sh CROSS JOIN range(16) r(i) GROUP BY doc_id, i),
+           FROM rsh CROSS JOIN range(16) r(i) GROUP BY doc_id, i),
     bands AS (SELECT doc_id, i // 4 AS band,
                      md5(string_agg(sig, ',' ORDER BY i)) AS band_hash
               FROM hx GROUP BY doc_id, i // 4),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a JOIN bands b
                ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM rsh GROUP BY doc_id),
     ov AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS o
-           FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+           FROM rsh sa JOIN rsh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
            GROUP BY 1, 2),
-    pairs AS MATERIALIZED (
+    rpairs AS MATERIALIZED (
         SELECT c.id_a, c.id_b
         FROM cand c JOIN ov USING (id_a, id_b)
         JOIN sizes x ON x.doc_id = c.id_a JOIN sizes y ON y.doc_id = c.id_b
         WHERE ov.o * 1.0 / (x.n + y.n - ov.o) >= 0.8),
-    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-              UNION ALL SELECT id_b, id_a FROM pairs),
-    walk (node, r) AS (
-        SELECT u, v FROM edges
-        UNION
-        SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.r
-    )
-    SELECT node AS doc_id, LEAST(node, MIN(r)) AS keep_id
-    FROM walk GROUP BY node ORDER BY doc_id
+    redges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM rpairs
+               UNION ALL SELECT id_b, id_a FROM rpairs),
+    l0 AS (SELECT u AS node, LEAST(u, MIN(v)) AS lbl FROM redges GROUP BY u)"""
+        + ","
+        + ",".join(prop)
+        + f""",
+    nodes AS (SELECT doc_id, rep FROM grp
+              WHERE cnt > 1 OR rep IN (SELECT node FROM l{rounds}))
+    SELECT n.doc_id, COALESCE(lf.lbl, n.rep) AS keep_id
+    FROM nodes n LEFT JOIN l{rounds} lf ON lf.node = n.rep
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+    WHERE EXISTS (SELECT 1 FROM redges e
+                  JOIN l{rounds} a ON a.node = e.u
+                  JOIN l{rounds} b ON b.node = e.v
+                  WHERE a.lbl <> b.lbl)
+    ORDER BY doc_id
     """
+    )
 
     @query("dedup_group_keep", sql)
     def dedup_group_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1098,9 +1146,11 @@ def _register_group_keep() -> None:
         as graph_components), and each duplicate cluster elects its
         minimum doc_id as the canonical survivor. Output (doc_id, keep_id)
         for every document in a duplicate group; rows where doc_id !=
-        keep_id are the removal list. The oracle recomputes the pairs with
-        the dedup_minhash CTEs and closes them transitively with a
-        recursive CTE — same group labels, stated independently. Scale:
+        keep_id are the removal list. The oracle recomputes the verified
+        pairs at the fingerprint-representative level and labels
+        components by certificate-checked min-label propagation (see the
+        comment in _register_group_keep) — same group labels, stated
+        independently. Scale:
         the component step consumes dedup.minhash_dup_edges — the
         connectivity-equivalent star+rep edge set, linear in documents
         where the expanded pair list is quadratic in duplicate-cluster
