@@ -223,3 +223,43 @@ def test_ngram_repetition_known_values(spark):
         "top3_frac": 0.0,
         "dup5_frac": 0.0,
     }
+
+
+def test_negative_samples_exclusion_and_coverage(spark):
+    """The rank-skip exclusion must hold at BOTH boundaries (anchor at
+    rank 1 and rank n), every anchor must get exactly k negatives, every
+    negative must come from the corpus, and the draw must be a pure
+    function of (salt, id, j) — invariant to partitioning."""
+    from skripsi_mapreduce_spark.operators.pipeline import negative_samples
+
+    corpus = spark.range(0, 97).select(F.col("id").alias("doc_id"))
+    anchors = corpus.filter(F.col("doc_id").isin([0, 13, 96]))  # rank 1, mid, rank n
+    out = negative_samples(corpus, anchors, "doc_id", k=16, salt="t").collect()
+    assert len(out) == 3 * 16
+    by_anchor: dict[int, list[int]] = {}
+    for r in out:
+        assert r.neg_id != r.anchor_id, "self-pair leaked through the rank skip"
+        assert 0 <= r.neg_id <= 96
+        by_anchor.setdefault(r.anchor_id, []).append((r.j, r.neg_id))
+    assert sorted(by_anchor) == [0, 13, 96]
+    assert all(sorted(j for j, _ in v) == list(range(16)) for v in by_anchor.values())
+
+    # partition-invariance of the draws
+    out2 = negative_samples(
+        corpus.repartition(7), anchors.repartition(3), "doc_id", k=16, salt="t"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_negative_samples_two_row_corpus_and_validation(spark):
+    from skripsi_mapreduce_spark.operators.pipeline import negative_samples
+    import pytest as _pytest
+
+    two = spark.range(0, 2).select(F.col("id").alias("doc_id"))
+    rows = negative_samples(two, two, "doc_id", k=3, salt="t").collect()
+    # with n=2 the only legal negative is the other row, for every draw
+    assert all(r.neg_id == 1 - r.anchor_id for r in rows) and len(rows) == 6
+
+    one = spark.range(0, 1).select(F.col("id").alias("doc_id"))
+    with _pytest.raises(ValueError):
+        negative_samples(one, one, "doc_id", k=2)
