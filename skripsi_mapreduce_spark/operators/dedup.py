@@ -691,6 +691,69 @@ def minhash_dup_edges(
     return stars.unionByName(rep_pairs.select("id_a", "id_b"))
 
 
+def minhash_near_dups_against(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    shingle_size: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental near-dedup: which BATCH documents have a near-duplicate
+    (exact Jaccard >= threshold) in an EXISTING corpus — the daily-ingest
+    shape, where yesterday's corpus is settled and only the new slice
+    needs vetting. Returns (batch_id, corpus_id, jaccard).
+
+    Scale: the band join is batch x corpus ONLY — the corpus side never
+    self-joins, so a small daily batch against a 100 TB corpus touches
+    just the buckets the batch's band hashes land in (write the corpus
+    band table bucketed by (band, band_hash) and the probe prunes to
+    co-located buckets, cf. io.write_bucketed). Verification is
+    candidate-restricted: each candidate pair joins only its own two
+    shingle sets, so exact-Jaccard work is ∝ candidates, not ∝ the
+    shingle-vocabulary cross product."""
+    sh_c = shingles(corpus, id_col, text_col, shingle_size).localCheckpoint(eager=False)
+    sh_b = shingles(batch, id_col, text_col, shingle_size).localCheckpoint(eager=False)
+    bc = lsh_band_hashes(sh_c, num_hashes, rows_per_band)
+    bb = lsh_band_hashes(sh_b, num_hashes, rows_per_band)
+    cand = (
+        bb.select(F.col("doc_id").alias("batch_id"), "band", "band_hash")
+        .join(
+            bc.select(F.col("doc_id").alias("corpus_id"), "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    nb = sh_b.groupBy("doc_id").agg(F.count("*").alias("nb")).withColumnRenamed(
+        "doc_id", "batch_id"
+    )
+    nc = sh_c.groupBy("doc_id").agg(F.count("*").alias("nc")).withColumnRenamed(
+        "doc_id", "corpus_id"
+    )
+    ov = (
+        cand.join(
+            sh_b.select(F.col("doc_id").alias("batch_id"), "shingle"), "batch_id"
+        )
+        .join(
+            sh_c.select(F.col("doc_id").alias("corpus_id"), "shingle"),
+            ["corpus_id", "shingle"],
+        )
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count("*").alias("o"))
+    )
+    jac = F.col("o") / (F.col("nb") + F.col("nc") - F.col("o"))
+    return (
+        ov.join(nb, "batch_id")
+        .join(nc, "corpus_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
+    )
+
+
 def ngram_near_dups(
     df: DataFrame,
     threshold: float,

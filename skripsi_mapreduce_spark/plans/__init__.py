@@ -24,6 +24,7 @@ _PROMOTED = [
     "q50_udtf_bigrams",
     "mix_negatives",
     "dedup_group_keep",
+    "dedup_incremental",
     "sim_topk_many",
     "sim_topk_ivfpq",
     "sketch_bloom",

@@ -1173,3 +1173,80 @@ def _register_group_keep() -> None:
 
 
 _register_group_keep()
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dedup: new batch vetted against the settled corpus
+# ---------------------------------------------------------------------------
+_INC_SPLIT = 400
+
+
+def _register_incremental() -> None:
+    from .extensions import ASCII_TOKEN
+    from .relational import e_int_sql
+
+    sql = rf"""
+    WITH shc AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS shingle
+        FROM documents WHERE doc_id < {_INC_SPLIT}),
+    shb AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS shingle
+        FROM documents WHERE doc_id >= {_INC_SPLIT}),
+    hxc AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
+            FROM shc CROSS JOIN range(16) r(i) GROUP BY doc_id, i),
+    bandsc AS (SELECT doc_id, i // 4 AS band,
+                      md5(string_agg(sig, ',' ORDER BY i)) AS band_hash
+               FROM hxc GROUP BY doc_id, i // 4),
+    hxb AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
+            FROM shb CROSS JOIN range(16) r(i) GROUP BY doc_id, i),
+    bandsb AS (SELECT doc_id, i // 4 AS band,
+                      md5(string_agg(sig, ',' ORDER BY i)) AS band_hash
+               FROM hxb GROUP BY doc_id, i // 4),
+    cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+             FROM bandsb b JOIN bandsc c
+               ON b.band = c.band AND b.band_hash = c.band_hash),
+    nb AS (SELECT doc_id AS batch_id, COUNT(*) AS nb FROM shb GROUP BY 1),
+    nc AS (SELECT doc_id AS corpus_id, COUNT(*) AS nc FROM shc GROUP BY 1),
+    ov AS (SELECT sb.doc_id AS batch_id, sc.doc_id AS corpus_id, COUNT(*) AS o
+           FROM shb sb JOIN shc sc ON sb.shingle = sc.shingle GROUP BY 1, 2),
+    j AS (SELECT c.batch_id, c.corpus_id,
+                 ov.o * 1.0 / (nb.nb + nc.nc - ov.o) AS jac
+          FROM cand c JOIN ov USING (batch_id, corpus_id)
+          JOIN nb USING (batch_id) JOIN nc USING (corpus_id))
+    SELECT batch_id, corpus_id, {e_int_sql('jac')} AS jaccard_e4
+    FROM j WHERE jac >= 0.8 ORDER BY batch_id, corpus_id
+    """
+
+    @query("dedup_incremental", sql)
+    def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incremental ingest dedup (operators/dedup.minhash_near_dups_
+        against): documents with doc_id >= {split} play the freshly
+        crawled batch, everything below is the settled corpus, and the
+        batch is vetted for near-duplicates (exact Jaccard >= 0.8)
+        against the corpus ONLY — the band join is batch x corpus, never
+        corpus x corpus, and verification joins each candidate pair's
+        own two shingle sets. At 100 TB the corpus band table is written
+        bucketed by (band, band_hash) once and every daily batch probes
+        just its matching buckets. Complements dedup_minhash (within-
+        corpus) and dedup_cross_corpus (exact digests across corpora)."""
+        from ..functions.numeric import e_int
+        from ..operators import dedup as dd
+
+        docs = load_table(spark, sf_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") < _INC_SPLIT)
+        batch = docs.filter(F.col("doc_id") >= _INC_SPLIT)
+        out = dd.minhash_near_dups_against(
+            corpus, batch, threshold=0.8, num_hashes=16, rows_per_band=4
+        )
+        return out.select(
+            "batch_id", "corpus_id", e_int(F.col("jaccard")).alias("jaccard_e4")
+        ).orderBy("batch_id", "corpus_id")
+
+    dedup_incremental.__doc__ = dedup_incremental.__doc__.replace(
+        "{split}", str(_INC_SPLIT)
+    )
+
+
+_register_incremental()
