@@ -25,6 +25,7 @@ ENTRIES = [
     "etl_sequential_ids",
     "sim_topk_many",
     "q49_recursive_cte",
+    "dedup_group_keep",
 ]
 
 
