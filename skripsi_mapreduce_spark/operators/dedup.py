@@ -701,56 +701,95 @@ def minhash_near_dups_against(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Incremental near-dedup: which BATCH documents have a near-duplicate
-    (exact Jaccard >= threshold) in an EXISTING corpus — the daily-ingest
-    shape, where yesterday's corpus is settled and only the new slice
-    needs vetting. Returns (batch_id, corpus_id, jaccard).
+    """Incremental near-dedup: for each BATCH document with a near-duplicate
+    (exact Jaccard >= threshold) in an EXISTING corpus, the best Jaccard
+    found — the daily-ingest vetting decision (drop if present), returned
+    as (batch_id, max_jaccard). Output is ≤ one row per batch document.
 
-    Scale: the band join is batch x corpus ONLY — the corpus side never
-    self-joins, so a small daily batch against a 100 TB corpus touches
-    just the buckets the batch's band hashes land in (write the corpus
-    band table bucketed by (band, band_hash) and the probe prunes to
-    co-located buckets, cf. io.write_bucketed). Verification is
-    candidate-restricted: each candidate pair joins only its own two
-    shingle sets, so exact-Jaccard work is ∝ candidates, not ∝ the
-    shingle-vocabulary cross product."""
+    Scale, in three deliberate choices. (1) The decision output: a
+    dup-heavy corpus makes the full (batch x corpus) pair LIST quadratic
+    in duplicate-cluster size (measured 21M pairs for a 1k-doc batch at
+    sf0.5) — but ingest only needs per-doc verdicts, which are linear in
+    the batch. (2) The fingerprint cascade on BOTH sides: Jaccard depends
+    only on the shingle SET, so identical contents collapse to one
+    representative per side and band join + verification run rep x rep —
+    work scales with distinct contents, not documents; members inherit
+    their rep's verdict through a narrow join. (3) The corpus never
+    self-joins, and at 100 TB the corpus rep-band table is written once,
+    bucketed by (band, band_hash) (io.write_bucketed), so each daily
+    batch probes only its matching buckets. Verification is candidate-
+    restricted: each candidate rep pair joins only its own two shingle
+    sets."""
     sh_c = shingles(corpus, id_col, text_col, shingle_size).localCheckpoint(eager=False)
     sh_b = shingles(batch, id_col, text_col, shingle_size).localCheckpoint(eager=False)
-    bc = lsh_band_hashes(sh_c, num_hashes, rows_per_band)
-    bb = lsh_band_hashes(sh_b, num_hashes, rows_per_band)
+    g_c = _fingerprint_groups(sh_c).localCheckpoint(eager=False)
+    g_b = _fingerprint_groups(sh_b).localCheckpoint(eager=False)
+    rep_sh_c = sh_c.join(
+        g_c.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=False)
+    rep_sh_b = sh_b.join(
+        g_b.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=False)
+    # cross-side band join with the canonical-witness filter: a pair is
+    # emitted only from its FIRST agreeing band, so no distinct shuffle
+    # ever runs over the candidate multiset — at sf1.0 the distinct over
+    # 73M banded candidates measured 126s of the entry's 114s total
+    # while the bitmap verification itself took 3.3s
+    wide_b = _band_hash_wide(rep_sh_b, num_hashes, rows_per_band)
+    wide_c = _band_hash_wide(rep_sh_c, num_hashes, rows_per_band)
+    a_side = wide_b.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("bands").alias("bands_a"),
+        F.posexplode("bands").alias("band", "band_hash"),
+    )
+    b_side = wide_c.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("bands").alias("bands_b"),
+        F.posexplode("bands").alias("band", "band_hash"),
+    )
+    first_agree = F.array_position(
+        F.zip_with("bands_a", "bands_b", lambda x, y: x == y), True
+    )
     cand = (
-        bb.select(F.col("doc_id").alias("batch_id"), "band", "band_hash")
-        .join(
-            bc.select(F.col("doc_id").alias("corpus_id"), "band", "band_hash"),
-            ["band", "band_hash"],
+        a_side.join(b_side, ["band", "band_hash"])
+        .filter(first_agree == F.col("band") + 1)  # array_position is 1-indexed
+        .select("id_a", "id_b")
+    )
+    # verify with the capped-vocab bitmap kernel over the UNION of both
+    # rep shingle tables (batch/corpus ids must be disjoint, as document
+    # keys are): two hash joins against the small bitmap table + a flat
+    # popcount per candidate. The shingle co-occurrence join measured
+    # 2.3x slower here (small shared vocab makes co-occurrence near
+    # all-pairs), and expanding cand x shingles OOM'd at sf1.0.
+    bm = _shingle_bitmaps(rep_sh_b.unionByName(rep_sh_c), BITMAP_MAX_VOCAB)
+    if bm is not None:
+        bmdf, n_words = bm
+        verified = _jaccard_pairs_bitmap(bmdf, n_words, cand, min_jaccard=threshold)
+    else:  # vocabulary over the cap: co-occurrence join fallback
+        nb = rep_sh_b.groupBy("doc_id").agg(F.count("*").alias("nb"))
+        nc = rep_sh_c.groupBy("doc_id").agg(F.count("*").alias("nc"))
+        verified = (
+            rep_sh_b.select(F.col("doc_id").alias("id_a"), "shingle")
+            .join(rep_sh_c.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("o"))
+            .join(cand, ["id_a", "id_b"])
+            .join(nb.withColumnRenamed("doc_id", "id_a"), "id_a")
+            .join(nc.withColumnRenamed("doc_id", "id_b"), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("o") / (F.col("nb") + F.col("nc") - F.col("o"))).alias("jaccard"),
+            )
         )
-        .select("batch_id", "corpus_id")
-        .distinct()
+    rep_best = (
+        verified.filter(F.col("jaccard") >= threshold)
+        .groupBy("id_a")
+        .agg(F.max("jaccard").alias("max_jaccard"))
+        .withColumnRenamed("id_a", "brep")
     )
-    nb = sh_b.groupBy("doc_id").agg(F.count("*").alias("nb")).withColumnRenamed(
-        "doc_id", "batch_id"
-    )
-    nc = sh_c.groupBy("doc_id").agg(F.count("*").alias("nc")).withColumnRenamed(
-        "doc_id", "corpus_id"
-    )
-    ov = (
-        cand.join(
-            sh_b.select(F.col("doc_id").alias("batch_id"), "shingle"), "batch_id"
-        )
-        .join(
-            sh_c.select(F.col("doc_id").alias("corpus_id"), "shingle"),
-            ["corpus_id", "shingle"],
-        )
-        .groupBy("batch_id", "corpus_id")
-        .agg(F.count("*").alias("o"))
-    )
-    jac = F.col("o") / (F.col("nb") + F.col("nc") - F.col("o"))
-    return (
-        ov.join(nb, "batch_id")
-        .join(nc, "corpus_id")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("batch_id", "corpus_id", "jaccard")
+    return g_b.join(rep_best, g_b["rep"] == rep_best["brep"]).select(
+        F.col(id_col).alias("batch_id"), "max_jaccard"
     )
 
 

@@ -1178,7 +1178,7 @@ _register_group_keep()
 # ---------------------------------------------------------------------------
 # Incremental near-dedup: new batch vetted against the settled corpus
 # ---------------------------------------------------------------------------
-_INC_SPLIT = 400
+_INC_MOD = 5  # every 5th doc plays the fresh batch — proportional at every sf
 
 
 def _register_incremental() -> None:
@@ -1189,11 +1189,11 @@ def _register_incremental() -> None:
     WITH shc AS MATERIALIZED (
         SELECT DISTINCT doc_id,
                unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS shingle
-        FROM documents WHERE doc_id < {_INC_SPLIT}),
+        FROM documents WHERE doc_id % {_INC_MOD} <> 0),
     shb AS MATERIALIZED (
         SELECT DISTINCT doc_id,
                unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS shingle
-        FROM documents WHERE doc_id >= {_INC_SPLIT}),
+        FROM documents WHERE doc_id % {_INC_MOD} = 0),
     hxc AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
             FROM shc CROSS JOIN range(16) r(i) GROUP BY doc_id, i),
     bandsc AS (SELECT doc_id, i // 4 AS band,
@@ -1215,37 +1215,40 @@ def _register_incremental() -> None:
                  ov.o * 1.0 / (nb.nb + nc.nc - ov.o) AS jac
           FROM cand c JOIN ov USING (batch_id, corpus_id)
           JOIN nb USING (batch_id) JOIN nc USING (corpus_id))
-    SELECT batch_id, corpus_id, {e_int_sql('jac')} AS jaccard_e4
-    FROM j WHERE jac >= 0.8 ORDER BY batch_id, corpus_id
+    SELECT batch_id, {e_int_sql('MAX(jac)')} AS max_jaccard_e4
+    FROM j WHERE jac >= 0.8 GROUP BY batch_id ORDER BY batch_id
     """
 
     @query("dedup_incremental", sql)
     def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Incremental ingest dedup (operators/dedup.minhash_near_dups_
-        against): documents with doc_id >= {split} play the freshly
-        crawled batch, everything below is the settled corpus, and the
-        batch is vetted for near-duplicates (exact Jaccard >= 0.8)
-        against the corpus ONLY — the band join is batch x corpus, never
-        corpus x corpus, and verification joins each candidate pair's
-        own two shingle sets. At 100 TB the corpus band table is written
-        bucketed by (band, band_hash) once and every daily batch probes
-        just its matching buckets. Complements dedup_minhash (within-
-        corpus) and dedup_cross_corpus (exact digests across corpora)."""
+        against): every {mod}th document plays the freshly crawled
+        batch (proportional at every sf), the rest is the settled corpus,
+        and each batch document gets its vetting verdict: the best exact
+        Jaccard >= 0.8 found in the corpus (absent = clean). The kernel
+        runs the fingerprint cascade on BOTH sides and band-joins
+        batch reps x corpus reps only — never corpus x corpus, work ∝
+        distinct contents, output linear in the batch (the full pair
+        list is quadratic in duplicate-cluster size on dup-heavy data:
+        21M pairs at sf0.5). The oracle states the same verdicts at the
+        document level, where candidates and Jaccard are rep-determined
+        anyway. Complements dedup_minhash (within-corpus) and
+        dedup_cross_corpus (exact digests across corpora)."""
         from ..functions.numeric import e_int
         from ..operators import dedup as dd
 
         docs = load_table(spark, sf_dir, "documents")
-        corpus = docs.filter(F.col("doc_id") < _INC_SPLIT)
-        batch = docs.filter(F.col("doc_id") >= _INC_SPLIT)
+        corpus = docs.filter(F.col("doc_id") % _INC_MOD != 0)
+        batch = docs.filter(F.col("doc_id") % _INC_MOD == 0)
         out = dd.minhash_near_dups_against(
             corpus, batch, threshold=0.8, num_hashes=16, rows_per_band=4
         )
         return out.select(
-            "batch_id", "corpus_id", e_int(F.col("jaccard")).alias("jaccard_e4")
-        ).orderBy("batch_id", "corpus_id")
+            "batch_id", e_int(F.col("max_jaccard")).alias("max_jaccard_e4")
+        ).orderBy("batch_id")
 
     dedup_incremental.__doc__ = dedup_incremental.__doc__.replace(
-        "{split}", str(_INC_SPLIT)
+        "{mod}", str(_INC_MOD)
     )
 
 
