@@ -623,3 +623,25 @@ def test_dup_edges_connectivity_equivalent(spark):
     via_pairs = sorted(map(tuple, connected_components(pairs, "id_a", "id_b").collect()))
     via_edges = sorted(map(tuple, connected_components(edges, "id_a", "id_b").collect()))
     assert via_pairs == via_edges and len(via_pairs) > 0
+
+
+def test_incremental_verdicts_semantics(spark):
+    """minhash_near_dups_against: an exact copy of a corpus doc scores
+    1.0, an unrelated doc is absent, and a batch doc identical to
+    ANOTHER batch doc (shared fingerprint rep) inherits the verdict."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven eight")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+         (11, "alpha beta gamma delta epsilon zeta"),   # same content again
+         (12, "totally unrelated words nothing shared here")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.batch_id: r.max_jaccard
+        for r in dd.minhash_near_dups_against(corpus, batch, threshold=0.8).collect()
+    }
+    assert out == {10: 1.0, 11: 1.0}

@@ -26,6 +26,7 @@ ENTRIES = [
     "sim_topk_many",
     "q49_recursive_cte",
     "dedup_group_keep",
+    "dedup_incremental",
 ]
 
 
