@@ -25,6 +25,7 @@ _PROMOTED = [
     "mix_negatives",
     "dedup_group_keep",
     "dedup_incremental",
+    "q51_fuzzy_match",
     "sim_topk_many",
     "sim_topk_ivfpq",
     "sketch_bloom",

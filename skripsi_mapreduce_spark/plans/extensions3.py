@@ -1253,3 +1253,60 @@ def _register_incremental() -> None:
 
 
 _register_incremental()
+
+
+# ---------------------------------------------------------------------------
+# Record linkage: blocked fuzzy matching on edit distance
+# ---------------------------------------------------------------------------
+@query(
+    "q51_fuzzy_match",
+    """
+    WITH b AS (SELECT p_partkey, p_name, p_brand,
+                      string_split(p_name, ' ')[1] AS blk
+               FROM part)
+    SELECT a.p_partkey AS id_a, x.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, x.p_name) AS BIGINT) AS dist
+    FROM b a JOIN b x
+      ON a.blk = x.blk AND a.p_brand = x.p_brand AND a.p_partkey < x.p_partkey
+    WHERE levenshtein(a.p_name, x.p_name) BETWEEN 1 AND 3
+    ORDER BY id_a, id_b
+    """,
+)
+def q51_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / entity resolution: near-miss part-name pairs at
+    edit distance 1..3, blocked on (first name token, brand) — the
+    classic blocking+verify shape, with the same division of labor as
+    the dedup family: blocking bounds the quadratic work to Σ|block|²
+    (never an all-pairs name comparison), the in-block verifier is the
+    JVM levenshtein builtin, and exact matches (distance 0) are
+    excluded because exact-key dedup is q29's cheaper job. At 100 TB
+    the blocking key is the design lever — compose more selective keys
+    (phonetic code, brand, length bucket) or a sorted-neighborhood
+    window (etl.assign_sequential_ids rank + q16's lag frame) when
+    blocks skew; both engines state the identical arithmetic, so the
+    pair set is hash-matched end to end."""
+    b = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+        )
+    )
+    a = b.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"),
+        "p_brand", "blk",
+    )
+    x = b.select(
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"),
+        "p_brand", "blk",
+    )
+    d = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(x, ["blk", "p_brand"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(d.between(1, 3))
+        .select("id_a", "id_b", d.cast("bigint").alias("dist"))
+        .orderBy("id_a", "id_b")
+    )
