@@ -26,6 +26,7 @@ _PROMOTED = [
     "dedup_group_keep",
     "dedup_incremental",
     "q51_fuzzy_match",
+    "stream_enrich",
     "sim_topk_many",
     "sim_topk_ivfpq",
     "sketch_bloom",

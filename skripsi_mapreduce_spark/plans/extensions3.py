@@ -1310,3 +1310,49 @@ def q51_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", d.cast("bigint").alias("dist"))
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join — the missing streaming join shape
+# ---------------------------------------------------------------------------
+@query(
+    "stream_enrich",
+    """
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(e.value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_e4
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream joins a static
+    customer dimension inside the micro-batch (Spark broadcasts the
+    static side per batch — stateless, unlike the stream-stream interval
+    join's watermark-bounded state) and aggregates per (segment, type).
+    Completes the streaming join family's evidence: stream-stream
+    (stream_interval_join) and stream-static now both replay through the
+    REAL streaming operators and hash-match the batch statement. The
+    per-row e4 fixed-point on `value` keeps the sum integer-exact across
+    engines (float-sum order hazard, the round-1 lesson)."""
+    from ..streaming.windows import run_to_memory_sink, state_partitions, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.round(F.col("value") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_value_e4"),
+    )
+    with state_partitions(spark, 8):
+        out = run_to_memory_sink(
+            agg, f"stream_enrich_{next(_SE_SEQ)}", "complete"
+        )
+    return out.orderBy("c_mktsegment", "event_type")
+
+
+_SE_SEQ = iter(range(1, 1 << 30))
