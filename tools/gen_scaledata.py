@@ -187,6 +187,19 @@ def gen_tpch(sf: float, rng: np.random.Generator, out: str) -> None:
             np.array(["O", "F"])[rng.integers(0, 2, size=n_li)], pa.string()),
         "l_shipdate": _days(rng, n_li, "1995-01-02", 2450),
     }), os.path.join(out, "lineitem.parquet"))
+    n_p = int(200_000 * sf)
+    adjs = np.array(["blue", "cold", "hot", "large", "new", "old", "red", "small"])
+    nouns = np.array(["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"])
+    names = np.char.add(np.char.add(adjs[rng.integers(0, 8, size=n_p)], " "),
+                        nouns[rng.integers(0, 8, size=n_p)])
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(range(n_p), pa.int64()),
+        "p_name": pa.array(names, pa.string()),
+        "p_brand": pa.array([f"Brand#{i}" for i in rng.integers(1, 26, size=n_p)], pa.string()),
+        "p_type": pa.array(np.char.add("TYPE_", rng.integers(0, 150, size=n_p).astype(str)), pa.string()),
+        "p_size": pa.array(rng.integers(1, 51, size=n_p).astype(np.int32), pa.int32()),
+        "p_retailprice": pa.array(np.round(rng.uniform(900, 2000, size=n_p), 2), pa.float64()),
+    }), os.path.join(out, "part.parquet"))
 
 
 def main() -> None:
