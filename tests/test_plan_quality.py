@@ -278,3 +278,20 @@ def test_cdc_scd2_single_shuffle_by_key(spark):
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     assert p.count("Exchange hashpartitioning") <= 2  # window key + none extra
     assert "Window" in p
+
+
+def test_q51_fuzzy_match_broadcasts_name_pairs(spark):
+    """The distinct-name verify table is tiny and must broadcast into
+    the expansion joins — a lost join key here silently degrades to a
+    nested-loop over all id pairs."""
+    p = formatted_plan(spark, "q51_fuzzy_match")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_mix_negatives_no_single_partition_exchange(spark):
+    """The rank table comes from the two-phase range-partitioned rank:
+    no global window, no Exchange SinglePartition anywhere."""
+    p = formatted_plan(spark, "mix_negatives")
+    assert "Exchange SinglePartition" not in p
