@@ -10,12 +10,18 @@ from . import extensions3  # noqa: F401  (registers into QUERIES/ORACLE)
 # in dict order (rounds 1-3 all cut off at exactly position 50).
 # Rotate the tail so every entry's freshest driver-green row stays recent.
 # Round 4 head (per the r3 verdict's rotation demand):
+#  (0) the seven late-r4 additions with NO driver row yet
+#      (q49_recursive_cte, q50_udtf_bigrams, mix_negatives,
+#      dedup_group_keep, dedup_incremental, q51_fuzzy_match,
+#      stream_enrich),
 #  (a) entries whose KERNELS changed in r3 after their last driver row
 #      (dedup/similarity family, tfidf, kmeans),
-#  (b) entries changed or added THIS round (sim_topk_ivf numpy quantizer,
-#      kmeans_documents cached assign, ta_trigram_lp),
+#  (b) entries changed or added earlier this round (sim_topk_ivf numpy
+#      quantizer, kmeans_documents cached assign, ta_trigram_lp),
 #  (c) the r1-green q09-q26 batch (stalest evidence in the repo),
-#  (d) everything whose last driver-green is r2.
+#  (d) everything whose last driver-green is r2 — with 118 entries the
+#      ~50 cut now lands inside (c); the displaced (c)/(d) entries stay
+#      pinned by the local oracle suite and rotate back next round.
 # Tail = r3-greens (freshest evidence, code unchanged, still pinned by the
 # local oracle suite every run).
 _PROMOTED = [
