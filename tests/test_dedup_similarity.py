@@ -645,3 +645,46 @@ def test_incremental_verdicts_semantics(spark):
         for r in dd.minhash_near_dups_against(corpus, batch, threshold=0.8).collect()
     }
     assert out == {10: 1.0, 11: 1.0}
+
+
+def test_dup_edges_on_transitive_chain(spark):
+    """Chained near-dups (doc_i ~ doc_{i+1} but doc_0 !~ doc_k): the
+    keep-list must close transitively — every chain member maps to the
+    chain head even when its direct Jaccard to the head is far below
+    the threshold. Verified against a Python union-find over the
+    operator's own verified pairs, and edges==pairs components."""
+    from skripsi_mapreduce_spark.io import load_table  # noqa: F401
+    from skripsi_mapreduce_spark.operators.components import connected_components
+
+    words = [f"w{i:03d}" for i in range(60)]
+    docs = [(i, " ".join(words[i * 2 : i * 2 + 20])) for i in range(12)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    kw = dict(threshold=0.8, num_hashes=16, rows_per_band=4)
+    pairs = dd.minhash_near_dups(df, **kw).collect()
+    # adjacent docs share 18/22 shingles = 0.818 >= 0.8 (each found with
+    # ~91% band-collision probability — LSH misses are legal and both
+    # engines state the same banding); skip-one pairs share 16/24 =
+    # 0.667 < 0.8 — whatever survives is a chain, never a clique
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert found and found <= {(i, i + 1) for i in range(11)}
+
+    # python union-find oracle over the verified pairs
+    parent = list(range(12))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for r in pairs:
+        a, b = find(r.id_a), find(r.id_b)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    expected = sorted((i, find(i)) for i in range(12))
+
+    edges = dd.minhash_dup_edges(df, **kw)
+    got = sorted((r.node, r.component) for r in
+                 connected_components(edges, "id_a", "id_b").collect())
+    in_graph = {i for p_ in found for i in p_}
+    assert got == [e for e in expected if e[0] in in_graph]
+    # the chain genuinely produced a multi-hop component
+    assert any(node - comp >= 2 for node, comp in got)
