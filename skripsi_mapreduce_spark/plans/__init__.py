@@ -33,6 +33,7 @@ _PROMOTED = [
     "dedup_incremental",
     "q51_fuzzy_match",
     "stream_enrich",
+    "q52_cube",
     "sim_topk_many",
     "sim_topk_ivfpq",
     "sketch_bloom",

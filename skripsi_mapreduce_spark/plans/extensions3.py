@@ -1363,3 +1363,52 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SE_SEQ = iter(range(1, 1 << 30))
+
+
+# ---------------------------------------------------------------------------
+# CUBE — completes the multi-dimensional aggregation family
+# ---------------------------------------------------------------------------
+@query(
+    "q52_cube",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+           COALESCE(l_linestatus, 'ALL') AS lstatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rflag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_lstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)
+                      * 10000) AS BIGINT) AS qty_e4
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g_rflag, g_lstatus, rflag, lstatus
+    """,
+)
+def q52_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with GROUPING() provenance ids
+    — all four aggregation levels from ONE scan (Catalyst expands the
+    cube into a single Expand + hash aggregate, partial-agg map-side
+    like every groupBy here). Completes the multi-dimensional
+    aggregation family: ROLLUP (q20), GROUPING SETS (q21), and the
+    grouping-sets time rollup (rollup_events). The DECIMAL-exact sum +
+    e4 surface is the q21 convention."""
+    from .relational import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rflag"),
+            F.grouping("l_linestatus").cast("int").alias("g_lstatus"),
+            F.count("*").cast("bigint").alias("n"),
+            e_int(F.sum(dec("l_quantity"))).alias("qty_e4"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "g_rflag",
+            "g_lstatus",
+            "n",
+            "qty_e4",
+        )
+        .orderBy("g_rflag", "g_lstatus", "rflag", "lstatus")
+    )
