@@ -295,3 +295,14 @@ def test_mix_negatives_no_single_partition_exchange(spark):
     no global window, no Exchange SinglePartition anywhere."""
     p = formatted_plan(spark, "mix_negatives")
     assert "Exchange SinglePartition" not in p
+
+
+def test_q52_cube_is_one_expand_scan(spark):
+    """CUBE must compute all four grouping levels from ONE lineitem scan
+    via Expand — never a union of per-level aggregates re-reading the
+    table."""
+    p = formatted_plan(spark, "q52_cube")
+    assert "Expand" in p
+    scans = [l for l in p.splitlines() if l.startswith("(") and "Scan parquet" in l]
+    assert len(scans) == 1, scans
+    assert "Union" not in p
