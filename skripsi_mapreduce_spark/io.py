@@ -224,7 +224,14 @@ def write_versioned(df: DataFrame, path: str) -> int:
     import os
 
     os.makedirs(path, exist_ok=True)
-    n = max(list_versions(path), default=0) + 1
+    # Allocate past every v=N directory, committed or not — a partial
+    # dir left by a crashed writer must not collide with the next write.
+    existing = [
+        int(d[2:])
+        for d in os.listdir(path)
+        if d.startswith("v=") and d[2:].isdigit()
+    ]
+    n = max(existing, default=0) + 1
     df.write.mode("errorifexists").parquet(os.path.join(path, f"v={n}"))
     tmp = os.path.join(path, "_latest.tmp")
     with open(tmp, "w") as fh:
@@ -234,7 +241,13 @@ def write_versioned(df: DataFrame, path: str) -> int:
 
 
 def list_versions(path: str) -> list[int]:
-    """Committed version numbers under a :func:`write_versioned` root."""
+    """Committed version numbers under a :func:`write_versioned` root.
+
+    A version counts as committed only once Spark's ``_SUCCESS`` marker
+    exists inside ``v=N`` — a crashed or in-flight writer leaves a
+    partial directory without the marker, and neither
+    :func:`read_versioned` (explicit ``version=N`` included) nor the
+    next :func:`write_versioned` call will observe it."""
     import os
 
     if not os.path.isdir(path):
@@ -242,7 +255,8 @@ def list_versions(path: str) -> list[int]:
     out = []
     for d in os.listdir(path):
         if d.startswith("v=") and d[2:].isdigit():
-            out.append(int(d[2:]))
+            if os.path.exists(os.path.join(path, d, "_SUCCESS")):
+                out.append(int(d[2:]))
     return sorted(out)
 
 

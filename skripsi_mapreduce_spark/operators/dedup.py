@@ -788,8 +788,11 @@ def minhash_near_dups_against(
         .agg(F.max("jaccard").alias("max_jaccard"))
         .withColumnRenamed("id_a", "brep")
     )
+    # _fingerprint_groups always names its id column "doc_id" (shingles()
+    # normalized id_col on the way in), so select the internal name here —
+    # F.col(id_col) would raise for any caller with a non-default id_col.
     return g_b.join(rep_best, g_b["rep"] == rep_best["brep"]).select(
-        F.col(id_col).alias("batch_id"), "max_jaccard"
+        F.col("doc_id").alias("batch_id"), "max_jaccard"
     )
 
 

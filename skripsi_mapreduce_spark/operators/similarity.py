@@ -320,8 +320,13 @@ def random_projection(
                                         "proj_e8": []})
                     continue
                 mat = np.vstack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+                # Round each term to int64 BEFORE summing — the HOF twin
+                # (_proj_i64) accumulates in int64, and a float64 sum of
+                # rounded terms only matches while it stays below 2^53.
                 cols = [
-                    _round_half_away(mat * S[p] * SCALE).sum(axis=1).astype(np.int64)
+                    _round_half_away(mat * S[p] * SCALE)
+                    .astype(np.int64)
+                    .sum(axis=1)
                     for p in range(out_dim)
                 ]
                 out = np.stack(cols, axis=1)
@@ -824,17 +829,21 @@ def embedding_near_dups(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int | str | None = None,
+    n_planes: int | str | None = "auto",
+    *,
+    all_pairs: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold.
 
-    ``n_planes=None``: all-pairs form — the verification kernel and the
-    recall baseline. O(n²) pairs; audit use only.
+    ``n_planes="auto"`` (the default): derive the plane count from the
+    vector count via :func:`auto_n_planes` (one count job) — the
+    production default, since a FIXED plane count is a measured quadratic
+    cliff as the corpus grows (SCALING.md round-4 curve).
 
-    ``n_planes="auto"``: derive the plane count from the vector count via
-    :func:`auto_n_planes` (one count job) — the production default, since
-    a FIXED plane count is a measured quadratic cliff as the corpus grows
-    (SCALING.md round-4 curve).
+    ``all_pairs=True``: the O(n²) verification kernel and recall
+    baseline. Audit use only, and therefore an EXPLICIT opt-in — a
+    caller who omits every knob gets the self-scaling LSH path, never a
+    silent quadratic.
 
     ``n_planes=p`` (the scale path): hyperplane-LSH bucketing. Every
     vector gets a p-bit bucket from the deterministic md5-parity
@@ -852,6 +861,13 @@ def embedding_near_dups(
     Norms are computed ONCE per vector before the pair join (N folds),
     not per pair (would be 2·N² folds) — per-pair work is the dot product
     only."""
+    if all_pairs:
+        n_planes = None
+    elif n_planes is None:
+        raise ValueError(
+            "n_planes=None is the O(n^2) all-pairs audit path; opt in "
+            "explicitly with all_pairs=True (or pass an int / 'auto')"
+        )
     if n_planes == "auto":
         n_planes = auto_n_planes(emb.count())
     # pinned: both sides of the self-join reuse one materialization, so

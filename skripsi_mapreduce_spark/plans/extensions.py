@@ -307,7 +307,18 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     """
-    WITH planes AS (SELECT p FROM range(4) t(p)),
+    WITH base AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+                  FROM embeddings),
+    twins AS (SELECT vec_id + 100000 AS vec_id,
+                     list_transform(embedding, x -> x * CAST(1.02 AS DOUBLE)) AS embedding
+              FROM base WHERE vec_id % 20 = 0),
+    emb AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+    np AS (SELECT CASE WHEN COUNT(*) <= 64 THEN 4
+                       ELSE GREATEST(4, CAST(CEIL(LOG2(COUNT(*) / 64.0)) AS INT))
+                       END AS p
+                FROM emb),
+    planes AS (SELECT t.i AS p FROM range(64) t(i), np WHERE t.i < np.p),
     dims AS (SELECT i FROM range(64) t(i)),
     signs AS (
         SELECT p, i,
@@ -315,7 +326,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1.0 ELSE -1.0 END AS s
         FROM planes CROSS JOIN dims),
     ex0 AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) - 1 AS i
-            FROM embeddings),
+            FROM emb),
     proj AS (SELECT e.vec_id, sg.p,
                     SUM(CAST(ROUND(CAST(e.x AS DOUBLE) * sg.s * 100000000.0) AS BIGINT)) AS pr
              FROM ex0 e JOIN signs sg ON sg.i = e.i GROUP BY 1, 2),
@@ -326,7 +337,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM buckets a JOIN buckets b ON a.vec_id < b.vec_id
              WHERE bit_count(xor(a.bucket, b.bucket)) <= 1),
     ex AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
-           FROM embeddings),
+           FROM emb),
     dots AS (SELECT c.id_a, c.id_b,
                     SUM(CAST(ROUND(CAST(xa.x AS DOUBLE) * CAST(xb.x AS DOUBLE) * 100000000.0) AS BIGINT)) AS dot
              FROM cand c
@@ -345,14 +356,34 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs at cosine >= 0.95 via the bucketed
-    hyperplane-LSH path (4 md5-parity planes, Hamming-1 multi-probe) —
+    hyperplane-LSH path (md5-parity planes, Hamming-1 multi-probe) —
     the 100 TB shape: candidates come from an equi-join on the probed
-    bucket, the exact fixed-point kernel runs inside candidates only.
+    bucket, the exact fixed-point kernel runs inside candidates only,
+    and the plane count GROWS with the corpus: BOTH sides derive
+    planes = max(4, ceil(log2(n/64))) from one COUNT (n_planes="auto"
+    here; the identical rule inline in the oracle SQL's np CTE), so the
+    adjudicated artifact is the scale-safe form (a fixed plane count is
+    the measured quadratic cliff: 47.8s vs 17.0s at sf1.0, SCALING.md).
     The oracle reproduces the SAME buckets (deterministic hyperplanes),
     so even the approximate path is hash-matched; recall vs the all-pairs
-    kernel is pinned in tests/test_dedup_similarity.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = sim.embedding_near_dups(emb, threshold=0.95, n_planes=4)
+    kernel is pinned in tests/test_dedup_similarity.py.
+
+    The synthetic table has no dedup-grade pairs (max pairwise cosine
+    0.51), so both sides plant deterministic twins — every 20th vector
+    rescaled by 1.02 under vec_id+100000, cosine 1.0 with its base by
+    construction — making the adjudicated output NON-EMPTY: the hash
+    match exercises bucketing, candidate join, and the exact kernel on
+    real qualifying pairs instead of vacuously agreeing on zero rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.02)).alias("embedding"),
+    )
+    out = sim.embedding_near_dups(
+        emb.unionByName(twins), threshold=0.95, n_planes="auto"
+    )
     return out.select(
         "id_a", "id_b", e_int(F.col("cosine"), 6).alias("cosine_e6")
     ).orderBy("id_a", "id_b")
@@ -1178,11 +1209,13 @@ def pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LLM-pipeline use: cluster-balanced sampling / semantic dedup over
 # document embeddings.
 # ---------------------------------------------------------------------------
-def _emb_kmeans_ctes() -> str:
+def _emb_kmeans_ctes(k_sql: str = "4") -> str:
     """The fixed-point embedding-K-Means CTE chain through the final
     assignment table ``a2`` (doc_id, cluster, dist2) — shared by the
-    emb_kmeans summary oracle and the dedup_semantic (SemDeDup) oracle
-    in plans/extensions2.py."""
+    emb_kmeans summary oracle (fixed k=4, a user-chosen model size) and
+    the dedup_semantic (SemDeDup) oracle in plans/extensions2.py, which
+    passes a COUNT(*)-derived ``k_sql`` so the adjudicated form is the
+    self-scaling one."""
     return f"""w AS (
         SELECT vec_id AS doc_id,
                generate_subscripts(embedding, 1) - 1 AS word,
@@ -1191,7 +1224,7 @@ def _emb_kmeans_ctes() -> str:
     seeds AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS INT) AS cluster
               FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
                     FROM (SELECT DISTINCT doc_id FROM w) t
-                    ORDER BY h, doc_id LIMIT 4) s),
+                    ORDER BY h, doc_id LIMIT {k_sql}) s),
     c0 AS (SELECT s.cluster, w.word, w.w AS cw FROM w JOIN seeds s USING (doc_id)
            WHERE w.w <> 0),
     d2 AS (SELECT doc_id, SUM(w * w) AS x2 FROM w GROUP BY doc_id),

@@ -951,8 +951,14 @@ _SEM_TOP = 5  # top pairs per cluster on the adjudicated surface
 def _semantic_oracle_sql() -> str:
     from .extensions import _emb_kmeans_ctes
 
+    # k derived from the corpus INSIDE the oracle — the same rule as
+    # semantic_near_dups(k="auto"): k = max(2, ceil(n / 500)). The
+    # adjudicated artifact is therefore the scale-safe form (a fixed k is
+    # the measured n²/k cliff, SCALING.md round-4 curve).
     return f"""
-    WITH {_emb_kmeans_ctes()},
+    WITH nk AS (SELECT GREATEST(2, CAST(CEIL(COUNT(*) / 500.0) AS INT)) AS k
+                FROM embeddings),
+    {_emb_kmeans_ctes("(SELECT k FROM nk)")},
     pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.cluster
               FROM a2 x JOIN a2 y
                 ON x.cluster = y.cluster AND x.doc_id < y.doc_id),
@@ -987,21 +993,24 @@ def _semantic_oracle_sql() -> str:
 @query("dedup_semantic", _semantic_oracle_sql())
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster the embeddings with the
-    engine-exact fixed-point K-Means (k=4, two passes — the same
-    assignments emb_kmeans adjudicates), then score cosine ONLY within
-    each cluster and surface the top {top} most-similar pairs per
-    cluster. The cluster scoping is what scales: all-pairs work is
-    bounded by cluster size, never corpus size (at 100 TB, k grows with
-    N so clusters stay bounded — operators/dedup.semantic_near_dups
-    k="auto", measured linear in SCALING.md — and the pair join is an
-    equi-join on cluster id; k is PINNED to 4 here because the oracle
-    must replay the exact partitioning). Cosines use the e8 fixed-point
-    kernel via the vectorized pair kernel (bit-identical to _dot_i64) —
-    engine-exact end to end."""
+    engine-exact fixed-point K-Means (two passes), then score cosine
+    ONLY within each cluster and surface the top {top} most-similar
+    pairs per cluster. The cluster scoping is what scales: all-pairs
+    work is bounded by cluster size, never corpus size — the pair join
+    is an equi-join on cluster id, and k GROWS with the corpus: BOTH
+    sides derive k = max(2, ceil(n/500)) from one COUNT
+    (semantic_near_dups k="auto" here; the identical rule inline in the
+    oracle SQL's nk CTE), so the adjudicated artifact IS the scale-safe
+    form (a fixed k is the measured n²/k cliff: 380s vs 43.9s at sf1.0,
+    SCALING.md). Cosines use the e8 fixed-point kernel via the
+    vectorized pair kernel (bit-identical to _dot_i64) — engine-exact
+    end to end."""
     from ..operators.dedup import semantic_near_dups
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = semantic_near_dups(emb, k=4, top_per_cluster=_SEM_TOP)
+    out = semantic_near_dups(
+        emb, k="auto", target_cluster_size=500, top_per_cluster=_SEM_TOP
+    )
     return out.orderBy("cluster", F.desc("cosine_e6"), "id_a", "id_b")
 
 

@@ -187,7 +187,7 @@ def test_embedding_bucketed_precision_and_recall(spark):
     emb = _planted_embeddings(spark).localCheckpoint()
     brute = {
         (r["id_a"], r["id_b"]): r["cosine"]
-        for r in sim.embedding_near_dups(emb, threshold=0.95).collect()
+        for r in sim.embedding_near_dups(emb, threshold=0.95, all_pairs=True).collect()
     }
     bucketed = {
         (r["id_a"], r["id_b"]): r["cosine"]
@@ -235,7 +235,7 @@ def test_lsh_topk_self_hit_and_subset(spark):
 
 def test_embedding_near_dups_self_excluded_symmetric(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50)
-    out = sim.embedding_near_dups(emb, threshold=-1.0)  # all pairs
+    out = sim.embedding_near_dups(emb, threshold=-1.0, all_pairs=True)
     rows = out.collect()
     n = emb.count()
     assert len(rows) == n * (n - 1) // 2
@@ -483,6 +483,18 @@ def test_embedding_near_dups_auto_planes_matches_explicit(spark):
     auto = sorted(map(tuple, sim.embedding_near_dups(emb, 0.9, n_planes="auto").collect()))
     explicit = sorted(map(tuple, sim.embedding_near_dups(emb, 0.9, n_planes=p).collect()))
     assert auto == explicit
+
+
+def test_embedding_near_dups_default_is_auto_not_all_pairs(spark):
+    """A caller who omits every knob must get the self-scaling LSH path
+    ('auto'), and the O(n^2) audit path must require an explicit
+    all_pairs=True — n_planes=None alone raises."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    default = sorted(map(tuple, sim.embedding_near_dups(emb, 0.9).collect()))
+    auto = sorted(map(tuple, sim.embedding_near_dups(emb, 0.9, n_planes="auto").collect()))
+    assert default == auto
+    with pytest.raises(ValueError, match="all_pairs=True"):
+        sim.embedding_near_dups(emb, 0.9, n_planes=None)
 
 
 def test_semantic_near_dups_operator_auto_k(spark):
