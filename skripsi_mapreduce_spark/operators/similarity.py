@@ -726,6 +726,60 @@ def pq_topk(
     )
 
 
+def pq_rerank_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rerank_mult: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC shortlist → exact re-rank: the standard follow-up
+    :func:`pq_topk` documents. The ADC scan ranks by compressed codes
+    (m int lookups/row) and keeps ``rerank_mult * k`` candidates; the
+    exact e8 cosine kernel then re-scores ONLY that shortlist and
+    returns the top ``k`` as (vec_id, score) — identical scores to
+    :func:`topk_cosine`, so precision is 1.0 and recall equals shortlist
+    containment (measured containment curve in SCALING.md: at sf0.01,
+    m=8/32 codes reaches 0.9 at an 8k shortlist, 1.0 at 16k).
+
+    At 100 TB: the corpus scan stays the m-byte ADC tier; the exact pass
+    touches rerank_mult·k rows — a broadcast-joined sliver, so re-rank
+    cost is independent of corpus size."""
+    shortlist = pq_topk(
+        emb, query_vec, k=rerank_mult * k, m=m, n_codes=n_codes,
+        id_col=id_col, vec_col=vec_col,
+    ).select(F.col("vec_id").alias(id_col))
+    cands = emb.join(F.broadcast(shortlist), id_col)
+    return topk_cosine(cands, query_vec, k, id_col, vec_col)
+
+
+def auto_n_probe(
+    n_list: int,
+    target_recall: float = 0.9,
+    recall_curve: dict[int, float] | None = None,
+) -> int:
+    """Probe budget for a recall target — the IVF twin of
+    :func:`auto_n_planes`. With a measured (n_probe → recall@k) curve
+    from the sim_recall_ivf harness, returns the SMALLEST n_probe whose
+    measured recall meets the target (the right way: calibrate on your
+    own corpus). Without a curve, assumes the worst case — unstructured
+    embeddings spread the true neighbors uniformly over lists, so
+    E[recall] ≈ n_probe/n_list — and returns ceil(target · n_list).
+    Clustered real corpora hit the target at far lower budgets; that gap
+    is IVF's entire value, which is why the measured curve wins over the
+    closed form whenever one exists."""
+    import math
+
+    if recall_curve:
+        for p in sorted(recall_curve):
+            if recall_curve[p] >= target_recall:
+                return min(p, n_list)
+    return min(n_list, math.ceil(target_recall * n_list))
+
+
 def ivfpq_topk(
     emb: DataFrame,
     query_vec: list[float],

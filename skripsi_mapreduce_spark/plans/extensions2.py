@@ -551,9 +551,12 @@ _IVF_NLIST, _IVF_NPROBE, _IVF_K = 16, 4, 10
 _E8 = "100000000.0"
 
 
-@query(
-    "sim_topk_ivf",
-    f"""
+def _ivf_sql(n_probe: int, k: int) -> str:
+    """The hash-matched IVF-flat chain with a parameterized probe budget
+    — shared by sim_topk_ivf (n_probe=4, the fast tier) and the
+    sim_recall_ivf harness (which also evaluates the auto_n_probe
+    budget)."""
+    return f"""
     WITH seeds AS (
         SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                             AS INT) AS lid
@@ -574,7 +577,7 @@ _E8 = "100000000.0"
     probes AS (SELECT lid FROM (
         SELECT q.lid, ROW_NUMBER() OVER (ORDER BY c2.c2 - 2 * q.dot, q.lid) AS rn
         FROM (SELECT lid, dot FROM dots WHERE vec_id = 0) q JOIN c2 USING (lid)) t
-        WHERE rn <= {_IVF_NPROBE}),
+        WHERE rn <= {n_probe}),
     cand AS (SELECT a.vec_id FROM assign a JOIN probes p USING (lid)),
     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     qx AS (SELECT CAST(unnest(qv) AS DOUBLE) AS qxv, generate_subscripts(qv, 1) AS i FROM q),
@@ -590,9 +593,11 @@ _E8 = "100000000.0"
            CAST(ROUND(ROUND((CAST(d.dot AS DOUBLE) / {_E8}) / (n.nrm * qn.qnrm), 6) * 1000000)
                 AS BIGINT) AS score_e6
     FROM qdots d JOIN nrms n USING (vec_id) CROSS JOIN qn
-    ORDER BY score_e6 DESC, vec_id LIMIT {_IVF_K}
-    """,
-)
+    ORDER BY score_e6 DESC, vec_id LIMIT {k}
+    """
+
+
+@query("sim_topk_ivf", _ivf_sql(_IVF_NPROBE, _IVF_K))
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-10 to the vec_id=0 embedding, with the
     COARSE QUANTIZER itself hash-matched: assignment and probe selection
@@ -1122,13 +1127,16 @@ def ta_trigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_CODES, _PQ_K = 8, 16, 10
 
 
-@query(
-    "sim_topk_pq",
-    f"""
+def _pq_adc_sql(k: int, n_codes: int = _PQ_CODES) -> str:
+    """The hash-matched PQ-ADC chain with parameterized shortlist size
+    and codebook size — shared by sim_topk_pq (ADC-only tier) and
+    sim_topk_pq_rerank (which feeds a larger ADC shortlist into the
+    exact re-rank)."""
+    return f"""
     WITH seeds AS (
         SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                             AS INT) AS c
-        FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_CODES}),
+        FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_codes}),
     cx AS (SELECT s.c, (generate_subscripts(e.embedding, 1) - 1) // 8 AS sub,
                   generate_subscripts(e.embedding, 1) AS i,
                   CAST(unnest(e.embedding) AS DOUBLE) AS cv
@@ -1158,9 +1166,11 @@ _PQ_M, _PQ_CODES, _PQ_K = 8, 16, 10
     scores AS (SELECT k.vec_id, SUM(a.cell) AS adc_e8
                FROM codes k JOIN adc a ON a.sub = k.sub AND a.c = k.c GROUP BY 1)
     SELECT vec_id, CAST(adc_e8 AS BIGINT) AS adc_e8
-    FROM scores ORDER BY adc_e8, vec_id LIMIT {_PQ_K}
-    """,
-)
+    FROM scores ORDER BY adc_e8, vec_id LIMIT {k}
+    """
+
+
+@query("sim_topk_pq", _pq_adc_sql(_PQ_K))
 def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-10 to the vec_id=0 embedding — the
     compressed-codes ANN tier (m=8 subspaces × 16 codes: vectors scan as
@@ -1173,6 +1183,59 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     return sim_mod.pq_topk(emb, qvec, k=_PQ_K, m=_PQ_M, n_codes=_PQ_CODES)
+
+
+# ---------------------------------------------------------------------------
+# PQ-ADC shortlist → exact re-rank — the next rung of the ANN ladder
+# ---------------------------------------------------------------------------
+_PQR_CODES, _PQR_MULT = 32, 8  # codebook size; shortlist = mult × k
+
+
+@query(
+    "sim_topk_pq_rerank",
+    f"""
+    WITH cand AS (SELECT vec_id FROM ({_pq_adc_sql(_PQR_MULT * _PQ_K, _PQR_CODES)}) s),
+    ex2 AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qx AS (SELECT CAST(unnest(qv) AS DOUBLE) AS qxv, generate_subscripts(qv, 1) AS i FROM q),
+    cex AS (SELECT e.vec_id, e.x, e.i FROM ex2 e JOIN cand c ON c.vec_id = e.vec_id),
+    qdots AS (SELECT vec_id, SUM(CAST(ROUND(x * qxv * {_E8}) AS BIGINT)) AS dot
+              FROM cex JOIN qx USING (i) GROUP BY vec_id),
+    nrms AS (SELECT vec_id,
+                    SQRT(CAST(SUM(CAST(ROUND(x * x * {_E8}) AS BIGINT)) AS DOUBLE) / {_E8}) AS nrm
+             FROM cex GROUP BY vec_id),
+    qn AS (SELECT SQRT(CAST(SUM(CAST(ROUND(qxv * qxv * {_E8}) AS BIGINT)) AS DOUBLE) / {_E8}) AS qnrm
+           FROM qx)
+    SELECT d.vec_id,
+           CAST(ROUND(ROUND((CAST(d.dot AS DOUBLE) / {_E8}) / (n.nrm * qn.qnrm), 6) * 1000000)
+                AS BIGINT) AS score_e6
+    FROM qdots d JOIN nrms n USING (vec_id) CROSS JOIN qn
+    ORDER BY score_e6 DESC, vec_id LIMIT {_PQ_K}
+    """,
+)
+def sim_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC → exact re-rank, the composition pq_topk documents as the
+    standard follow-up (operators/similarity.pq_rerank_topk): the ADC
+    tier (m=8 × 32-code codebook) keeps an 8k shortlist, then the exact
+    e8 cosine kernel re-scores ONLY those 80 rows and returns the top
+    10 — scores identical to sim_topk_cosine's kernel, so precision is
+    1.0 and recall = shortlist containment (measured 0.9 at this budget,
+    1.0 at 16k; curve in SCALING.md). The oracle composes the two
+    already-adjudicated CTE chains verbatim, so the full two-tier
+    pipeline is hash-matched. At 100 TB the corpus scan stays m bytes
+    per vector and the exact pass touches a broadcast-joined 80-row
+    sliver — re-rank cost independent of corpus size."""
+    from ..operators import similarity as sim_mod
+    from ..functions.numeric import e_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    out = sim_mod.pq_rerank_topk(
+        emb, qvec, k=_PQ_K, rerank_mult=_PQR_MULT, m=_PQ_M, n_codes=_PQR_CODES
+    )
+    return out.select("vec_id", e_int(F.col("score"), 6).alias("score_e6"))
 
 
 # ---------------------------------------------------------------------------

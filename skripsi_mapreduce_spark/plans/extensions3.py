@@ -542,43 +542,73 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the evaluation measures exactly the adjudicated paths.
 # ---------------------------------------------------------------------------
 _RECALL_K = 10
+# Measured (n_probe → recall@10) curve at sf0.01, n_list=16, vec_id=0
+# query (tools snippet; raw curve recorded in SCALING.md). auto_n_probe
+# reads this calibration and returns 12 — the smallest budget at or
+# above the 0.9 target. The 4-probe fast tier (0.70) stays in the
+# output for contrast, so the adjudicated artifact shows the tradeoff.
+_IVF_RECALL_CURVE = {1: 0.2, 2: 0.5, 4: 0.7, 6: 0.8, 8: 0.8, 12: 0.9, 16: 1.0}
 
 
 def _register_recall() -> None:
-    sql = f"""
-    SELECT CAST({_RECALL_K} AS BIGINT) AS k,
+    from ..operators.similarity import auto_n_probe
+    from .extensions2 import _ivf_sql
+
+    tuned = auto_n_probe(16, target_recall=0.9, recall_curve=_IVF_RECALL_CURVE)
+    budgets = [4, tuned]
+    arms = "\nUNION ALL\n".join(
+        f"""
+    SELECT CAST({p} AS BIGINT) AS n_probe,
+           CAST({_RECALL_K} AS BIGINT) AS k,
            CAST(COUNT(e.vec_id) AS BIGINT) AS n_hit,
            CAST(ROUND(CAST(COUNT(e.vec_id) AS DOUBLE) / {_RECALL_K}.0 * 10000)
                 AS BIGINT) AS recall_e4
-    FROM ({ORACLE["sim_topk_ivf"]}) a
+    FROM ({_ivf_sql(p, _RECALL_K)}) a
     LEFT JOIN ({ORACLE["sim_topk_cosine"]}) e USING (vec_id)
     """
+        for p in budgets
+    )
+    sql = f"SELECT * FROM ({arms}) u ORDER BY n_probe"
 
     @query("sim_recall_ivf", sql)
     def sim_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """ANN quality harness: recall@10 of the fixed-point IVF probe
-        (n_probe=4 of 16 lists) against the exact cosine top-10 for the
-        vec_id=0 query — the metric that decides n_probe in production.
-        Both sides are the engine's own deterministic operators and the
-        oracle is assembled from their adjudicated oracle SQL verbatim,
-        so the evaluation itself is hash-matched (no float recall: the
-        ratio scales to an exact integer)."""
+        against the exact cosine top-10 for the vec_id=0 query, at TWO
+        probe budgets — the n_probe=4 fast tier (measured 0.70) and the
+        auto_n_probe(16, 0.9) calibrated budget (12 of 16 → 0.90,
+        smallest on the measured curve meeting the target; curve in
+        SCALING.md). On these unstructured synthetic embeddings recall
+        tracks n_probe/n_list — the honest worst case auto_n_probe's
+        closed form assumes; clustered real corpora hit the target at
+        far lower budgets. Both sides are the engine's own deterministic
+        operators and the oracle is assembled from their adjudicated
+        oracle SQL verbatim, so the evaluation itself is hash-matched
+        (no float recall: the ratio scales to an exact integer)."""
         from ..operators import similarity as sim_mod
 
         emb = load_table(spark, sf_dir, "embeddings")
         qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
         exact = sim_mod.topk_cosine(emb, qvec, k=_RECALL_K).select("vec_id")
-        approx = sim_mod.ivf_topk_cosine(
-            emb, qvec, k=_RECALL_K, n_list=16, n_probe=4, fixed_point=True
-        ).select("vec_id")
-        joined = approx.join(exact.withColumn("_h", F.lit(1)), "vec_id", "left")
-        return joined.agg(
-            F.lit(_RECALL_K).cast("bigint").alias("k"),
-            F.count("_h").cast("bigint").alias("n_hit"),
-            e_int(F.count("_h").cast("double") / F.lit(float(_RECALL_K)), 4).alias(
-                "recall_e4"
-            ),
-        )
+        arms = []
+        for p in budgets:
+            approx = sim_mod.ivf_topk_cosine(
+                emb, qvec, k=_RECALL_K, n_list=16, n_probe=p, fixed_point=True
+            ).select("vec_id")
+            joined = approx.join(exact.withColumn("_h", F.lit(1)), "vec_id", "left")
+            arms.append(
+                joined.agg(
+                    F.lit(p).cast("bigint").alias("n_probe"),
+                    F.lit(_RECALL_K).cast("bigint").alias("k"),
+                    F.count("_h").cast("bigint").alias("n_hit"),
+                    e_int(
+                        F.count("_h").cast("double") / F.lit(float(_RECALL_K)), 4
+                    ).alias("recall_e4"),
+                )
+            )
+        out = arms[0]
+        for a in arms[1:]:
+            out = out.unionByName(a)
+        return out.orderBy("n_probe")
 
 
 _register_recall()

@@ -467,6 +467,47 @@ def test_pair_cosine_pandas_guards_vector_count(spark):
         sim.pair_cosine_pandas(pairs, emb, max_vectors=1)
 
 
+def test_pq_rerank_precision_and_recall(spark):
+    """ADC shortlist → exact re-rank: every returned score must equal the
+    exact kernel's score for that id (precision 1.0 — the re-rank IS
+    topk_cosine on the shortlist), the result must be a subset of the
+    shortlist, recall@10 must EQUAL shortlist containment of the exact
+    top-10 (the re-rank can't lose a shortlisted true neighbor), and it
+    must dominate ADC-only recall. Absolute recall is data-dependent:
+    0.9 measured at sf0.01 (the adjudicated claim, pinned by the driver
+    gate + SCALING.md curve); this suite's sf0.001 draw measures 0.7."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").localCheckpoint()
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact_all = {
+        r["vec_id"]: r["score"] for r in sim.topk_cosine(emb, q, k=500).collect()
+    }
+    exact_top = set(sorted(exact_all, key=lambda v: (-exact_all[v], v))[:10])
+    adc80 = [r["vec_id"] for r in sim.pq_topk(emb, q, k=80, m=8, n_codes=32).collect()]
+    shortlist = set(adc80)
+    got = sim.pq_rerank_topk(emb, q, k=10, rerank_mult=8, m=8, n_codes=32).collect()
+    assert len(got) == 10
+    assert all(r["vec_id"] in shortlist for r in got)
+    assert all(r["score"] == exact_all[r["vec_id"]] for r in got)  # exact scores
+    recall = len({r["vec_id"] for r in got} & exact_top) / 10
+    containment = len(shortlist & exact_top) / 10
+    assert recall == containment  # re-rank recovers every shortlisted hit
+    adc_only_recall = len(set(adc80[:10]) & exact_top) / 10
+    assert recall >= adc_only_recall
+    assert recall >= 0.6  # sanity floor across the synthetic draws
+
+
+def test_auto_n_probe_rule():
+    """Curve calibration picks the smallest measured budget meeting the
+    target; the closed form assumes the unstructured worst case
+    (recall ~ n_probe/n_list) and never exceeds n_list."""
+    curve = {1: 0.2, 2: 0.5, 4: 0.7, 6: 0.8, 8: 0.8, 12: 0.9, 16: 1.0}
+    assert sim.auto_n_probe(16, 0.9, curve) == 12
+    assert sim.auto_n_probe(16, 0.75, curve) == 6
+    assert sim.auto_n_probe(16, 1.0, curve) == 16
+    assert sim.auto_n_probe(16, 0.9) == 15  # ceil(0.9 * 16), no curve
+    assert sim.auto_n_probe(8, 0.99) == 8  # clamped to n_list
+
+
 def test_auto_n_planes_scaling_rule():
     """planes = ceil(log2(n / target)), floored — the measured SCALING.md
     knob. Spot values: 2k vectors/64 target -> 5; 20k -> 9; tiny -> floor."""
