@@ -22,6 +22,27 @@ import sys
 import time
 
 
+def compact_line(timings: dict[str, float], sf_val: float | str) -> str:
+    """The ONE stdout JSON line, shaped to survive the driver's
+    fixed-size output-tail capture no matter how large the registry
+    grows (round 3 lost the official perf record to truncation when the
+    full 90-query map outgrew the tail): total + the 10 slowest queries
+    only. tests/test_bench_contract.py pins the <2 KB budget against
+    the real registry's worst-case names."""
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    return json.dumps(
+        {
+            "metric": "declared_queries_total_wall",
+            "value": round(sum(timings.values()), 4),
+            "unit": "sec",
+            "queries": slowest,
+            "n_queries": len(timings),
+            "queries_full": "BENCH.local.json",
+            "sf": sf_val,
+        }
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from skripsi_mapreduce_spark.plans import QUERIES
@@ -93,20 +114,7 @@ def main() -> None:
         fh.write("\n")
     # Stdout: ONE compact JSON line that fits the driver's tail capture —
     # total + sf + the 10 slowest queries only (the actionable offenders).
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
-    print(
-        json.dumps(
-            {
-                "metric": "declared_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": slowest,
-                "n_queries": len(timings),
-                "queries_full": "BENCH.local.json",
-                "sf": sf_val,
-            }
-        )
-    )
+    print(compact_line(timings, sf_val))
     spark.stop()
 
 

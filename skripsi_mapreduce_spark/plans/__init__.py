@@ -32,6 +32,7 @@ _PROMOTED = [
     "emb_kmeans",
     "sim_topk_pq_rerank",
     "sim_recall_ivf",
+    "q49_recursive_cte",
     # (a) last driver-green r1
     "q19_set_ops",
     "q20_rollup",
@@ -84,7 +85,6 @@ _PROMOTED = [
 ]
 _TAIL = [
     # green r4 — freshest driver evidence, rotated out of the head
-    "q49_recursive_cte",
     "q50_udtf_bigrams",
     "mix_negatives",
     "dedup_group_keep",

@@ -953,43 +953,40 @@ _WALK_MAX_HOPS = 8
     """,
 )
 def q49_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded transitive closure via Spark 4's WITH RECURSIVE — the
-    SQL-standard iterative form the reference's driver loop (ref
-    SparkKMeans-style iteration) maps to in a declarative engine. The
-    graph is the per-user event chain (the graph_components fixture);
-    from each chain's root the walk emits (node, root, hop) out to
-    {_WALK_MAX_HOPS} hops, so recursion depth — and therefore the number
-    of Spark jobs — is bounded by a constant, not by data size. DuckDB
-    runs the IDENTICAL statement. Scale note: each recursion level is
-    one equi-join on `prev` (shuffle-hash under AQE); the hop cap makes
-    the plan 100 TB-safe the same way the PageRank/K-Means loops bound
-    their iteration counts."""
+    """Bounded transitive closure — the recursive-CTE query semantics
+    (the oracle IS the literal WITH RECURSIVE statement, and Spark 4's
+    native recursive CTE is pinned row-identical to this plan in
+    tests/test_components.py), executed by POINTER DOUBLING
+    (operators/components.bounded_closure). The graph is the per-user
+    event chain; from each chain's root the walk emits (node, root,
+    hop) out to {_WALK_MAX_HOPS} hops.
+
+    Why not execute the native recursive CTE: its executor materializes
+    every recursion level as its own job, and with a bounded walk the
+    per-level scheduling floor dominates — measured at sf0.1: native
+    3.87s, doubling 1.71s (one lazy plan, ceil(log2 d) squarings; full
+    ladder incl. the path-degenerate window form in SCALING.md round-5
+    note). At 100 TB the doubling form's sequential depth grows with
+    log(max_hops) instead of max_hops — strictly better than both the
+    native executor and a hand-rolled per-hop loop."""
     from pyspark.sql import Window as W
+
+    from ..operators.components import bounded_closure
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
     w = W.partitionBy("user_id").orderBy("event_id")
-    (
+    edges = (
         ev.withColumn("prev", F.lag("event_id").over(w))
         .filter(F.col("prev").isNotNull())
-        .select("prev", "event_id")
-    ).createOrReplaceTempView("chain_edges")
-    ev.groupBy("user_id").agg(F.min("event_id").alias("root")).select(
-        "root"
-    ).createOrReplaceTempView("chain_roots")
-    return spark.sql(
-        f"""
-        WITH RECURSIVE walk (node, root, hop) AS (
-            SELECT root AS node, root, 0 AS hop FROM chain_roots
-            UNION ALL
-            SELECT e.event_id, w.root, w.hop + 1
-            FROM walk w JOIN chain_edges e ON e.prev = w.node
-            WHERE w.hop < {_WALK_MAX_HOPS}
-        )
-        SELECT CAST(node AS BIGINT) AS node, CAST(root AS BIGINT) AS root,
-               CAST(hop AS BIGINT) AS hop
-        FROM walk ORDER BY node, root
-        """
+        .select(F.col("prev").alias("src"), F.col("event_id").alias("dst"))
     )
+    roots = ev.groupBy("user_id").agg(F.min("event_id").alias("root")).select("root")
+    walk = bounded_closure(edges, roots, _WALK_MAX_HOPS)
+    return walk.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("root").cast("bigint").alias("root"),
+        F.col("hop").cast("bigint").alias("hop"),
+    ).orderBy("node", "root")
 
 
 @query(

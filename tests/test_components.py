@@ -99,3 +99,38 @@ def test_triangle_counts_known_graphs(spark):
     dup = spark.createDataFrame([(1, 2), (2, 1), (2, 3), (1, 3), (3, 1)], "u long, v long")
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(dup).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_bounded_closure_matches_native_recursive_cte(spark):
+    """bounded_closure (pointer doubling, one lazy plan) must be
+    row-identical — bag semantics included — to Spark 4's native WITH
+    RECURSIVE executor on the same graph, including a branching DAG
+    (two children share a parent → duplicate (node,hop) rows per path)
+    and the hop cap at a non-power-of-two."""
+    from skripsi_mapreduce_spark.operators.components import bounded_closure
+
+    # chain 1→2→3→4→5→6, branch 3→10→11, diamond 20→{21,22}→23
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+        (3, 10), (10, 11),
+        (20, 21), (20, 22), (21, 23), (22, 23),
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    r = spark.createDataFrame([(1,), (20,)], "root long")
+    for cap in (3, 5, 8):
+        e.createOrReplaceTempView("bc_edges")
+        r.createOrReplaceTempView("bc_roots")
+        native = spark.sql(
+            f"""
+            WITH RECURSIVE walk (node, root, hop) AS (
+                SELECT root AS node, root, 0 AS hop FROM bc_roots
+                UNION ALL
+                SELECT e.dst, w.root, w.hop + 1
+                FROM walk w JOIN bc_edges e ON e.src = w.node
+                WHERE w.hop < {cap}
+            )
+            SELECT node, root, hop FROM walk
+            """
+        ).collect()
+        got = bounded_closure(e, r, cap).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, native)), cap
