@@ -821,6 +821,38 @@ def ivfpq_topk(
     return pq_topk(cands, query_vec, k, m, n_codes, id_col, vec_col, centroids=pq_cents)
 
 
+def ivfpq_rerank_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rerank_mult: int = 16,
+    n_list: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full production ANN composition, all three tiers: IVF prunes
+    the scan to ``n_probe`` lists (partition pruning on a
+    :func:`write_ivf_partitioned` store), ADC over PQ codes ranks the
+    survivors reading m ints per row, and the exact e8 cosine kernel
+    re-scores only the ``rerank_mult * k`` shortlist. Returns the top
+    ``k`` as (vec_id, score) with scores identical to
+    :func:`topk_cosine`. Recall is the product of the IVF probe ceiling
+    (calibrate with :func:`auto_n_probe`) and ADC shortlist containment
+    (grow n_codes/rerank_mult) — the measured knob points are in
+    SCALING.md. At 100 TB: scan cost = (n_probe/n_list) · m bytes/row;
+    the exact pass is a broadcast-joined sliver independent of corpus
+    size."""
+    shortlist = ivfpq_topk(
+        emb, query_vec, k=rerank_mult * k, n_list=n_list, n_probe=n_probe,
+        m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col,
+    ).select(F.col("vec_id").alias(id_col))
+    cands = emb.join(F.broadcast(shortlist), id_col)
+    return topk_cosine(cands, query_vec, k, id_col, vec_col)
+
+
 def write_ivf_partitioned(
     emb: DataFrame,
     path: str,

@@ -31,6 +31,8 @@ _PROMOTED = [
     "dedup_incremental",
     "emb_kmeans",
     "sim_topk_pq_rerank",
+    "sim_topk_ivfpq_rerank",
+    "sim_topk_ivfpq",
     "sim_recall_ivf",
     "q49_recursive_cte",
     # (a) last driver-green r1
@@ -92,7 +94,6 @@ _TAIL = [
     "stream_enrich",
     "q52_cube",
     "sim_topk_many",
-    "sim_topk_ivfpq",
     "sketch_bloom",
     "mix_temperature",
     "stream_interval_join",

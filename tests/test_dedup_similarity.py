@@ -496,6 +496,35 @@ def test_pq_rerank_precision_and_recall(spark):
     assert recall >= 0.6  # sanity floor across the synthetic draws
 
 
+def test_ivfpq_rerank_three_tier_invariants(spark):
+    """IVF→ADC→exact: the result is a subset of the IVF-PQ shortlist,
+    every score equals the exact kernel's score (precision 1.0), and
+    recall equals shortlist containment of the exact top-10 — the
+    re-rank can't lose a shortlisted true neighbor. Absolute recall is
+    corpus-dependent (0.9 measured at sf0.01 at these knobs —
+    SCALING.md); the invariants here hold on any draw."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").localCheckpoint()
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact_all = {
+        r["vec_id"]: r["score"] for r in sim.topk_cosine(emb, q, k=500).collect()
+    }
+    exact_top = set(sorted(exact_all, key=lambda v: (-exact_all[v], v))[:10])
+    shortlist = {
+        r["vec_id"]
+        for r in sim.ivfpq_topk(
+            emb, q, k=160, n_list=16, n_probe=12, m=8, n_codes=32
+        ).collect()
+    }
+    got = sim.ivfpq_rerank_topk(
+        emb, q, k=10, rerank_mult=16, n_list=16, n_probe=12, m=8, n_codes=32
+    ).collect()
+    assert len(got) == 10
+    assert all(r["vec_id"] in shortlist for r in got)
+    assert all(r["score"] == exact_all[r["vec_id"]] for r in got)
+    recall = len({r["vec_id"] for r in got} & exact_top) / 10
+    assert recall == len(shortlist & exact_top) / 10
+
+
 def test_auto_n_probe_rule():
     """Curve calibration picks the smallest measured budget meeting the
     target; the closed form assumes the unstructured worst case
