@@ -35,6 +35,7 @@ _PROMOTED = [
     "sim_topk_ivfpq",
     "sim_recall_ivf",
     "q49_recursive_cte",
+    "q53_zorder_layout",
     # (a) last driver-green r1
     "q19_set_ops",
     "q20_rollup",

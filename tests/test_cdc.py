@@ -119,3 +119,30 @@ def test_versioned_writes_time_travel(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_versioned(spark, root, 9)
+
+
+def test_versioned_partial_write_is_invisible(spark, tmp_path):
+    """A crashed/in-flight writer leaves a v=N dir WITHOUT Spark's
+    _SUCCESS marker: it must be invisible to list_versions and to
+    explicit-version reads (the 'readers never observe a half-written
+    version' contract), and the next writer must allocate PAST it
+    instead of colliding."""
+    import os
+
+    import pytest
+
+    from skripsi_mapreduce_spark.io import list_versions, read_versioned, write_versioned
+
+    root = str(tmp_path / "vtable2")
+    assert write_versioned(spark.range(0, 5), root) == 1
+    # simulate a crashed v=2: directory + a part file, no _SUCCESS
+    os.makedirs(os.path.join(root, "v=2"))
+    with open(os.path.join(root, "v=2", "part-00000.parquet"), "wb") as fh:
+        fh.write(b"partial")
+    assert list_versions(root) == [1]
+    with pytest.raises(FileNotFoundError):
+        read_versioned(spark, root, 2)  # explicit read of the torn version
+    assert read_versioned(spark, root).count() == 5  # _latest still v=1
+    assert write_versioned(spark.range(0, 9), root) == 3  # skips past v=2
+    assert list_versions(root) == [1, 3]
+    assert read_versioned(spark, root).count() == 9
