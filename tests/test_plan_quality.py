@@ -306,3 +306,42 @@ def test_q52_cube_is_one_expand_scan(spark):
     scans = [l for l in p.splitlines() if l.startswith("(") and "Scan parquet" in l]
     assert len(scans) == 1, scans
     assert "Union" not in p
+
+
+def test_pq_rerank_shortlist_join_is_broadcast(spark):
+    """The exact re-rank pass must join the rerank_mult*k shortlist by
+    BROADCAST (a k-row sliver against the corpus scan) — never a
+    shuffle of the corpus or a nested loop."""
+    p = formatted_plan(spark, "sim_topk_pq_rerank")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ivfpq_rerank_shortlist_join_is_broadcast(spark):
+    p = formatted_plan(spark, "sim_topk_ivfpq_rerank")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q49_closure_has_no_per_level_recursion(spark):
+    """The bounded closure executes as ONE lazy doubling plan: no
+    recursive-CTE loop nodes (which materialize one job per level), no
+    nested loop, no Python in the plan."""
+    p = formatted_plan(spark, "q49_recursive_cte")
+    assert "UnionLoop" not in p and "Recursive" not in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "PythonUDF" not in p
+
+
+def test_q53_zorder_is_pure_expression_single_agg(spark):
+    """Z-order keys are shift/mask column expressions: no UDF, no join,
+    and exactly one aggregation exchange (the zprefix group-by) plus the
+    output sort."""
+    p = formatted_plan(spark, "q53_zorder_layout")
+    assert "PythonUDF" not in p and "BatchEvalPython" not in p
+    assert "Join" not in p
+    # partial HashAggregate -> ONE hash exchange -> final -> output sort
+    assert p.count("hashpartitioning") == 1, p.count("hashpartitioning")
+    assert p.count("HashAggregate") >= 2  # map-side partials present
