@@ -134,3 +134,37 @@ def test_bounded_closure_matches_native_recursive_cte(spark):
         ).collect()
         got = bounded_closure(e, r, cap).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, native)), cap
+
+
+def test_bounded_closure_random_graphs_vs_native(spark):
+    """Seeded random sparse digraphs (including branch-out/branch-in and
+    self-contained cycles): doubling must stay bag-identical to the
+    native recursive-CTE executor — cycles bounded by the hop cap, path
+    multiplicities preserved."""
+    from skripsi_mapreduce_spark.operators.components import bounded_closure
+
+    rng = random.Random(42)
+    for trial in range(2):
+        n = 30
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        roots = sorted(rng.sample(range(n), 3))
+        e = spark.createDataFrame(edges, "src long, dst long")
+        r = spark.createDataFrame([(x,) for x in roots], "root long")
+        e.createOrReplaceTempView("bcr_edges")
+        r.createOrReplaceTempView("bcr_roots")
+        cap = 6
+        native = spark.sql(
+            f"""
+            WITH RECURSIVE walk (node, root, hop) AS (
+                SELECT root AS node, root, 0 AS hop FROM bcr_roots
+                UNION ALL
+                SELECT e.dst, w.root, w.hop + 1
+                FROM walk w JOIN bcr_edges e ON e.src = w.node
+                WHERE w.hop < {cap}
+            )
+            SELECT node, root, hop FROM walk
+            """
+        ).collect()
+        got = bounded_closure(e, r, cap).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, native)), trial
