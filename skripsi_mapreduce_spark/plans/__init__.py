@@ -36,6 +36,7 @@ _PROMOTED = [
     "sim_recall_ivf",
     "q49_recursive_cte",
     "q53_zorder_layout",
+    "dedup_prefix_jaccard",
     # (a) last driver-green r1
     "q19_set_ops",
     "q20_rollup",

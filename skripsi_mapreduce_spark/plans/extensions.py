@@ -178,6 +178,74 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (Bayardo/AllPairs family) — the
+# LOSSLESS exact-Jaccard candidate mechanism, adjudicated. The oracle is
+# brute-force exact Jaccard: prefix filtering must return exactly those
+# pairs (losslessness is also property-tested in test_prefix_filter.py).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_prefix_jaccard",
+    rf"""
+    WITH docs5 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS shingle
+        FROM docs5),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    ov AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS o
+           FROM toks sa JOIN toks sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+           GROUP BY 1, 2),
+    j AS (SELECT id_a, id_b, o * 1.0 / (x.n + y.n - o) AS jac
+          FROM ov JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
+          WHERE o * 1.0 / (x.n + y.n - o) >= 0.8),
+    sym AS (SELECT id_a AS doc_id, jac FROM j
+            UNION ALL SELECT id_b AS doc_id, jac FROM j)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+           {e_int_sql('MAX(jac)')} AS max_jaccard_e4
+    FROM sym GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-unigram Jaccard >= 0.8 via PREFIX-FILTERED candidates
+    (operators/dedup.prefix_candidates — the Bayardo et al. all-pairs /
+    SSJoin mechanism): order each set rarest-shingle-first, keep only
+    the (1-t)|A|+1 prefix, and join prefixes instead of full sets — any
+    qualifying pair MUST collide inside both prefixes, so the candidate
+    cut is lossless while excluding the hot boilerplate shingles that
+    dominate candidate work; the exact verify (dedup.jaccard_pairs)
+    runs inside candidates only. The oracle is BRUTE-FORCE exact
+    Jaccard with no prefix anywhere, so losslessness is adjudicated,
+    not just property-tested (test_prefix_filter.py).
+
+    Two deliberate output choices: (1) per-DOC verdicts (n_dups,
+    max_jaccard) — this synthetic corpus is unigram-degenerate (2.6M
+    qualifying pairs at sf0.1), so the pair LIST is quadratic in
+    duplicate-cluster size while the dedup decision is linear, the same
+    shape dedup_group_keep/dedup_incremental adjudicate; (2) a
+    deterministic 1/5 document slice — both engines take doc_id % 5,
+    keeping the adjudicated artifact output- and work-bounded while
+    exercising the full mechanism. At 100 TB this is the
+    high-threshold EXACT companion to MinHash-LSH: no probabilistic
+    recall, prefixes shrinking as the threshold rises."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    sh = dd.shingles(docs, size=1).localCheckpoint(eager=False)
+    cands = dd.prefix_candidates(sh, threshold=0.8)
+    pairs = dd.jaccard_pairs(sh, pairs=cands, min_jaccard=0.8).filter(
+        F.col("jaccard") >= 0.8
+    )
+    sym = pairs.select(F.col("id_a").alias("doc_id"), "jaccard").unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"), "jaccard")
+    )
+    return (
+        sym.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_dups"),
+            e_int(F.max("jaccard")).alias("max_jaccard_e4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # SimHash near-dup pairs — hash-matched (exact integer bit math)
 # ---------------------------------------------------------------------------
 @query(
