@@ -15,7 +15,8 @@ Beyond the reference's stages, the engine's training-data operators are
 exposed as additional algorithm ids (the reference CLI shape, extended):
 ``-a 4`` dedup (--method exact|minhash|simhash|ngram|embedding),
 ``-a 5`` text analysis (stats + quality + langid + fingerprint, one
-joined table), ``-a 6`` similarity top-k (--method brute|lsh|ivf),
+joined table), ``-a 6`` similarity top-k
+(--method brute|lsh|ivf|pq|pq_rerank|ivfpq_rerank),
 ``-a 7`` corpus prep (sample → quality → language → dedup → chunk,
 plus exact-substring passage removal with --method passages),
 ``-a 8`` BPE tokenizer training (--n-merges; writes the merge table
@@ -67,7 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--method",
         default=None,
-        help="-a 4: exact|minhash|simhash|ngram|embedding; -a 6: brute|lsh|ivf",
+        help=(
+            "-a 4: exact|minhash|simhash|ngram|embedding; "
+            "-a 6: brute|lsh|ivf|pq|pq_rerank|ivfpq_rerank"
+        ),
     )
     p.add_argument("--threshold", type=float, default=0.8, help="-a 4 similarity threshold")
     p.add_argument("--max-hamming", type=int, default=8, help="-a 4 simhash Hamming radius")
@@ -76,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-planes", type=int, default=4, help="-a 6 lsh hyperplanes")
     p.add_argument("--n-list", type=int, default=16, help="-a 6 ivf coarse lists")
     p.add_argument("--n-probe", type=int, default=4, help="-a 6 ivf probed lists")
+    p.add_argument("--pq-m", type=int, default=8, help="-a 6 pq subspaces")
+    p.add_argument("--pq-codes", type=int, default=16, help="-a 6 pq codebook size")
+    p.add_argument(
+        "--rerank-mult", type=int, default=8,
+        help="-a 6 pq_rerank/ivfpq_rerank shortlist = mult * k",
+    )
     p.add_argument("--sample", type=float, default=None, help="-a 7 sample fraction")
     p.add_argument("--min-quality", type=float, default=0.5, help="-a 7 quality cut")
     p.add_argument("--languages", default=None, help="-a 7 comma-separated lang codes")
@@ -142,6 +152,19 @@ def _run_similarity(spark, args, out: str) -> dict:
     elif method == "ivf":
         res = sim.ivf_topk_cosine(
             emb, qvec, k=args.topk, n_list=args.n_list, n_probe=args.n_probe
+        )
+    elif method == "pq":
+        res = sim.pq_topk(emb, qvec, k=args.topk, m=args.pq_m, n_codes=args.pq_codes)
+    elif method == "pq_rerank":
+        res = sim.pq_rerank_topk(
+            emb, qvec, k=args.topk, rerank_mult=args.rerank_mult,
+            m=args.pq_m, n_codes=args.pq_codes,
+        )
+    elif method == "ivfpq_rerank":
+        res = sim.ivfpq_rerank_topk(
+            emb, qvec, k=args.topk, rerank_mult=args.rerank_mult,
+            n_list=args.n_list, n_probe=args.n_probe,
+            m=args.pq_m, n_codes=args.pq_codes,
         )
     else:
         raise SystemExit(f"unknown similarity method: {method}")

@@ -138,9 +138,16 @@ def test_cli_extension_stages(spark, tmp_path):
     )
     epath = str(tmp_path / "emb.parquet")
     emb.write.parquet(epath)
-    for method in ("brute", "ivf"):
+    for method, extra in (
+        ("brute", []),
+        ("ivf", []),
+        ("pq_rerank", ["--pq-codes", "4", "--rerank-mult", "2", "--topk", "3"]),
+        ("ivfpq_rerank", ["--pq-codes", "4", "--n-list", "4", "--n-probe", "4",
+                          "--rerank-mult", "2", "--topk", "3"]),
+    ):
         assert cli_main(
             ["-a", "6", "-i", epath, "-o", out, "--method", method, "--query-id", "0"]
+            + extra
         ) == 0
         top = spark.read.parquet(f"{out}/topk_{method}").collect()
         assert any(r["vec_id"] == 0 for r in top)  # self hit
