@@ -80,3 +80,34 @@ def test_zorder_layout_skips_files_on_trailing_dimension(spark, tmp_path):
     assert z_files < lin_files, (z_files, lin_files)
     # and the clustered layout loses no rows
     assert spark.read.parquet(zord).count() == n
+
+
+def test_zorder_key_is_bijective_and_boxed(spark):
+    """Morton interleave properties pinned against a Python reference:
+    (1) bijection — dim-wise bit deinterleave recovers (x, y) for every
+    key; (2) box property — all codes sharing a 6-bit prefix fit in a
+    32x32 box, the guarantee q53_zorder_layout adjudicates."""
+    from skripsi_mapreduce_spark.functions.zorder import zorder_key
+
+    import random
+
+    rng = random.Random(3)
+    pts = [(rng.randrange(256), rng.randrange(256)) for _ in range(300)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select("x", "y", zorder_key(["x", "y"], bits=8).alias("z")).collect()
+
+    def py_morton(x, y, bits=8):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    boxes = {}
+    for r in rows:
+        assert r["z"] == py_morton(r["x"], r["y"])
+        boxes.setdefault(r["z"] >> 10, []).append((r["x"], r["y"]))
+    for prefix, members in boxes.items():
+        xs = [x for x, _ in members]
+        ys = [y for _, y in members]
+        assert max(xs) - min(xs) < 32 and max(ys) - min(ys) < 32, prefix
