@@ -354,3 +354,46 @@ def kmv_merge(sketches: DataFrame, k: int = 64) -> DataFrame:
     return agg.select(
         F.col("n_rows").alias("n_sketch_rows"), e_int(est, 4).alias("est_e4")
     )
+
+
+def kmv_intersect(sk_a: DataFrame, sk_b: DataFrame, k: int = 64) -> DataFrame:
+    """Theta-sketch-style INTERSECTION estimate from two
+    :func:`kmv_bottomk` states (same salt, so a key draws the same h on
+    both sides): θ = min of the two sketches' thresholds (the k-th
+    smallest draw, or 2^60 when a sketch holds its full set), the
+    common keys with h < θ form an unbiased uniform sample of A ∩ B at
+    rate θ/2^60, and the estimate is |common| · 2^60 / θ. Degenerates
+    to the EXACT intersection count when both inputs are below k (θ =
+    2^60 keeps every common key). This is the set-operation companion
+    to :func:`kmv_merge`'s union: ship two bottom-k states anywhere,
+    intersect without touching the raw data — audience-overlap /
+    contamination-rate analytics at 100 TB move k rows per side.
+
+    Returns one row (n_common, est_e4)."""
+    full = F.lit(1 << 60).cast("long")
+
+    def _theta(sk: DataFrame):
+        return sk.agg(
+            F.when(F.count("*") >= k, F.max("h")).otherwise(full).alias("th")
+        )
+
+    theta = (
+        _theta(sk_a)
+        .crossJoin(_theta(sk_b).withColumnRenamed("th", "th_b"))
+        .select(F.least("th", "th_b").alias("theta"))
+    )
+    common = sk_a.select("h", "_key").join(sk_b.select("h", "_key"), ["h", "_key"])
+    agg = (
+        common.crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    # theta re-joined after the aggregate: a COUNT over zero rows still
+    # yields its one row, so the estimate stays defined for empty A ∩ B
+    return agg.crossJoin(F.broadcast(theta)).select(
+        "n_common",
+        e_int(
+            F.col("n_common").cast("double") * _SIXTY / F.col("theta").cast("double"),
+            4,
+        ).alias("est_e4"),
+    )

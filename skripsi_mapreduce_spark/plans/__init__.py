@@ -37,6 +37,7 @@ _PROMOTED = [
     "q49_recursive_cte",
     "q53_zorder_layout",
     "dedup_prefix_jaccard",
+    "sketch_kmv_intersect",
     # (a) last driver-green r1
     "q19_set_ops",
     "q20_rollup",

@@ -823,6 +823,69 @@ def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KMV sketch INTERSECTION — theta-sketch set algebra from shipped states
+# ---------------------------------------------------------------------------
+_KMVI_DRAW = "CAST('0x' || substr(md5('kmv:' || CAST(key AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+@query(
+    "sketch_kmv_intersect",
+    f"""
+    WITH a AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'),
+    b AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'),
+    ha AS (SELECT key, {_KMVI_DRAW} AS h FROM a),
+    hb AS (SELECT key, {_KMVI_DRAW} AS h FROM b),
+    ska AS (SELECT key, h, n FROM (
+        SELECT key, h, ROW_NUMBER() OVER (ORDER BY h, key) AS rn, COUNT(*) OVER () AS n
+        FROM ha) t WHERE rn <= {_KMVM_K}),
+    skb AS (SELECT key, h, n FROM (
+        SELECT key, h, ROW_NUMBER() OVER (ORDER BY h, key) AS rn, COUNT(*) OVER () AS n
+        FROM hb) t WHERE rn <= {_KMVM_K}),
+    tha AS (SELECT CASE WHEN MAX(n) >= {_KMVM_K} THEN MAX(h)
+                        ELSE CAST({_SIXTY_SQL} AS BIGINT) END AS th FROM ska),
+    thb AS (SELECT CASE WHEN MAX(n) >= {_KMVM_K} THEN MAX(h)
+                        ELSE CAST({_SIXTY_SQL} AS BIGINT) END AS th FROM skb),
+    th AS (SELECT LEAST(tha.th, thb.th) AS theta FROM tha, thb),
+    common AS (SELECT s.key FROM ska s JOIN skb t ON s.key = t.key AND s.h = t.h,
+               th WHERE s.h < th.theta),
+    cnt AS (SELECT COUNT(*) AS n_common FROM common),
+    exact AS (SELECT COUNT(*) AS n_exact FROM (
+        SELECT key FROM a INTERSECT SELECT key FROM b) t)
+    SELECT CAST(cnt.n_common AS BIGINT) AS n_common,
+           CAST(ROUND(CAST(cnt.n_common AS DOUBLE) * {_SIXTY_SQL}
+                      / CAST(th.theta AS DOUBLE) * 10000) AS BIGINT) AS est_e4,
+           CAST(exact.n_exact AS BIGINT) AS n_exact
+    FROM cnt, th, exact
+    """,
+)
+def sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra from shipped sketch STATES
+    (operators/sketches.kmv_intersect): per-status bottom-64 KMV states
+    for 'F' and 'O' customers, θ = min of the two thresholds, and the
+    common keys below θ form a uniform sample of the intersection at
+    rate θ/2^60 — the estimate is |common|·2^60/θ, degenerating to the
+    exact count while both sides hold under k keys. The artifact also
+    carries the EXACT intersection count, so the adjudicated row is
+    self-evaluating (the same pattern sketch_bloom uses for its
+    false-positive count). At 100 TB the raw data never moves: each
+    side ships k (draw, key) rows and the overlap query runs on the
+    states — audience-overlap / cross-corpus-contamination analytics
+    from kilobytes of state."""
+    from ..operators.sketches import kmv_bottomk, kmv_intersect
+
+    orders = load_table(spark, sf_dir, "orders")
+    filt = orders.filter(F.col("o_orderstatus").isin("O", "F"))
+    sk = kmv_bottomk(filt, "o_orderstatus", "o_custkey", _KMVM_K)
+    sk_a = sk.filter(F.col("o_orderstatus") == "F").select("h", "_key")
+    sk_b = sk.filter(F.col("o_orderstatus") == "O").select("h", "_key")
+    est = kmv_intersect(sk_a, sk_b, _KMVM_K)
+    a = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    b = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    exact = a.join(b, "o_custkey").agg(F.count("*").cast("bigint").alias("n_exact"))
+    return est.crossJoin(exact)
+
+
+# ---------------------------------------------------------------------------
 # Triangle counting — community structure over the trade graph
 # ---------------------------------------------------------------------------
 @query(

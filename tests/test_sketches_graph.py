@@ -174,6 +174,47 @@ def test_histogram_quantiles_clamps_and_empty(spark):
     assert histogram_quantiles(empty, "x", 0.0, 1.0).count() == 0
 
 
+def test_kmv_intersect_exact_below_k_and_estimate(spark):
+    """Intersection from sketch states: exact when both sides hold the
+    full set (theta = 2^60 keeps every common key), a Python-twin-exact
+    estimate when a side overflows k, and statistically sane."""
+    from skripsi_mapreduce_spark.operators.sketches import kmv_bottomk, kmv_intersect
+
+    # small sides: exact degenerate path
+    df = spark.createDataFrame(
+        [("a", i) for i in range(20)] + [("b", i) for i in range(10, 40)],
+        ["g", "key"],
+    )
+    sk = kmv_bottomk(df, "g", "key", k=64)
+    row = kmv_intersect(
+        sk.filter(sk["g"] == "a").select("h", "_key"),
+        sk.filter(sk["g"] == "b").select("h", "_key"),
+        k=64,
+    ).collect()[0]
+    assert row["n_common"] == 10 and row["est_e4"] == 10 * 10**4
+
+    # big sides: estimator path, pinned against the Python twin
+    big = spark.createDataFrame(
+        [("a", i) for i in range(1500)] + [("b", i) for i in range(500, 2000)],
+        ["g", "key"],
+    )
+    skb = kmv_bottomk(big, "g", "key", k=64)
+    row = kmv_intersect(
+        skb.filter(skb["g"] == "a").select("h", "_key"),
+        skb.filter(skb["g"] == "b").select("h", "_key"),
+        k=64,
+    ).collect()[0]
+    da = sorted((_draw60("kmv", i), i) for i in range(1500))[:64]
+    db = sorted((_draw60("kmv", i), i) for i in range(500, 2000))[:64]
+    theta = min(da[-1][0], db[-1][0])
+    common = {p for p in da if p[0] < theta} & {p for p in db if p[0] < theta}
+    est = len(common) * float(SIXTY) / float(theta)
+    assert row["n_common"] == len(common)
+    assert row["est_e4"] == round(est * 10**4)
+    # true intersection is 1000; theta sampling at k=64 is coarse
+    assert 0 < row["est_e4"] / 10**4 < 3000
+
+
 def test_kmv_merge_identity_vs_direct_sketch(spark):
     """Merging per-group bottom-k sketch states must equal sketching
     the union directly — exact identity, not an approximation."""
