@@ -226,18 +226,33 @@ def write_versioned(df: DataFrame, path: str) -> int:
     os.makedirs(path, exist_ok=True)
     # Allocate past every v=N directory, committed or not — a partial
     # dir left by a crashed writer must not collide with the next write.
-    existing = [
-        int(d[2:])
-        for d in os.listdir(path)
-        if d.startswith("v=") and d[2:].isdigit()
-    ]
-    n = max(existing, default=0) + 1
+    n = max(_version_dirs(path, committed_only=False), default=0) + 1
     df.write.mode("errorifexists").parquet(os.path.join(path, f"v={n}"))
     tmp = os.path.join(path, "_latest.tmp")
     with open(tmp, "w") as fh:
         fh.write(str(n))
     os.replace(tmp, os.path.join(path, "_latest"))
     return n
+
+
+def _version_dirs(path: str, committed_only: bool) -> list[int]:
+    """The ONE parse of ``v=N`` directory names, shared by the allocator
+    (committed_only=False: a partial dir must still block its number)
+    and the readers (committed_only=True: only ``_SUCCESS``-marked dirs
+    exist) — two copies of this loop would let the two sides drift."""
+    import os
+
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for d in os.listdir(path):
+        if d.startswith("v=") and d[2:].isdigit():
+            if committed_only and not os.path.exists(
+                os.path.join(path, d, "_SUCCESS")
+            ):
+                continue
+            out.append(int(d[2:]))
+    return sorted(out)
 
 
 def list_versions(path: str) -> list[int]:
@@ -248,16 +263,7 @@ def list_versions(path: str) -> list[int]:
     partial directory without the marker, and neither
     :func:`read_versioned` (explicit ``version=N`` included) nor the
     next :func:`write_versioned` call will observe it."""
-    import os
-
-    if not os.path.isdir(path):
-        return []
-    out = []
-    for d in os.listdir(path):
-        if d.startswith("v=") and d[2:].isdigit():
-            if os.path.exists(os.path.join(path, d, "_SUCCESS")):
-                out.append(int(d[2:]))
-    return sorted(out)
+    return _version_dirs(path, committed_only=True)
 
 
 def read_versioned(

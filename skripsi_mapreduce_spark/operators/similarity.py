@@ -777,6 +777,10 @@ def auto_n_probe(
         for p in sorted(recall_curve):
             if recall_curve[p] >= target_recall:
                 return min(p, n_list)
+        # The measured curve never reaches the target: the honest answer
+        # is the exhaustive scan, NOT the closed form — the caller's own
+        # measurements already proved smaller budgets insufficient.
+        return n_list
     return min(n_list, math.ceil(target_recall * n_list))
 
 

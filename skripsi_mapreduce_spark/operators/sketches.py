@@ -370,6 +370,11 @@ def kmv_intersect(sk_a: DataFrame, sk_b: DataFrame, k: int = 64) -> DataFrame:
     contamination-rate analytics at 100 TB move k rows per side.
 
     Returns one row (n_common, est_e4)."""
+    # Each sketch lineage feeds theta AND the common join AND (via the
+    # re-join) the estimate — pin both states once instead of replaying
+    # the upstream distinct+window scan per reference.
+    sk_a = sk_a.localCheckpoint(eager=False)
+    sk_b = sk_b.localCheckpoint(eager=False)
     full = F.lit(1 << 60).cast("long")
 
     def _theta(sk: DataFrame):

@@ -378,7 +378,8 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (SELECT vec_id,
                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
                   FROM embeddings),
-    twins AS (SELECT vec_id + 100000 AS vec_id,
+    off AS (SELECT MAX(vec_id) + 1 AS o FROM base),
+    twins AS (SELECT vec_id + (SELECT o FROM off) AS vec_id,
                      list_transform(embedding, x -> x * CAST(1.02 AS DOUBLE)) AS embedding
               FROM base WHERE vec_id % 20 = 0),
     emb AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
@@ -438,15 +439,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The synthetic table has no dedup-grade pairs (max pairwise cosine
     0.51), so both sides plant deterministic twins — every 20th vector
-    rescaled by 1.02 under vec_id+100000, cosine 1.0 with its base by
-    construction — making the adjudicated output NON-EMPTY: the hash
-    match exercises bucketing, candidate join, and the exact kernel on
-    real qualifying pairs instead of vacuously agreeing on zero rows."""
+    rescaled by 1.02 under vec_id + (max(vec_id)+1), cosine 1.0 with its
+    base by construction — making the adjudicated output NON-EMPTY: the
+    hash match exercises bucketing, candidate join, and the exact kernel
+    on real qualifying pairs instead of vacuously agreeing on zero rows.
+    The offset is data-derived (not a fixed constant) so twin ids can
+    never collide with real ids at any corpus size."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    off = emb.agg(F.max("vec_id")).head()[0] + 1
     twins = emb.filter(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + F.lit(int(off))).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.02)).alias("embedding"),
     )
     out = sim.embedding_near_dups(

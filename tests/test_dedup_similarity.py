@@ -535,6 +535,10 @@ def test_auto_n_probe_rule():
     assert sim.auto_n_probe(16, 1.0, curve) == 16
     assert sim.auto_n_probe(16, 0.9) == 15  # ceil(0.9 * 16), no curve
     assert sim.auto_n_probe(8, 0.99) == 8  # clamped to n_list
+    # a curve that never reaches the target returns the exhaustive scan,
+    # never the uncalibrated closed form (measurements already proved
+    # smaller budgets insufficient)
+    assert sim.auto_n_probe(16, 0.9, {4: 0.7, 8: 0.8, 16: 0.85}) == 16
 
 
 def test_auto_n_planes_scaling_rule():
