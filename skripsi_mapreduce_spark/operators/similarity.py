@@ -586,6 +586,80 @@ def ivf_topk_cosine(
     return topk_cosine(cands, query_vec, k, id_col, vec_col)
 
 
+def ivf_topk_cosine_many(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_list: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Batched IVF retrieval: ONE pruned corpus pass answers EVERY
+    query. Per query the ``n_probe`` nearest lists are picked
+    driver-side (n_list × n_queries fixed-point keys — small by
+    construction, guarded by ``max_queries``), the (query_id, list_id)
+    probe table broadcasts, and the single scan of the indexed corpus
+    expands each row to exactly the queries probing its list. Exact
+    fixed-point re-rank per query, ties by id — scores BIT-IDENTICAL to
+    :func:`ivf_topk_cosine` run per query (pinned by test). Returns
+    (query_id, vec_id, score), top-k per query.
+
+    The 100 TB shape this buys over a per-query loop: the corpus is
+    read once instead of n_queries times, each list's bytes are touched
+    only if ANY query probes it (partition pruning on a
+    write_ivf_partitioned store via `list_id IN (union of probes)`),
+    and the only shuffle is the per-query top-k window over candidate
+    rows — Σ_q (n_probe/n_list)·n narrow rows, never n_queries × n."""
+    indexed, centroids = ivf_index(emb, n_list, id_col, vec_col, fixed_point=True)
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"{len(qrows)} queries exceeds max_queries={max_queries}; "
+            "batch the query table"
+        )
+    pairs = []
+    for r in qrows:
+        qv = [float(x) for x in r[q_vec_col]]
+        qn = _py_norm_i64(qv)
+        keys = sorted(
+            sorted(centroids),
+            key=lambda lid: (
+                float(_py_dot_i64(centroids[lid], centroids[lid]))
+                - 2.0 * _py_dot_i64(qv, centroids[lid]),
+                lid,
+            ),
+        )[:n_probe]
+        pairs += [(int(r[q_id_col]), float(qn), qv, int(lid)) for lid in keys]
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(
+        pairs, f"{q_id_col} long, _qn double, _qv array<double>, list_id int"
+    )
+    cands = indexed.join(F.broadcast(probe_df), "list_id")
+    scored = cands.select(
+        q_id_col,
+        F.col(id_col).alias("vec_id"),
+        F.round(
+            (_dot_i64(F.col(vec_col), F.col("_qv")).cast("double") / SCALE)
+            / (_norm_i64(F.col(vec_col)) * F.col("_qn")),
+            6,
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy(q_id_col).orderBy(F.desc("score"), "vec_id")
+    )
+    return (
+        scored.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= k)
+        .select(q_id_col, "vec_id", "score")
+    )
+
+
 def auto_n_planes(n_vectors: int, target_bucket_size: int = 64, floor: int = 4) -> int:
     """Hyperplane count for ``n_vectors`` so the EXPECTED bucket size
     stays ~``target_bucket_size``: planes = ceil(log2(n / target)).

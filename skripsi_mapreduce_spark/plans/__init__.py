@@ -42,6 +42,7 @@ _PROMOTED = [
     "q53_zorder_layout",
     "dedup_prefix_jaccard",
     "sketch_kmv_intersect",
+    "sim_topk_many_ivf",
     # (a) last driver-green r1
     "q19_set_ops",
     "q20_rollup",
@@ -81,7 +82,6 @@ _PROMOTED = [
     "q07_tpch_q5",
     "q08_left_join",
     "q15_window_rank",
-    "q16_window_lag",
 ]
 _TAIL = [
     # green r4 — freshest driver evidence, rotated out of the head

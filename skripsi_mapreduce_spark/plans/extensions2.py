@@ -551,11 +551,11 @@ _IVF_NLIST, _IVF_NPROBE, _IVF_K = 16, 4, 10
 _E8 = "100000000.0"
 
 
-def _ivf_sql(n_probe: int, k: int) -> str:
-    """The hash-matched IVF-flat chain with a parameterized probe budget
-    — shared by sim_topk_ivf (n_probe=4, the fast tier) and the
-    sim_recall_ivf harness (which also evaluates the auto_n_probe
-    budget)."""
+def _ivf_sql(n_probe: int, k: int, qid: int = 0) -> str:
+    """The hash-matched IVF-flat chain with parameterized probe budget
+    and query id — shared by sim_topk_ivf (n_probe=4, the fast tier),
+    the sim_recall_ivf harness (which also evaluates the auto_n_probe
+    budget), and sim_topk_many_ivf's per-query arms."""
     return f"""
     WITH seeds AS (
         SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
@@ -576,10 +576,10 @@ def _ivf_sql(n_probe: int, k: int) -> str:
         FROM dots d JOIN c2 USING (lid)) t WHERE rn = 1),
     probes AS (SELECT lid FROM (
         SELECT q.lid, ROW_NUMBER() OVER (ORDER BY c2.c2 - 2 * q.dot, q.lid) AS rn
-        FROM (SELECT lid, dot FROM dots WHERE vec_id = 0) q JOIN c2 USING (lid)) t
+        FROM (SELECT lid, dot FROM dots WHERE vec_id = {qid}) q JOIN c2 USING (lid)) t
         WHERE rn <= {n_probe}),
     cand AS (SELECT a.vec_id FROM assign a JOIN probes p USING (lid)),
-    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {qid}),
     qx AS (SELECT CAST(unnest(qv) AS DOUBLE) AS qxv, generate_subscripts(qv, 1) AS i FROM q),
     cex AS (SELECT e.vec_id, e.x, e.i FROM ex e JOIN cand c ON c.vec_id = e.vec_id),
     qdots AS (SELECT vec_id, SUM(CAST(ROUND(x * qxv * {_E8}) AS BIGINT)) AS dot

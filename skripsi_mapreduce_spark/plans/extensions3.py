@@ -74,6 +74,49 @@ def sim_topk_many(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batched IVF retrieval — one pruned scan answers every query
+# ---------------------------------------------------------------------------
+def _register_many_ivf() -> None:
+    from .extensions2 import _ivf_sql
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST({qid} AS BIGINT) AS query_id, a.vec_id, a.score_e6\n"
+        f"FROM ({_ivf_sql(4, _MANY_K, qid)}) a"
+        for qid in range(_MANY_NQ)
+    )
+    sql = f"SELECT * FROM ({arms}) u ORDER BY query_id, score_e6 DESC, vec_id"
+
+    @query("sim_topk_many_ivf", sql)
+    def sim_topk_many_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batched IVF retrieval (operators/similarity.ivf_topk_cosine_many):
+        four queries, ONE pruned pass — per query the 4 nearest of 16
+        lists are picked driver-side, the (query, list) probe table
+        broadcasts, and a single scan of the indexed corpus feeds exact
+        per-query fixed-point re-ranks (scores bit-identical to the
+        per-query sim_topk_ivf path, pinned by test). The oracle runs
+        the adjudicated single-query IVF chain once per query id and
+        unions the arms, so batching is proven to change NOTHING but
+        the pass count. At 100 TB: the corpus is read once instead of
+        n_queries times, only lists some query probes are touched
+        (partition pruning on a write_ivf_partitioned store), and the
+        lone shuffle is the per-query top-k window over Σ_q
+        (n_probe/n_list)·n candidate rows."""
+        from ..operators import similarity as sim_mod
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qdf = emb.filter(F.col("vec_id") < _MANY_NQ).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        out = sim_mod.ivf_topk_cosine_many(emb, qdf, k=_MANY_K, n_list=16, n_probe=4)
+        return out.select(
+            "query_id", "vec_id", e_int(F.col("score"), 6).alias("score_e6")
+        ).orderBy("query_id", F.col("score_e6").desc(), "vec_id")
+
+
+_register_many_ivf()
+
+
+# ---------------------------------------------------------------------------
 # IVF-PQ — coarse-pruned ADC ranking over probe-independent PQ codes
 # ---------------------------------------------------------------------------
 _IP_NLIST, _IP_NPROBE, _IP_M, _IP_CODES, _IP_K = 16, 4, 8, 16, 10

@@ -525,6 +525,28 @@ def test_ivfpq_rerank_three_tier_invariants(spark):
     assert recall == len(shortlist & exact_top) / 10
 
 
+def test_ivf_many_matches_per_query_probe(spark):
+    """Batched IVF (one pruned scan, broadcast probe table) must be
+    BIT-identical to running ivf_topk_cosine once per query — same probe
+    lists, same fixed-point scores, same tie order."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").localCheckpoint()
+    qdf = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batched = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in sim.ivf_topk_cosine_many(emb, qdf, k=10, n_list=16, n_probe=4).collect()
+    }
+    for qid in range(4):
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == qid).head()["embedding"]]
+        single = sim.ivf_topk_cosine(
+            emb, qv, k=10, n_list=16, n_probe=4, fixed_point=True
+        ).collect()
+        for r in single:
+            assert batched[(qid, r["vec_id"])] == r["score"], (qid, r)
+    assert len(batched) == 40
+
+
 def test_auto_n_probe_rule():
     """Curve calibration picks the smallest measured budget meeting the
     target; the closed form assumes the unstructured worst case
