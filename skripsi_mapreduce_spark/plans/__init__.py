@@ -27,6 +27,16 @@ from . import extensions3  # noqa: F401  (registers into QUERIES/ORACLE)
 #      a fresh row (a registry test pins the length).
 # Tail = r4-greens (freshest evidence, code unchanged, still pinned by
 # the local oracle suite every pytest run).
+#
+# Round-6 rotation plan (freshness ledger after r5): head-50 entries
+# carry r5 evidence; everything else carries r3 (the q17-q30 filler
+# block trimmed from this head, plus dedup_cross_corpus,
+# etl_sequential_ids, bpe_merges, pack_blocks, q31-q34, sketch_kmv/
+# cms, graph_pagerank, bpe_encode, ta_quality_classifier, mm_*,
+# profile_lineitem, skew_salted_agg, range_join_pairs, rollup_events,
+# pipe_contamination, q45, ta_bigram_lp) or r4 (the _TAIL list). r6
+# head = any r6-changed kernels + the r3 block first (oldest), then as
+# many r4s as fit; keep _PROMOTED at exactly 50.
 _PROMOTED = [
     # (0) changed/new this round
     "dedup_semantic",
