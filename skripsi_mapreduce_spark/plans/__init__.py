@@ -53,6 +53,7 @@ _PROMOTED = [
     "dedup_prefix_jaccard",
     "sketch_kmv_intersect",
     "sim_topk_many_ivf",
+    "mm_image_resize",
     # (a) last driver-green r1
     "q19_set_ops",
     "q20_rollup",
@@ -91,7 +92,6 @@ _PROMOTED = [
     "q06_inner_join",
     "q07_tpch_q5",
     "q08_left_join",
-    "q15_window_rank",
 ]
 _TAIL = [
     # green r4 — freshest driver evidence, rotated out of the head

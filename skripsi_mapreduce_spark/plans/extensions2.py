@@ -416,6 +416,95 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_MMR_OW, _MMR_OH = 8, 6  # resize target (4x3 source, NN upsample)
+
+
+@query(
+    "mm_image_resize",
+    f"""
+    WITH opx AS (SELECT d.doc_id, xs.ox, ys.oy
+                 FROM documents d, range({_MMR_OW}) xs(ox), range({_MMR_OH}) ys(oy)),
+    src AS (SELECT doc_id, (ox * {_MM_W}) // {_MMR_OW} AS sx,
+                   (oy * {_MM_H}) // {_MMR_OH} AS sy
+            FROM opx),
+    col AS (SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(sx AS VARCHAR)
+                                       || ':' || CAST(sy AS VARCHAR)), 1, 2) AS BIGINT) AS r,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(sx AS VARCHAR)
+                                       || ':' || CAST(sy AS VARCHAR)), 3, 2) AS BIGINT) AS g,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(sx AS VARCHAR)
+                                       || ':' || CAST(sy AS VARCHAR)), 5, 2) AS BIGINT) AS b
+            FROM src)
+    SELECT doc_id, CAST({_MMR_OW} AS INT) AS width, CAST({_MMR_OH} AS INT) AS height,
+           CAST(SUM(r) AS BIGINT) AS r_sum, CAST(SUM(g) AS BIGINT) AS g_sum,
+           CAST(SUM(b) AS BIGINT) AS b_sum
+    FROM col GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE adjudicated end to end through the real raster
+    path (operators/multimodal.resize_images): every document gets a
+    {_MM_W}x{_MM_H} P6 PPM whose PIXELS differ (color of (x, y) = first
+    3 bytes of md5(doc:x:y) — built with pure column expressions), the
+    Arrow-batched nearest-neighbor kernel resizes to {_MMR_OW}x{_MMR_OH}
+    (numpy gather, binary in → binary out), and the RESIZED blob is
+    re-decoded by the real feature path; per-channel pixel SUMS are
+    exact integers the oracle restates from the NN index map
+    (sx = ox·w//out_w), so decode → resize → re-encode → decode is
+    hash-matched with no rows-only weakening. The jpeg/webp tiers stay
+    honestly gated; this pins the Spark-side plumbing — schema,
+    batching, kernel indexing — a production codec drops into."""
+    from ..operators.multimodal import extract_image_features, resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    header = F.lit(f"P6\n{_MM_W} {_MM_H}\n255\n".encode())
+    pixels = [
+        F.unhex(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.lit(str(x)),
+                        F.lit(str(y)),
+                    )
+                ),
+                1,
+                6,
+            )
+        )
+        for y in range(_MM_H)
+        for x in range(_MM_W)
+    ]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(header, *pixels).alias("content"),
+        F.lit(None).cast(
+            "struct<mime:string,width:int,height:int,duration_ms:int,sample_rate:int>"
+        ).alias("meta"),
+    )
+    resized = resize_images(media, _MMR_OW, _MMR_OH)
+    media2 = resized.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "content",
+        F.lit(None).cast(
+            "struct<mime:string,width:int,height:int,duration_ms:int,sample_rate:int>"
+        ).alias("meta"),
+    )
+    feats = extract_image_features(media2, decode_stub=False)
+    n = _MMR_OW * _MMR_OH
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        F.round(F.element_at("feature", 1) * n * 255).cast("long").alias("r_sum"),
+        F.round(F.element_at("feature", 2) * n * 255).cast("long").alias("g_sum"),
+        F.round(F.element_at("feature", 3) * n * 255).cast("long").alias("b_sum"),
+    ).orderBy("doc_id")
+
+
 @query(
     "mm_audio_decode",
     f"""

@@ -247,3 +247,40 @@ def test_png_features_through_spark(spark):
         r = image[mid]
         assert (r["width"], r["height"]) == (8 + mid, 6 + mid)
         assert 0.0 <= r["mean_luma"] <= 1.0 and len(r["feature"]) == 8
+
+
+def test_resize_images_nearest_neighbor_exact(spark):
+    """Up- and down-sample against a numpy reference: NN index map is
+    sx = ox*w//out_w, the output is a valid P6 blob, and every pixel
+    matches the gathered source raster byte-for-byte."""
+    import numpy as np
+
+    from skripsi_mapreduce_spark.operators.multimodal import (
+        _decode_ppm,
+        make_ppm,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(5)
+    w, h = 6, 4
+    rasters = {i: rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8) for i in range(4)}
+    rows = [
+        (i, "image", bytearray(make_ppm(w, h, r.tobytes())), None)
+        for i, r in rasters.items()
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int,sample_rate:int>",
+    )
+    for ow, oh in ((12, 8), (3, 2), (6, 4)):
+        out = {r["media_id"]: r for r in resize_images(media, ow, oh).collect()}
+        sx = (np.arange(ow) * w) // ow
+        sy = (np.arange(oh) * h) // oh
+        for i, src in rasters.items():
+            r = out[i]
+            assert (r["width"], r["height"]) == (ow, oh)
+            rw, rh, got = _decode_ppm(bytes(r["content"]))
+            assert (rw, rh) == (ow, oh)
+            expect = src[sy][:, sx]
+            assert np.array_equal(got, expect), (i, ow, oh)
