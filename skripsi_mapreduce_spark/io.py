@@ -228,6 +228,13 @@ def write_versioned(df: DataFrame, path: str) -> int:
     # dir left by a crashed writer must not collide with the next write.
     n = max(_version_dirs(path, committed_only=False), default=0) + 1
     df.write.mode("errorifexists").parquet(os.path.join(path, f"v={n}"))
+    # Own commit witness, written driver-side AFTER the job returns:
+    # clusters running cloud committers with
+    # mapreduce.fileoutputcommitter.marksuccessfuljobs=false emit no
+    # _SUCCESS, and a version must not become invisible because of a
+    # committer setting. Underscore-prefixed, so scans ignore it.
+    with open(os.path.join(path, f"v={n}", "_committed"), "w") as fh:
+        fh.write("1")
     tmp = os.path.join(path, "_latest.tmp")
     with open(tmp, "w") as fh:
         fh.write(str(n))
@@ -247,8 +254,13 @@ def _version_dirs(path: str, committed_only: bool) -> list[int]:
     out = []
     for d in os.listdir(path):
         if d.startswith("v=") and d[2:].isdigit():
-            if committed_only and not os.path.exists(
-                os.path.join(path, d, "_SUCCESS")
+            # Either witness commits a version: Spark's _SUCCESS marker,
+            # or write_versioned's own _committed sidecar (written after
+            # the job returns — survives clusters configured with
+            # marksuccessfuljobs=false, where _SUCCESS never appears).
+            if committed_only and not (
+                os.path.exists(os.path.join(path, d, "_SUCCESS"))
+                or os.path.exists(os.path.join(path, d, "_committed"))
             ):
                 continue
             out.append(int(d[2:]))
@@ -258,11 +270,14 @@ def _version_dirs(path: str, committed_only: bool) -> list[int]:
 def list_versions(path: str) -> list[int]:
     """Committed version numbers under a :func:`write_versioned` root.
 
-    A version counts as committed only once Spark's ``_SUCCESS`` marker
-    exists inside ``v=N`` — a crashed or in-flight writer leaves a
-    partial directory without the marker, and neither
-    :func:`read_versioned` (explicit ``version=N`` included) nor the
-    next :func:`write_versioned` call will observe it."""
+    A version counts as committed once EITHER marker exists inside
+    ``v=N``: Spark's ``_SUCCESS``, or write_versioned's own
+    ``_committed`` sidecar (so versions stay visible on clusters whose
+    cloud committer disables _SUCCESS). A crashed or in-flight writer
+    leaves a partial directory with neither, and
+    :func:`read_versioned` (explicit ``version=N`` included) will not
+    observe it — though the next :func:`write_versioned` still
+    allocates past it."""
     return _version_dirs(path, committed_only=True)
 
 

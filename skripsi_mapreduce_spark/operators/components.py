@@ -319,7 +319,18 @@ def bounded_closure(
     the jump tables are narrow two-column frames and re-deriving them
     measured cheaper than materializing (2.10s checkpointed vs 1.71s
     lazy at sf0.1); at cluster scale persist the stride tables when |E|
-    makes recomputation dominate."""
+    makes recomputation dominate.
+
+    CAVEAT (dense/cyclic graphs): the jump table is GLOBAL — jump_s
+    holds one row per length-s path between ALL node pairs, with bag
+    semantics, regardless of whether either endpoint is reachable from
+    ``roots``. On high-fanout or cyclic graphs the squares multiply
+    path counts combinatorially and jump_s can dwarf what the per-hop
+    frontier (or the native recursive CTE) ever touches. Right for
+    bounded walks over sparse event/lineage chains (the shipped use);
+    when roots are selective on a dense graph, semi-join ``jump`` to
+    the reachable frontier before each squaring, or fall back to the
+    per-hop form."""
     walk = roots.select(
         F.col(root_col).alias("node"),
         F.col(root_col).alias("root"),

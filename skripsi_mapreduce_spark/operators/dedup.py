@@ -1071,6 +1071,8 @@ def semantic_near_dups(
     target_cluster_size: int = 500,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "ivf",
+    n_probe: int = 2,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (the operator behind the
     dedup_semantic entry): cluster embeddings with the engine-exact
@@ -1083,13 +1085,27 @@ def semantic_near_dups(
     job — the measured scaling knob (SCALING.md round-4 curve): with k
     FIXED, within-cluster pair work grows ~(n/k)²·k = n²/k (5.6s → 380s
     over 10× data); with k ∝ n, cluster size — and so pair work per unit
-    of data — stays constant (6.2s → 43.9s, linear). The adjudicated
-    entry pins k=4 because the DuckDB oracle must replay the exact
-    partitioning."""
+    of data — stays constant.
+
+    ``assign`` picks the clustering's assignment kernel:
+
+    - ``"ivf"`` (default, and the scale-safe form): hierarchical
+      assignment through an IVF coarse quantizer
+      (:func:`~..operators.kmeans.kmeans_fixedpoint_ivf`) — per-doc work
+      is sqrt-of-k coarse probes plus the fine centroids in ``n_probe``
+      lists, killing the n²/target Lloyd term that the exact path pays
+      when k ∝ n (SCALING.md round-5 curve: 4.9/18.8/50.3s over 10×
+      data). Engine-exact: the dedup_semantic oracle replays every
+      stage.
+    - ``"exact"`` (the round-5 behavior): full Lloyd assignment, n·k
+      distances per pass. BREAKING CHANGE note: callers that omitted
+      ``assign`` before round 6 got this path; clusterings (and thus
+      emitted pairs) differ between the two kernels whenever the coarse
+      quantizer actually prunes (n_probe < n_list)."""
     import math
 
     from ..functions.numeric import e_int
-    from .kmeans import kmeans_fixedpoint
+    from .kmeans import kmeans_fixedpoint, kmeans_fixedpoint_ivf
     from .similarity import pair_cosine_pandas
 
     if k == "auto":
@@ -1098,10 +1114,21 @@ def semantic_near_dups(
         F.col(id_col).alias("doc_id"),
         F.posexplode(vec_col).alias("word", "x"),
     ).select("doc_id", "word", e_int(F.col("x").cast("double"), 4).alias("x_e4"))
-    assign = kmeans_fixedpoint(
-        w, k=int(k), n_assign_passes=n_assign_passes, weight_col="x_e4",
-        output="assignments",
-    ).select("doc_id", "cluster")
+    if assign == "ivf":
+        dense = emb.select(
+            F.col(id_col).cast("long").alias("doc_id"), F.col(vec_col).alias("vec")
+        )
+        assign_df = kmeans_fixedpoint_ivf(
+            w, k=int(k), n_probe=n_probe, weight_col="x_e4", dense=dense
+        ).select("doc_id", "cluster")
+    elif assign == "exact":
+        assign_df = kmeans_fixedpoint(
+            w, k=int(k), n_assign_passes=n_assign_passes, weight_col="x_e4",
+            output="assignments",
+        ).select("doc_id", "cluster")
+    else:
+        raise ValueError(f"assign must be 'ivf' or 'exact', got {assign!r}")
+    assign = assign_df
     a = assign.select(F.col("doc_id").alias("id_a"), F.col("cluster"))
     b = assign.select(F.col("doc_id").alias("id_b"), F.col("cluster").alias("_cb"))
     pairs = a.join(

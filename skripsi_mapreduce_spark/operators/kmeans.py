@@ -34,7 +34,7 @@ from __future__ import annotations
 import random
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -442,6 +442,426 @@ def _assign_fixedpoint(w: DataFrame, d2: DataFrame, cent: DataFrame) -> DataFram
     return best.select(
         "doc_id", F.col("b.cluster").alias("cluster"), F.col("b.dist2").alias("dist2")
     )
+
+
+def _probe_lists(w: DataFrame, d2: DataFrame, g: DataFrame, n_probe: int) -> DataFrame:
+    """(doc_id, m): each doc's ``n_probe`` nearest coarse lists under the
+    exact fixed-point key x2 + g2 − 2·dot, ties to the lowest list id —
+    the same integer discipline as ``_assign_fixedpoint``, but keeping
+    the TOP-n_probe lists instead of the argmin. The dot join expands to
+    n·d·c rows with c = |lists| (the whole point: c ~ sqrt(k), never k)."""
+    g2 = g.groupBy("m").agg(F.sum(F.col("gw") * F.col("gw")).alias("g2"))
+    dots = (
+        w.join(F.broadcast(g), "word")
+        .groupBy("doc_id", "m")
+        .agg(F.sum(F.col("w") * F.col("gw")).alias("dot"))
+    )
+    keyed = (
+        d2.crossJoin(F.broadcast(g2))
+        .join(dots, ["doc_id", "m"], "left")
+        .select(
+            "doc_id",
+            "m",
+            (
+                F.col("x2") + F.col("g2") - 2 * F.coalesce(F.col("dot"), F.lit(0).cast("long"))
+            ).alias("key"),
+        )
+    )
+    rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("key", "m"))
+    return keyed.withColumn("_rn", rn).filter(F.col("_rn") <= n_probe).select("doc_id", "m")
+
+
+# Fine-codebook (k×d cells) closure bound for the fused assignment
+# kernel: 4e6 float64 cells ≈ 32 MB serialized — generous for the local
+# profile (400×64 at sf1.0) yet conservative for executors; past it the
+# scoring stays a distributed join (the codebook grows with the corpus).
+_FUSED_MAX_CELLS = 4_000_000
+
+
+def _probe_lists_numpy(
+    dense: DataFrame, g_rows: list, n_probe: int, vec_col: str = "vec"
+) -> DataFrame:
+    """Arrow/numpy twin of :func:`_probe_lists` over the DENSE vector
+    form: per batch, quantize to e4 (``_round_half_away(x·1e4)`` — the
+    same double path as ``e_int``), one matmul against the coarse
+    codebook, rank by key = g2 − 2·dot with a stable argsort (ties →
+    the lower list id, G rows ordered by m ascending). The x2 term of
+    the join form's key is constant per doc, so the ranking is
+    IDENTICAL (pinned by test); every product is an integer below 2^53,
+    exact in float64.
+
+    Why this exists: the join form expands n·d·c rows per pass through
+    a hash aggregate — the dominant stage of the hierarchical
+    assignment (measured 10.6s of 26s at sf1.0). Here it is one
+    (batch × d) @ (d × c) matmul. The codebook rides in the closure:
+    c×d e4 ints with c ~ sqrt(2k) — ~17 MB even at k = 2×10⁷, so the
+    closure stays broadcast-safe at any realistic corpus."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from .similarity import _round_half_away
+
+    ms = sorted({int(r["m"]) for r in g_rows})
+    width = max(int(r["word"]) for r in g_rows) + 1
+    G = np.zeros((len(ms), width), dtype=np.float64)
+    midx = {m: i for i, m in enumerate(ms)}
+    for r in g_rows:
+        G[midx[int(r["m"])], int(r["word"])] = float(r["gw"])
+    g2 = (G * G).sum(axis=1)  # exact: e4² ints < 2^53
+    ms_arr = np.array(ms, dtype=np.int32)
+    take = min(n_probe, len(ms))
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _round_half_away(
+                np.vstack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+                * 10000.0
+            )
+            keys = g2 - 2.0 * (X[:, :width] @ G.T)  # zero-dropped cols beyond width
+            # stable argsort == (key, m) tie-break (columns are m-ascending)
+            order = np.argsort(keys, axis=1, kind="stable")[:, :take]
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), take),
+                    "m": ms_arr[order].reshape(-1),
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("m", T.IntegerType())]
+    )
+    return dense.mapInPandas(probe, schema)
+
+
+def _assign_fused_numpy(
+    dense: DataFrame,
+    g_rows: list,
+    cent_rows: list,
+    cmap_rows: list,
+    n_probe: int,
+    vec_col: str = "vec",
+) -> DataFrame:
+    """One-pass Arrow/numpy form of probe-then-score: per batch, ONE
+    matmul ranks the coarse lists (stable argsort = (key, m) tie-break),
+    then for each probed list one matmul scores ONLY its fine centroids
+    and the per-doc argmin runs over the probed lists' bests — emitting
+    (doc_id, cluster, dist2) directly. Zero shuffles for a whole
+    assignment pass (the join form pays a word-join hash aggregate plus
+    a window per pass); both codebooks ride the closure. Bit-identical
+    to the join form (pinned by test): e4 quantization via
+    ``_round_half_away(x·1e4)`` = ``e_int``; every key is
+    x2 + c2 − 2·dot over ints < 2^53, exact in float64; per-list argmin
+    takes the FIRST minimum over j-ascending rows and the cross-list
+    reduce breaks ties by (dist2, j) — together the global (dist2, j)
+    rule.
+
+    Closure scale bound: the fine codebook is k×d values — fine for
+    k = n/target at the measured SFs (400×64 at sf1.0) and far beyond,
+    but k grows with the corpus, so :func:`kmeans_fixedpoint_ivf` only
+    picks this kernel under ``_FUSED_MAX_CELLS`` and falls back to the
+    distributed join scoring above it."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from .similarity import _round_half_away
+
+    ms = sorted({int(r["m"]) for r in g_rows})
+    width = max(
+        max(int(r["word"]) for r in g_rows),
+        max(int(r["word"]) for r in cent_rows),
+    ) + 1
+    G = np.zeros((len(ms), width), dtype=np.float64)
+    midx = {m: i for i, m in enumerate(ms)}
+    for r in g_rows:
+        G[midx[int(r["m"])], int(r["word"])] = float(r["gw"])
+    g2 = (G * G).sum(axis=1)
+    # fine centroids grouped by their coarse list, j-ascending inside
+    by_list_js: dict[int, list[int]] = {}
+    j2m = {int(r["cluster"]): int(r["m"]) for r in cmap_rows}
+    cent: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        cent.setdefault(int(r["cluster"]), {})[int(r["word"])] = float(r["cw"])
+    for j in sorted(j2m):
+        by_list_js.setdefault(j2m[j], []).append(j)
+    F_by_list: dict[int, tuple] = {}
+    for m, js in by_list_js.items():
+        Fm = np.zeros((len(js), width), dtype=np.float64)
+        for i, j in enumerate(js):
+            for word, cw in cent.get(j, {}).items():
+                Fm[i, word] = cw
+        F_by_list[m] = (np.array(js, dtype=np.int32), Fm, (Fm * Fm).sum(axis=1))
+    probe_ms = np.array(sorted(F_by_list), dtype=np.int32)  # nonempty lists only
+    sel = np.array([midx[m] for m in probe_ms])
+    take = min(n_probe, len(probe_ms))
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _round_half_away(
+                np.vstack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+                * 10000.0
+            )
+            Xw = X[:, :width] if X.shape[1] >= width else np.pad(
+                X, ((0, 0), (0, width - X.shape[1]))
+            )
+            x2 = (X * X).sum(axis=1)
+            keys = g2[sel] - 2.0 * (Xw @ G[sel].T)
+            order = np.argsort(keys, axis=1, kind="stable")[:, :take]
+            probed = probe_ms[order]  # (n_b, take)
+            best_d = np.full(len(pdf), np.inf)
+            best_j = np.full(len(pdf), np.iinfo(np.int32).max, dtype=np.int64)
+            for m in np.unique(probed):
+                rows = np.nonzero((probed == m).any(axis=1))[0]
+                js, Fm, c2 = F_by_list[int(m)]
+                d = x2[rows, None] + c2[None, :] - 2.0 * (Xw[rows] @ Fm.T)
+                loc = np.argmin(d, axis=1)  # first min = lowest j (j-ascending)
+                dmin = d[np.arange(len(rows)), loc]
+                jmin = js[loc].astype(np.int64)
+                upd = (dmin < best_d[rows]) | (
+                    (dmin == best_d[rows]) & (jmin < best_j[rows])
+                )
+                ridx = rows[upd]
+                best_d[ridx] = dmin[upd]
+                best_j[ridx] = jmin[upd]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "cluster": best_j.astype(np.int32),
+                    "dist2": best_d.astype(np.int64),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("dist2", T.LongType()),
+        ]
+    )
+    return dense.mapInPandas(assign, schema)
+
+
+def _assign_via_probes(
+    w: DataFrame, d2: DataFrame, cent: DataFrame, probes: DataFrame, cmap: DataFrame
+) -> DataFrame:
+    """(doc_id, cluster, dist2): exact fixed-point argmin over ONLY the
+    fine clusters whose coarse list the doc probes — candidate pairs are
+    probes ⋈ cmap (fine cluster → coarse list), so per-doc work is
+    n_probe·k/c fine centroids instead of k. Missing dots/norms coalesce
+    to 0 exactly as in ``_assign_fixedpoint`` (a candidate stays a
+    candidate even when its centroid shares no nonzero word with the
+    doc)."""
+    cand = probes.join(F.broadcast(cmap), "m").select("doc_id", "cluster")
+    c2 = cent.groupBy("cluster").agg(F.sum(F.col("cw") * F.col("cw")).alias("c2"))
+    dots = (
+        cand.join(w, "doc_id")
+        .join(F.broadcast(cent), ["cluster", "word"])
+        .groupBy("doc_id", "cluster")
+        .agg(F.sum(F.col("w") * F.col("cw")).alias("dot"))
+    )
+    dist = (
+        cand.join(d2, "doc_id")
+        .join(F.broadcast(c2), "cluster", "left")
+        .join(dots, ["doc_id", "cluster"], "left")
+        .select(
+            "doc_id",
+            "cluster",
+            (
+                F.col("x2")
+                + F.coalesce(F.col("c2"), F.lit(0).cast("long"))
+                - 2 * F.coalesce(F.col("dot"), F.lit(0).cast("long"))
+            ).alias("dist2"),
+        )
+    )
+    best = dist.groupBy("doc_id").agg(
+        F.min_by(F.struct("cluster", "dist2"), F.struct("dist2", "cluster")).alias("b")
+    )
+    return best.select(
+        "doc_id", F.col("b.cluster").alias("cluster"), F.col("b.dist2").alias("dist2")
+    )
+
+
+def _centroid_update(w: DataFrame, assign: DataFrame) -> DataFrame:
+    """Per-(cluster, word) rounded-int mean over the assignment — the
+    O33 HALF_UP rule ``(2s + n) div (2n)``, exact zeros dropped. The one
+    linear stage of a Lloyd pass (identical to the loop body of
+    :func:`kmeans_fixedpoint`)."""
+    csize = assign.groupBy("cluster").agg(F.count("*").alias("n"))
+    return (
+        w.join(assign.select("doc_id", "cluster"), "doc_id")
+        .groupBy("cluster", "word")
+        .agg(F.sum("w").alias("s"))
+        .join(F.broadcast(csize), "cluster")
+        .select(
+            "cluster",
+            "word",
+            F.expr("(2 * s + n) DIV (2 * n)").cast("long").alias("cw"),
+        )
+        .filter(F.col("cw") != 0)
+    )
+
+
+def kmeans_fixedpoint_ivf(
+    weights: DataFrame,
+    k: int,
+    n_list: int | None = None,
+    n_probe: int = 2,
+    id_col: str = "doc_id",
+    word_col: str = "word",
+    weight_col: str = "w_e4",
+    dense: DataFrame | None = None,
+) -> DataFrame:
+    """Hierarchically-assigned fixed-point K-Means (two assignment
+    passes): the scale-safe form of :func:`kmeans_fixedpoint` for k that
+    GROWS with the corpus (SemDeDup's k = n/target). Exact Lloyd's
+    assignment is n·k distances per pass — with k ∝ n that is the
+    measured n²/target cliff (SCALING.md round-5 curve: dedup_semantic
+    4.9/18.8/50.3s over 10× data). Here each pass assigns through an IVF
+    coarse quantizer instead:
+
+    1. fine seeds: the k md5-min docs (same rule as the exact path);
+    2. coarse codebook G: the SAME 2-pass fixed-point Lloyd run over
+       just those k seed VECTORS, into ``n_list`` (default
+       ceil(sqrt(2k)), the term-balancing choice) coarse lists — k-row
+       work, distributed, never driver-side;
+    3. per pass: every fine centroid is quantized to its nearest coarse
+       list (k·c work), every doc probes its ``n_probe`` nearest lists
+       (n·c work) and takes the exact fixed-point argmin over ONLY the
+       fine centroids in those lists (n·(n_probe·k/c) work). Per-pass
+       cost is n·(c + n_probe·k/c)·d — with c ~ sqrt(k) that is
+       n·sqrt(k), i.e. n^1.5/sqrt(target) total instead of n²/target.
+
+    Every stage is the SAME int64 discipline as the exact path (e4
+    inputs, x2+c2−2·dot keys, (dist, cluster) tie-break, (2s+n) div (2n)
+    updates), so a SQL engine replays it bit-for-bit — the dedup_semantic
+    oracle does (plans/extensions2). Approximation note: results can
+    differ from exact Lloyd (a doc whose true nearest fine centroid
+    lives outside its probed lists lands in the best PROBED cluster) —
+    the standard IVF tradeoff; with n_probe >= n_list it degenerates to
+    the exact assignment. Centroid tables (k×d rows) are broadcast here;
+    at corpus scales where k×d itself outgrows a broadcast, the
+    candidate join is still a plain equi-join on (cluster, word) —
+    Catalyst falls back to a shuffle join, or store centroids
+    partitioned by list id.
+
+    ``dense``: optionally the SAME vectors in dense array form
+    (columns ``doc_id``, ``vec`` — raw doubles, pre-quantization). When
+    given, the probe stage runs as the Arrow/numpy matmul kernel
+    (:func:`_probe_lists_numpy`) instead of the n·d·c word join — the
+    measured hot stage (10.6s of 26s at sf1.0) — with the ranking
+    pinned bit-identical to the join form. The fine-candidate scoring
+    stays a distributed join either way (its tables are k×d — too big
+    to ride a closure once k grows with the corpus).
+
+    Returns (doc_id, cluster, dist2) of the SECOND pass, eagerly
+    checkpointed (consumers self-join it)."""
+    import math
+
+    if n_list is None:
+        n_list = max(2, math.ceil(math.sqrt(2 * k)))
+    w = weights.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(word_col).alias("word"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).localCheckpoint(eager=True)
+    d2 = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("x2"))
+
+    seed_rows = (
+        w.select("doc_id")
+        .distinct()
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(k)
+        .collect()
+    )
+    spark = weights.sparkSession
+    seed_df = spark.createDataFrame(
+        [(r["doc_id"], i) for i, r in enumerate(seed_rows)], "doc_id long, cluster int"
+    )
+    # pass-1 fine centroids = the seed vectors (exact zeros dropped —
+    # they contribute nothing to c2 or any dot; mirrors the oracle CTE)
+    f0 = (
+        w.join(F.broadcast(seed_df), "doc_id")
+        .select("cluster", "word", F.col("w").alias("cw"))
+        .filter(F.col("cw") != 0)
+        .localCheckpoint(eager=True)
+    )
+
+    # coarse codebook: 2-pass fixed-point Lloyd over the k seed vectors
+    # (re-keyed by fine cluster id), into n_list coarse lists
+    sw = f0.select(F.col("cluster").alias("doc_id"), "word", F.col("cw").alias("w"))
+    sd2 = sw.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("x2"))
+    cseed_rows = (
+        sw.select("doc_id")
+        .distinct()
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(n_list)
+        .collect()
+    )
+    cseed_df = spark.createDataFrame(
+        [(r["doc_id"], i) for i, r in enumerate(cseed_rows)], "doc_id long, cluster int"
+    )
+    g0 = sw.join(F.broadcast(cseed_df), "doc_id").select(
+        "cluster", "word", F.col("w").alias("cw")
+    )
+    ca1 = _assign_fixedpoint(sw, sd2, g0)
+    g = _centroid_update(sw, ca1).localCheckpoint(eager=True)
+
+    # fine→coarse map for pass 1: quantize the SEED vectors against G
+    cmap1 = (
+        _assign_fixedpoint(sw, sd2, g)
+        .select(F.col("doc_id").cast("int").alias("cluster"), F.col("cluster").alias("m"))
+        .select("cluster", "m")
+    )
+    g_probe = g.select(F.col("cluster").alias("m"), "word", F.col("cw").alias("gw"))
+    g_rows = g_probe.collect() if dense is not None else None  # c×d rows, bounded
+    width = (max(int(r["word"]) for r in g_rows) + 1) if g_rows else 0
+    fused = dense is not None and k * width <= _FUSED_MAX_CELLS
+
+    # One hierarchical assignment pass. Kernel tiers, fastest honest one
+    # wins: (1) fused Arrow/numpy (probe + score in ONE dense pass, both
+    # codebooks in the closure) while the k×d fine codebook fits
+    # _FUSED_MAX_CELLS; (2) numpy probes (c×d codebook — bounded at ANY
+    # scale) + distributed join scoring; (3) all-join form. Probe
+    # ranking is always restricted to lists that HOLD at least one fine
+    # centroid (a doc probing only fine-empty lists would otherwise get
+    # zero candidates and silently vanish from the assignment).
+    def _pass(cent: DataFrame, cmap: DataFrame) -> DataFrame:
+        if fused:
+            return _assign_fused_numpy(
+                dense, g_rows, cent.collect(), cmap.collect(), n_probe
+            )
+        if dense is not None:
+            lists = {r["m"] for r in cmap.select("m").distinct().collect()}  # <= c rows
+            probes = _probe_lists_numpy(
+                dense, [r for r in g_rows if r["m"] in lists], n_probe
+            )
+        else:
+            gl = g_probe.join(F.broadcast(cmap.select("m").distinct()), "m")
+            probes = _probe_lists(w, d2, gl, n_probe)
+        return _assign_via_probes(w, d2, cent, probes, cmap)
+
+    a1 = _pass(f0, cmap1).localCheckpoint(eager=True)
+
+    c1 = _centroid_update(w, a1).localCheckpoint(eager=True)
+    # re-quantize the MOVED fine centroids against the same fixed G
+    c1w = c1.select(F.col("cluster").cast("long").alias("doc_id"), "word", F.col("cw").alias("w"))
+    c1d2 = c1w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("x2"))
+    cmap2 = (
+        _assign_fixedpoint(c1w, c1d2, g)
+        .select(F.col("doc_id").cast("int").alias("cluster"), F.col("cluster").alias("m"))
+        .select("cluster", "m")
+    )
+    a2 = _pass(c1, cmap2)
+    return a2.localCheckpoint(eager=True)
 
 
 def kmeans_ml(

@@ -999,6 +999,15 @@ def embedding_near_dups(
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold.
 
+    .. note:: BREAKING CHANGE (round 5): the default moved from exact
+       all-pairs (``n_planes=None``) to approximate LSH
+       (``n_planes="auto"``). A caller that previously omitted
+       ``n_planes`` now gets the self-scaling bucketed path, which can
+       MISS pairs (recall < 1 at a given plane count; precision stays
+       1.0 — every emitted pair carries its exact cosine). Callers that
+       need the exhaustive kernel must now opt in with
+       ``all_pairs=True``.
+
     ``n_planes="auto"`` (the default): derive the plane count from the
     vector count via :func:`auto_n_planes` (one count job) — the
     production default, since a FIXED plane count is a measured quadratic

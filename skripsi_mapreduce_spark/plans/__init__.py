@@ -19,9 +19,10 @@ from . import extensions3  # noqa: F401  (registers into QUERIES/ORACLE)
 #  (a) the 27 entries whose freshest driver-green row is r1/r2
 #      (q19/q20/q22/q23/q26 from r1; the q35-q44 + ta_* + mix_* block
 #      from r2) — the stalest evidence in the repo,
-#  (b) fill to EXACTLY 50 with the oldest r3-green entries (q01-q08,
-#      q15, q16), so after r5 no entry's freshest driver row is older
-#      than r3. _PROMOTED is kept at exactly 50 names so the list
+#  (b) fill to EXACTLY 50 with the oldest r3-green entries (q01-q08;
+#      q15/q16 did NOT fit the 50-name window and stay r3-green like
+#      the rest of the q09-q34 block). _PROMOTED is kept at exactly 50
+#      names so the list
 #      documents precisely which entries the gate re-adjudicates —
 #      names beyond the cut would read as promoted while never getting
 #      a fresh row (a registry test pins the length).

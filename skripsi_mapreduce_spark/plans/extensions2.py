@@ -1040,19 +1040,140 @@ def q45_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the within-cluster cosines use the e8 integer kernel.
 # ---------------------------------------------------------------------------
 _SEM_TOP = 5  # top pairs per cluster on the adjudicated surface
+_SEM_TARGET = 50  # target cluster size: small enough that the coarse
+# quantizer actually PRUNES at the adjudicated corpus (n=500 → k=10,
+# n_list=5, n_probe=2 of 5) — at 500 the hierarchy would degenerate to
+# the exact assignment there and never be exercised by the gate
+_SEM_NPROBE = 2
+
+
+def _semantic_ivf_ctes(k_sql: str, c_sql: str, n_probe: int) -> str:
+    """The hierarchically-assigned fixed-point K-Means CTE chain through
+    the final assignment table ``a2`` (doc_id, cluster, dist2) — the SQL
+    replay of operators/kmeans.kmeans_fixedpoint_ivf, stage for stage:
+    fine seeds → coarse codebook G (2-pass Lloyd over the k seed
+    vectors) → per pass: quantize fine centroids to lists (cmap), rank
+    each doc's n_probe nearest NONEMPTY lists (probes), exact argmin
+    over the fine centroids in those lists only. Every key is
+    x2 + c2 − 2·dot over e4 ints with (key, id) tie-breaks, so both
+    engines replay the identical clustering."""
+    return f"""w AS MATERIALIZED (
+        SELECT vec_id AS doc_id,
+               generate_subscripts(embedding, 1) - 1 AS word,
+               {e_int_sql('CAST(unnest(embedding) AS DOUBLE)', 4)} AS w
+        FROM embeddings),
+    d2 AS MATERIALIZED (SELECT doc_id, SUM(w * w) AS x2 FROM w GROUP BY doc_id),
+    seeds AS MATERIALIZED (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS INT) AS j
+              FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+                    FROM (SELECT DISTINCT doc_id FROM w) t
+                    ORDER BY h, doc_id LIMIT {k_sql}) s),
+    f0 AS MATERIALIZED (SELECT s.j, w.word, w.w AS cw FROM w JOIN seeds s USING (doc_id)
+           WHERE w.w <> 0),
+    sd2 AS MATERIALIZED (SELECT j, SUM(cw * cw) AS x2 FROM f0 GROUP BY j),
+    cseeds AS MATERIALIZED (SELECT j, CAST(ROW_NUMBER() OVER (ORDER BY h, j) - 1 AS INT) AS m
+               FROM (SELECT j, md5(CAST(j AS VARCHAR)) AS h
+                     FROM (SELECT DISTINCT j FROM f0) t
+                     ORDER BY h, j LIMIT {c_sql}) s),
+    g0 AS MATERIALIZED (SELECT cs.m, f.word, f.cw AS gw FROM f0 f JOIN cseeds cs USING (j)),
+    g0n AS MATERIALIZED (SELECT m, SUM(gw * gw) AS g2 FROM g0 GROUP BY m),
+    cdot1 AS MATERIALIZED (SELECT f.j, g0.m, SUM(f.cw * g0.gw) AS dot
+              FROM f0 f JOIN g0 USING (word) GROUP BY 1, 2),
+    ca1 AS MATERIALIZED (SELECT j, m FROM (
+            SELECT sd2.j, g0n.m,
+                   ROW_NUMBER() OVER (PARTITION BY sd2.j
+                       ORDER BY sd2.x2 + g0n.g2 - 2 * COALESCE(cdot1.dot, 0), g0n.m) AS rn
+            FROM sd2 CROSS JOIN g0n
+            LEFT JOIN cdot1 ON cdot1.j = sd2.j AND cdot1.m = g0n.m) t WHERE rn = 1),
+    gsize AS MATERIALIZED (SELECT m, COUNT(*) AS n FROM ca1 GROUP BY m),
+    g AS MATERIALIZED (SELECT m, word, gw FROM (
+            SELECT t.m, t.word, CAST((2 * t.s + c.n) // (2 * c.n) AS BIGINT) AS gw
+            FROM (SELECT ca1.m, f.word, SUM(f.cw) AS s
+                  FROM f0 f JOIN ca1 USING (j) GROUP BY 1, 2) t
+            JOIN gsize c USING (m)) u WHERE gw <> 0),
+    gn AS MATERIALIZED (SELECT m, SUM(gw * gw) AS g2 FROM g GROUP BY m),
+    cdot2 AS MATERIALIZED (SELECT f.j, g.m, SUM(f.cw * g.gw) AS dot
+              FROM f0 f JOIN g USING (word) GROUP BY 1, 2),
+    cmap1 AS MATERIALIZED (SELECT j, m FROM (
+            SELECT sd2.j, gn.m,
+                   ROW_NUMBER() OVER (PARTITION BY sd2.j
+                       ORDER BY sd2.x2 + gn.g2 - 2 * COALESCE(cdot2.dot, 0), gn.m) AS rn
+            FROM sd2 CROSS JOIN gn
+            LEFT JOIN cdot2 ON cdot2.j = sd2.j AND cdot2.m = gn.m) t WHERE rn = 1),
+    gdots AS MATERIALIZED (SELECT w.doc_id, g.m, SUM(w.w * g.gw) AS dot
+              FROM w JOIN g USING (word) GROUP BY 1, 2),
+    lists1 AS MATERIALIZED (SELECT DISTINCT m FROM cmap1),
+    probes1 AS MATERIALIZED (SELECT doc_id, m FROM (
+            SELECT d2.doc_id, gl.m,
+                   ROW_NUMBER() OVER (PARTITION BY d2.doc_id
+                       ORDER BY d2.x2 + gl.g2 - 2 * COALESCE(gd.dot, 0), gl.m) AS rn
+            FROM d2 CROSS JOIN (SELECT gn.m, gn.g2 FROM gn JOIN lists1 USING (m)) gl
+            LEFT JOIN gdots gd ON gd.doc_id = d2.doc_id AND gd.m = gl.m) t
+            WHERE rn <= {n_probe}),
+    cand1 AS MATERIALIZED (SELECT p.doc_id, c.j FROM probes1 p JOIN cmap1 c USING (m)),
+    f0n AS MATERIALIZED (SELECT j, SUM(cw * cw) AS c2 FROM f0 GROUP BY j),
+    fdot1 AS MATERIALIZED (SELECT c.doc_id, c.j, SUM(w.w * f.cw) AS dot
+              FROM cand1 c JOIN w USING (doc_id)
+              JOIN f0 f ON f.j = c.j AND f.word = w.word
+              GROUP BY 1, 2),
+    a1 AS MATERIALIZED (SELECT doc_id, j AS cluster FROM (
+            SELECT c.doc_id, c.j,
+                   ROW_NUMBER() OVER (PARTITION BY c.doc_id
+                       ORDER BY d2.x2 + COALESCE(f0n.c2, 0) - 2 * COALESCE(fd.dot, 0), c.j) AS rn
+            FROM cand1 c JOIN d2 USING (doc_id)
+            LEFT JOIN f0n ON f0n.j = c.j
+            LEFT JOIN fdot1 fd ON fd.doc_id = c.doc_id AND fd.j = c.j) t WHERE rn = 1),
+    csize1 AS MATERIALIZED (SELECT cluster, COUNT(*) AS n FROM a1 GROUP BY cluster),
+    c1 AS MATERIALIZED (SELECT cluster, word, cw FROM (
+            SELECT t.cluster, t.word, CAST((2 * t.s + c.n) // (2 * c.n) AS BIGINT) AS cw
+            FROM (SELECT a1.cluster, w.word, SUM(w.w) AS s
+                  FROM w JOIN a1 USING (doc_id) GROUP BY 1, 2) t
+            JOIN csize1 c USING (cluster)) u WHERE cw <> 0),
+    c1d2 AS MATERIALIZED (SELECT cluster, SUM(cw * cw) AS x2 FROM c1 GROUP BY cluster),
+    rqdot AS MATERIALIZED (SELECT c1.cluster, g.m, SUM(c1.cw * g.gw) AS dot
+              FROM c1 JOIN g USING (word) GROUP BY 1, 2),
+    cmap2 AS MATERIALIZED (SELECT cluster AS j, m FROM (
+            SELECT c1d2.cluster, gn.m,
+                   ROW_NUMBER() OVER (PARTITION BY c1d2.cluster
+                       ORDER BY c1d2.x2 + gn.g2 - 2 * COALESCE(rq.dot, 0), gn.m) AS rn
+            FROM c1d2 CROSS JOIN gn
+            LEFT JOIN rqdot rq ON rq.cluster = c1d2.cluster AND rq.m = gn.m) t WHERE rn = 1),
+    lists2 AS MATERIALIZED (SELECT DISTINCT m FROM cmap2),
+    probes2 AS MATERIALIZED (SELECT doc_id, m FROM (
+            SELECT d2.doc_id, gl.m,
+                   ROW_NUMBER() OVER (PARTITION BY d2.doc_id
+                       ORDER BY d2.x2 + gl.g2 - 2 * COALESCE(gd.dot, 0), gl.m) AS rn
+            FROM d2 CROSS JOIN (SELECT gn.m, gn.g2 FROM gn JOIN lists2 USING (m)) gl
+            LEFT JOIN gdots gd ON gd.doc_id = d2.doc_id AND gd.m = gl.m) t
+            WHERE rn <= {n_probe}),
+    cand2 AS MATERIALIZED (SELECT p.doc_id, c.j FROM probes2 p JOIN cmap2 c USING (m)),
+    c1n AS MATERIALIZED (SELECT cluster AS j, SUM(cw * cw) AS c2 FROM c1 GROUP BY cluster),
+    fdot2 AS MATERIALIZED (SELECT c.doc_id, c.j, SUM(w.w * f.cw) AS dot
+              FROM cand2 c JOIN w USING (doc_id)
+              JOIN c1 f ON f.cluster = c.j AND f.word = w.word
+              GROUP BY 1, 2),
+    a2 AS (SELECT doc_id, cluster, dist2 FROM (
+            SELECT c.doc_id, c.j AS cluster,
+                   d2.x2 + COALESCE(c1n.c2, 0) - 2 * COALESCE(fd.dot, 0) AS dist2,
+                   ROW_NUMBER() OVER (PARTITION BY c.doc_id
+                       ORDER BY d2.x2 + COALESCE(c1n.c2, 0) - 2 * COALESCE(fd.dot, 0), c.j) AS rn
+            FROM cand2 c JOIN d2 USING (doc_id)
+            LEFT JOIN c1n ON c1n.j = c.j
+            LEFT JOIN fdot2 fd ON fd.doc_id = c.doc_id AND fd.j = c.j) t WHERE rn = 1)"""
 
 
 def _semantic_oracle_sql() -> str:
-    from .extensions import _emb_kmeans_ctes
-
-    # k derived from the corpus INSIDE the oracle — the same rule as
-    # semantic_near_dups(k="auto"): k = max(2, ceil(n / 500)). The
-    # adjudicated artifact is therefore the scale-safe form (a fixed k is
-    # the measured n²/k cliff, SCALING.md round-4 curve).
+    # Every knob derived from the corpus INSIDE the oracle — the same
+    # rules as semantic_near_dups(k="auto", assign="ivf"):
+    # k = max(2, ceil(n / target)), n_list = max(2, ceil(sqrt(2k))).
+    # The adjudicated artifact is therefore the scale-safe form END TO
+    # END: self-scaling k AND the hierarchical assignment that kills the
+    # n²/target Lloyd term (the round-5 verdict's remaining scale-killer).
     return f"""
-    WITH nk AS (SELECT GREATEST(2, CAST(CEIL(COUNT(*) / 500.0) AS INT)) AS k
+    WITH nk AS (SELECT GREATEST(2, CAST(CEIL(COUNT(*) / {_SEM_TARGET}.0) AS INT)) AS k,
+                       GREATEST(2, CAST(CEIL(SQRT(2.0 * GREATEST(2,
+                           CAST(CEIL(COUNT(*) / {_SEM_TARGET}.0) AS INT)))) AS INT)) AS c
                 FROM embeddings),
-    {_emb_kmeans_ctes("(SELECT k FROM nk)")},
+    {_semantic_ivf_ctes("(SELECT k FROM nk)", "(SELECT c FROM nk)", _SEM_NPROBE)},
     pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.cluster
               FROM a2 x JOIN a2 y
                 ON x.cluster = y.cluster AND x.doc_id < y.doc_id),
@@ -1086,24 +1207,27 @@ def _semantic_oracle_sql() -> str:
 
 @query("dedup_semantic", _semantic_oracle_sql())
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup: cluster the embeddings with the
-    engine-exact fixed-point K-Means (two passes), then score cosine
-    ONLY within each cluster and surface the top {top} most-similar
-    pairs per cluster. The cluster scoping is what scales: all-pairs
-    work is bounded by cluster size, never corpus size — the pair join
-    is an equi-join on cluster id, and k GROWS with the corpus: BOTH
-    sides derive k = max(2, ceil(n/500)) from one COUNT
-    (semantic_near_dups k="auto" here; the identical rule inline in the
-    oracle SQL's nk CTE), so the adjudicated artifact IS the scale-safe
-    form (a fixed k is the measured n²/k cliff: 380s vs 43.9s at sf1.0,
-    SCALING.md). Cosines use the e8 fixed-point kernel via the
-    vectorized pair kernel (bit-identical to _dot_i64) — engine-exact
+    """SemDeDup-style semantic dedup, scale-safe end to end: cluster the
+    embeddings with the HIERARCHICALLY-assigned fixed-point K-Means
+    (kmeans_fixedpoint_ivf — each doc probes its 2 nearest coarse lists
+    and argmins over only those lists' fine centroids, killing the
+    n²/target exact-Lloyd term, the round-5 verdict's one remaining
+    super-linear curve), then score cosine ONLY within each cluster and
+    surface the top 5 most-similar pairs per cluster. Every knob derives
+    from COUNT(*) on BOTH engines: k = max(2, ceil(n/50)),
+    n_list = max(2, ceil(sqrt(2k))) — target 50 so the quantizer
+    actually PRUNES at the adjudicated corpus (n=500 → k=10, 2-of-5
+    lists probed; at target 500 the hierarchy would degenerate there and
+    the gate would never exercise it). The oracle replays the whole
+    hierarchy stage for stage (_semantic_ivf_ctes); cosines use the e8
+    fixed-point pair kernel (bit-identical to _dot_i64) — engine-exact
     end to end."""
     from ..operators.dedup import semantic_near_dups
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = semantic_near_dups(
-        emb, k="auto", target_cluster_size=500, top_per_cluster=_SEM_TOP
+        emb, k="auto", target_cluster_size=_SEM_TARGET, top_per_cluster=_SEM_TOP,
+        assign="ivf", n_probe=_SEM_NPROBE,
     )
     return out.orderBy("cluster", F.desc("cosine_e6"), "id_a", "id_b")
 
@@ -1216,23 +1340,26 @@ def ta_trigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_CODES, _PQ_K = 8, 16, 10
 
 
-def _pq_adc_sql(k: int, n_codes: int = _PQ_CODES) -> str:
-    """The hash-matched PQ-ADC chain with parameterized shortlist size
-    and codebook size — shared by sim_topk_pq (ADC-only tier) and
-    sim_topk_pq_rerank (which feeds a larger ADC shortlist into the
-    exact re-rank)."""
+def _pq_adc_sql(k: int, n_codes: int = _PQ_CODES, m: int = _PQ_M) -> str:
+    """The hash-matched PQ-ADC chain with parameterized shortlist size,
+    codebook size, AND subspace count ``m`` (the engine call's m must
+    flow through here — a hardcoded divisor would silently mismatch a
+    caller using a different split) — shared by sim_topk_pq (ADC-only
+    tier) and sim_topk_pq_rerank (which feeds a larger ADC shortlist
+    into the exact re-rank)."""
+    sub = f"(generate_subscripts(embedding, 1) - 1) // ({64 // m})"
     return f"""
     WITH seeds AS (
         SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                             AS INT) AS c
         FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_codes}),
-    cx AS (SELECT s.c, (generate_subscripts(e.embedding, 1) - 1) // 8 AS sub,
+    cx AS (SELECT s.c, (generate_subscripts(e.embedding, 1) - 1) // ({64 // m}) AS sub,
                   generate_subscripts(e.embedding, 1) AS i,
                   CAST(unnest(e.embedding) AS DOUBLE) AS cv
            FROM embeddings e JOIN seeds s USING (vec_id)),
     c2 AS (SELECT c, sub, SUM(CAST(ROUND(cv * cv * {_E8}) AS BIGINT)) AS c2
            FROM cx GROUP BY 1, 2),
-    ex AS (SELECT vec_id, (generate_subscripts(embedding, 1) - 1) // 8 AS sub,
+    ex AS (SELECT vec_id, {sub} AS sub,
                   generate_subscripts(embedding, 1) AS i,
                   CAST(unnest(embedding) AS DOUBLE) AS x
            FROM embeddings),

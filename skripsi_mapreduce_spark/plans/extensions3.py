@@ -122,21 +122,31 @@ _register_many_ivf()
 _IP_NLIST, _IP_NPROBE, _IP_M, _IP_CODES, _IP_K = 16, 4, 8, 16, 10
 
 
-def _ivfpq_adc_sql(k: int, n_probe: int = _IP_NPROBE, n_codes: int = _IP_CODES) -> str:
-    """The hash-matched IVF-PQ ADC chain with parameterized shortlist
-    size, probe budget, and PQ codebook size — shared by sim_topk_ivfpq
-    (the fast tier) and sim_topk_ivfpq_rerank (calibrated knobs feeding
-    the exact re-rank). Seed table spans max(n_list, n_codes) md5-min
-    rows; IVF centroids are sid < n_list, the PQ codebook sid < n_codes
-    — exactly operators/similarity.ivfpq_topk's seeding."""
+def _ivfpq_adc_sql(
+    k: int,
+    n_probe: int = _IP_NPROBE,
+    n_codes: int = _IP_CODES,
+    m: int = _IP_M,
+    n_list: int = _IP_NLIST,
+) -> str:
+    """The hash-matched IVF-PQ ADC chain with EVERY engine knob
+    parameterized — shortlist size, probe budget, PQ codebook size,
+    subspace count m, and IVF list count — so a caller passing a
+    different m or n_list to the engine cannot silently diverge from
+    the oracle. Seed table spans max(n_list, n_codes) md5-min rows; IVF
+    centroids are sid < n_list, the PQ codebook sid < n_codes — exactly
+    operators/similarity.ivfpq_topk's seeding."""
+    if 64 % m:
+        raise ValueError(f"64-dim embeddings not divisible by m={m}")
+    d_sub = 64 // m
     return f"""
     WITH seeds AS (
         SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                             AS INT) AS sid
-        FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {max(_IP_NLIST, n_codes)}),
+        FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {max(n_list, n_codes)}),
     cx AS (SELECT s.sid AS lid, generate_subscripts(e.embedding, 1) AS i,
                   CAST(unnest(e.embedding) AS DOUBLE) AS c
-           FROM embeddings e JOIN seeds s USING (vec_id) WHERE s.sid < {_IP_NLIST}),
+           FROM embeddings e JOIN seeds s USING (vec_id) WHERE s.sid < {n_list}),
     c2 AS (SELECT lid, SUM(CAST(ROUND(c * c * {_E8}) AS BIGINT)) AS c2 FROM cx GROUP BY lid),
     ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
                   generate_subscripts(embedding, 1) AS i
@@ -152,13 +162,13 @@ def _ivfpq_adc_sql(k: int, n_probe: int = _IP_NPROBE, n_codes: int = _IP_CODES) 
         FROM (SELECT lid, dot FROM dots WHERE vec_id = 0) q JOIN c2 USING (lid)) t
         WHERE rn <= {n_probe}),
     cand AS (SELECT a.vec_id FROM assign a JOIN probes p USING (lid)),
-    pcx AS (SELECT s.sid AS c, (generate_subscripts(e.embedding, 1) - 1) // 8 AS sub,
+    pcx AS (SELECT s.sid AS c, (generate_subscripts(e.embedding, 1) - 1) // ({d_sub}) AS sub,
                    generate_subscripts(e.embedding, 1) AS i,
                    CAST(unnest(e.embedding) AS DOUBLE) AS cv
             FROM embeddings e JOIN seeds s USING (vec_id) WHERE s.sid < {n_codes}),
     pc2 AS (SELECT c, sub, SUM(CAST(ROUND(cv * cv * {_E8}) AS BIGINT)) AS c2
             FROM pcx GROUP BY 1, 2),
-    cex AS (SELECT e.vec_id, e.x, e.i, (e.i - 1) // 8 AS sub
+    cex AS (SELECT e.vec_id, e.x, e.i, (e.i - 1) // ({d_sub}) AS sub
             FROM ex e JOIN cand USING (vec_id)),
     pdots AS (SELECT e.vec_id, p.c, e.sub,
                      SUM(CAST(ROUND(e.x * p.cv * {_E8}) AS BIGINT)) AS dot
@@ -168,7 +178,7 @@ def _ivfpq_adc_sql(k: int, n_probe: int = _IP_NPROBE, n_codes: int = _IP_CODES) 
                ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
                                   ORDER BY p2.c2 - 2 * d.dot, d.c) AS rn
         FROM pdots d JOIN pc2 p2 ON p2.c = d.c AND p2.sub = d.sub) t WHERE rn = 1),
-    qx AS (SELECT (generate_subscripts(embedding, 1) - 1) // 8 AS sub,
+    qx AS (SELECT (generate_subscripts(embedding, 1) - 1) // ({d_sub}) AS sub,
                   generate_subscripts(embedding, 1) AS i,
                   CAST(unnest(embedding) AS DOUBLE) AS q
            FROM embeddings WHERE vec_id = 0),

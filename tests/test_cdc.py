@@ -146,3 +146,22 @@ def test_versioned_partial_write_is_invisible(spark, tmp_path):
     assert write_versioned(spark.range(0, 9), root) == 3  # skips past v=2
     assert list_versions(root) == [1, 3]
     assert read_versioned(spark, root).count() == 9
+
+
+def test_versioned_visible_without_success_marker(spark, tmp_path):
+    """Clusters running cloud committers with
+    mapreduce.fileoutputcommitter.marksuccessfuljobs=false never write
+    _SUCCESS — write_versioned's own _committed sidecar must keep those
+    versions visible (simulated by deleting _SUCCESS post-write)."""
+    import os
+
+    from skripsi_mapreduce_spark.io import list_versions, read_versioned, write_versioned
+
+    root = str(tmp_path / "vtable3")
+    assert write_versioned(spark.range(0, 5), root) == 1
+    assert write_versioned(spark.range(0, 8), root) == 2
+    for n in (1, 2):
+        os.remove(os.path.join(root, f"v={n}", "_SUCCESS"))
+    assert list_versions(root) == [1, 2]
+    assert read_versioned(spark, root).count() == 8
+    assert read_versioned(spark, root, 1).count() == 5

@@ -610,6 +610,69 @@ def test_semantic_near_dups_operator_auto_k(spark):
     assert per and all(v <= 3 for v in per.values())
 
 
+def test_semantic_ivf_degenerates_to_exact_when_probing_all_lists(spark):
+    """kmeans_fixedpoint_ivf with n_probe >= n_list considers every fine
+    centroid, so the hierarchical assignment must be BIT-EQUAL to exact
+    Lloyd — the invariant that makes the IVF path a pure pruning of the
+    exact one (same keys, same tie-breaks), not a different algorithm."""
+    from skripsi_mapreduce_spark.operators.dedup import semantic_near_dups
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # target 500 at n=500 -> k=2, n_list=2, probe 2 of 2
+    ivf = sorted(map(tuple, semantic_near_dups(emb, assign="ivf").collect()))
+    exact = sorted(map(tuple, semantic_near_dups(emb, assign="exact").collect()))
+    assert ivf == exact
+
+
+def test_semantic_ivf_pruned_assignment_covers_every_doc(spark):
+    """With real pruning (target 50 at n=500 -> k=10, n_list=5, probe 2
+    of 5) every doc must still land in EXACTLY one cluster — a doc whose
+    probed lists were fine-empty would silently vanish without the
+    nonempty-list restriction."""
+    from pyspark.sql import functions as F
+
+    from skripsi_mapreduce_spark.functions.numeric import e_int
+    from skripsi_mapreduce_spark.operators.kmeans import kmeans_fixedpoint_ivf
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    w = emb.select(
+        F.col("vec_id").alias("doc_id"), F.posexplode("embedding").alias("word", "x")
+    ).select("doc_id", "word", e_int(F.col("x").cast("double"), 4).alias("x_e4"))
+    a = kmeans_fixedpoint_ivf(w, k=10, n_probe=2, weight_col="x_e4")
+    assert a.count() == n
+    assert a.select("doc_id").distinct().count() == n
+    assert a.select("cluster").distinct().count() > 2  # really partitioned
+    assert a.filter(F.col("dist2") < 0).count() == 0  # exact ints, never negative
+
+
+def test_semantic_ivf_numpy_probe_kernel_matches_join_form(spark):
+    """The Arrow/numpy probe kernel (dense matmul, codebook in the
+    closure) must produce BIT-IDENTICAL assignments to the long-form
+    join probes — same e4 quantization, same key arithmetic (exact ints
+    in float64), same (key, m) tie-break via stable argsort."""
+    from pyspark.sql import functions as F
+
+    from skripsi_mapreduce_spark.functions.numeric import e_int
+    from skripsi_mapreduce_spark.operators.kmeans import kmeans_fixedpoint_ivf
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    w = emb.select(
+        F.col("vec_id").alias("doc_id"), F.posexplode("embedding").alias("word", "x")
+    ).select("doc_id", "word", e_int(F.col("x").cast("double"), 4).alias("x_e4"))
+    dense = emb.select(F.col("vec_id").cast("long").alias("doc_id"), F.col("embedding").alias("vec"))
+    join_form = sorted(
+        map(tuple, kmeans_fixedpoint_ivf(w, k=10, n_probe=2, weight_col="x_e4").collect())
+    )
+    numpy_form = sorted(
+        map(
+            tuple,
+            kmeans_fixedpoint_ivf(w, k=10, n_probe=2, weight_col="x_e4", dense=dense).collect(),
+        )
+    )
+    assert join_form == numpy_form
+
+
 def test_ivf_partitioned_store_prunes_and_matches(spark, tmp_path):
     """The write-time IVF layout delivers REAL partition pruning: the
     probe's scan plans a list_id partition filter and reads only the

@@ -37,5 +37,6 @@ def test_rotation_lists_match_registry():
     # window always adjudicates them
     assert list(QUERIES)[: len(_PROMOTED)] == [p for p in _PROMOTED if p in QUERIES]
     # the gate cuts at ~50: a longer list would document entries as
-    # promoted that never actually get a fresh driver row
-    assert len(_PROMOTED) <= 50, len(_PROMOTED)
+    # promoted that never actually get a fresh driver row, and a shorter
+    # one wastes adjudication slots — EXACTLY 50 is the contract
+    assert len(_PROMOTED) == 50, len(_PROMOTED)
