@@ -565,31 +565,38 @@ RESIZED_SCHEMA = (
 
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize over the REAL decoded raster, binary in →
-    binary out: each P6 PPM blob decodes to its (h, w, 3) uint8 array,
-    output pixel (ox, oy) samples source pixel (ox·w//out_w,
-    oy·h//out_h) — the integer NN convention every image library uses —
-    and the result re-encodes as P6. Runs as one Arrow-batched
-    mapInPandas pass (numpy fancy-indexing per image, no per-pixel
-    Python loop); at 100 TB this is the write-time thumbnail stage:
-    map-side, shuffle-free, output rows are (id, w, h, bytes).
+    binary out: each image blob decodes to its (h, w, 3) uint8 array —
+    dispatched on MAGIC BYTES (P6 PPM via _decode_ppm, PNG via the
+    from-spec _decode_png; other formats raise, the jpeg/webp tiers are
+    honestly gated in this container, see _decode_jpeg) — output pixel
+    (ox, oy) samples source pixel (ox·w//out_w, oy·h//out_h) — the
+    integer NN convention every image library uses — and the result
+    re-encodes in the INPUT's container (PPM→PPM, PNG→PNG, so a mixed
+    media table round-trips each blob through its own format). Runs as
+    one Arrow-batched mapInPandas pass (numpy fancy-indexing per image,
+    no per-pixel Python loop); at 100 TB this is the write-time
+    thumbnail stage: map-side, shuffle-free, output rows are
+    (id, w, h, bytes).
 
     Returns (media_id, width, height, content) for rows with
-    kind == 'image'; non-PPM blobs raise (the jpeg/webp decode tiers
-    are honestly gated in this container — see _decode_jpeg)."""
+    kind == 'image'."""
     import numpy as np
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "content": []}
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                w, h, px = _decode_ppm(bytes(blob or b""))
+                raw = bytes(blob or b"")
+                is_png = raw[:8] == PNG_SIG
+                w, h, px = (_decode_png if is_png else _decode_ppm)(raw)
                 sx = (np.arange(out_w) * w) // out_w
                 sy = (np.arange(out_h) * h) // out_h
                 resized = px[sy][:, sx]  # (out_h, out_w, 3) via NN gather
+                enc = make_png if is_png else make_ppm
                 out["media_id"].append(mid)
                 out["width"].append(out_w)
                 out["height"].append(out_h)
-                out["content"].append(make_ppm(out_w, out_h, resized.tobytes()))
+                out["content"].append(enc(out_w, out_h, resized.tobytes()))
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "image").mapInPandas(op, RESIZED_SCHEMA)

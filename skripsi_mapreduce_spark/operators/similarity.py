@@ -931,6 +931,142 @@ def ivfpq_rerank_topk(
     return topk_cosine(cands, query_vec, k, id_col, vec_col)
 
 
+def ivfpq_rerank_topk_many(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank_mult: int = 16,
+    n_list: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Batched full-stack ANN: N queries through IVF prune → PQ-ADC
+    shortlist → exact re-rank, with ONE pass per tier instead of one
+    per query. Completes the batching ladder (topk_cosine_many /
+    ivf_topk_cosine_many batch the exact and IVF-flat tiers; this
+    batches the production composition). Returns (query_id, vec_id,
+    score), top-k per query, scores BIT-IDENTICAL to
+    :func:`ivfpq_rerank_topk` run per query (pinned by test).
+
+    How the single scan serves everyone:
+
+    - the IVF index and PQ codes are query-INDEPENDENT (write-time
+      artifacts), built once;
+    - per query the ``n_probe`` nearest lists and the m×n_codes ADC
+      table are computed driver-side (bounded by ``max_queries``); the
+      probe table broadcasts with each query's FLATTENED ADC table as
+      an array column, so the one scan of the encoded corpus scores a
+      row for query q as Σ_s table_q[s·n_codes + code_s] — m integer
+      lookups, pure JVM expressions;
+    - per-query ADC shortlists (rerank_mult·k window) union into ONE
+      exact re-rank join — Σ_q rerank_mult·k rows, independent of
+      corpus size.
+
+    At 100 TB: the corpus's code columns are read once for all queries,
+    only lists SOME query probes are touched (partition pruning on a
+    write_ivf_partitioned store via the probed-list union), and the
+    shuffles carry candidate/shortlist rows only."""
+    seed_rows = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), "_id")
+        .limit(max(n_list, n_codes))
+        .collect()
+    )
+    seeds = {i: [float(x) for x in r["_v"]] for i, r in enumerate(seed_rows)}
+    pq_cents = {i: seeds[i] for i in range(n_codes)}
+    indexed, ivf_cents = ivf_index(emb, n_list, id_col, vec_col, fixed_point=True)
+    encoded = pq_encode(indexed, pq_cents, m, id_col, vec_col)
+
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"{len(qrows)} queries exceeds max_queries={max_queries}; "
+            "batch the query table"
+        )
+    dim = len(seeds[0])
+    d_sub = dim // m
+    pairs = []
+    for r in qrows:
+        qv = [float(x) for x in r[q_vec_col]]
+        probe_ids = sorted(
+            sorted(ivf_cents),
+            key=lambda lid: (
+                float(_py_dot_i64(ivf_cents[lid], ivf_cents[lid]))
+                - 2.0 * _py_dot_i64(qv, ivf_cents[lid]),
+                lid,
+            ),
+        )[:n_probe]
+        flat: list[int] = []
+        for s in range(m):
+            qs = qv[s * d_sub : (s + 1) * d_sub]
+            q2 = _py_dot_i64(qs, qs)
+            for c in range(n_codes):
+                cs = pq_cents[c][s * d_sub : (s + 1) * d_sub]
+                flat.append(q2 + _py_dot_i64(cs, cs) - 2 * _py_dot_i64(qs, cs))
+        qn = _py_norm_i64(qv)
+        pairs += [
+            (int(r[q_id_col]), float(qn), qv, flat, int(lid)) for lid in probe_ids
+        ]
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(
+        pairs,
+        f"{q_id_col} long, _qn double, _qv array<double>, _adc array<long>, list_id int",
+    )
+    adc_score = sum(
+        (
+            F.element_at(
+                F.col("_adc"), F.lit(0) + s * n_codes + F.col("codes")[s] + 1
+            )
+            for s in range(m)
+        ),
+        F.lit(0).cast("long"),
+    )
+    scored = encoded.join(
+        F.broadcast(probe_df.select(q_id_col, "list_id", "_adc")), "list_id"
+    ).select(q_id_col, F.col(id_col).alias("vec_id"), adc_score.alias("adc_e8"))
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy(q_id_col).orderBy("adc_e8", "vec_id")
+    )
+    shortlist = (
+        scored.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= rerank_mult * k)
+        .select(q_id_col, "vec_id")
+    )
+    cands = emb.select(F.col(id_col).alias("vec_id"), vec_col).join(
+        F.broadcast(shortlist), "vec_id"
+    ).join(
+        F.broadcast(
+            probe_df.select(q_id_col, "_qn", "_qv").dropDuplicates([q_id_col])
+        ),
+        q_id_col,
+    )
+    exact = cands.select(
+        q_id_col,
+        "vec_id",
+        F.round(
+            (_dot_i64(F.col(vec_col), F.col("_qv")).cast("double") / SCALE)
+            / (_norm_i64(F.col(vec_col)) * F.col("_qn")),
+            6,
+        ).alias("score"),
+    )
+    rn2 = F.row_number().over(
+        Window.partitionBy(q_id_col).orderBy(F.desc("score"), "vec_id")
+    )
+    return (
+        exact.withColumn("_rn", rn2)
+        .filter(F.col("_rn") <= k)
+        .select(q_id_col, "vec_id", "score")
+    )
+
+
 def write_ivf_partitioned(
     emb: DataFrame,
     path: str,

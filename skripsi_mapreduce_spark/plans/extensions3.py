@@ -128,6 +128,7 @@ def _ivfpq_adc_sql(
     n_codes: int = _IP_CODES,
     m: int = _IP_M,
     n_list: int = _IP_NLIST,
+    qid: int = 0,
 ) -> str:
     """The hash-matched IVF-PQ ADC chain with EVERY engine knob
     parameterized — shortlist size, probe budget, PQ codebook size,
@@ -159,7 +160,7 @@ def _ivfpq_adc_sql(
         FROM dots d JOIN c2 USING (lid)) t WHERE rn = 1),
     probes AS (SELECT lid FROM (
         SELECT q.lid, ROW_NUMBER() OVER (ORDER BY c2.c2 - 2 * q.dot, q.lid) AS rn
-        FROM (SELECT lid, dot FROM dots WHERE vec_id = 0) q JOIN c2 USING (lid)) t
+        FROM (SELECT lid, dot FROM dots WHERE vec_id = {qid}) q JOIN c2 USING (lid)) t
         WHERE rn <= {n_probe}),
     cand AS (SELECT a.vec_id FROM assign a JOIN probes p USING (lid)),
     pcx AS (SELECT s.sid AS c, (generate_subscripts(e.embedding, 1) - 1) // ({d_sub}) AS sub,
@@ -181,7 +182,7 @@ def _ivfpq_adc_sql(
     qx AS (SELECT (generate_subscripts(embedding, 1) - 1) // ({d_sub}) AS sub,
                   generate_subscripts(embedding, 1) AS i,
                   CAST(unnest(embedding) AS DOUBLE) AS q
-           FROM embeddings WHERE vec_id = 0),
+           FROM embeddings WHERE vec_id = {qid}),
     q2 AS (SELECT sub, SUM(CAST(ROUND(q * q * {_E8}) AS BIGINT)) AS q2 FROM qx GROUP BY 1),
     qdots AS (SELECT p.c, p.sub, SUM(CAST(ROUND(q.q * p.cv * {_E8}) AS BIGINT)) AS qdot
               FROM qx q JOIN pcx p ON p.i = q.i GROUP BY 1, 2),
@@ -221,15 +222,19 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IPR_NPROBE, _IPR_CODES, _IPR_MULT = 12, 32, 16  # calibrated, SCALING.md
 
 
-@query(
-    "sim_topk_ivfpq_rerank",
-    f"""
+def _ivfpq_rerank_arm_sql(qid: int = 0) -> str:
+    """One query's full IVF→ADC-shortlist→exact-re-rank chain, with the
+    query id parameterized — the single-query adjudicated artifact
+    (sim_topk_ivfpq_rerank uses qid=0) and the per-arm building block of
+    the batched oracle (sim_topk_many_ivfpq_rerank unions one arm per
+    query id, proving batching changes nothing but the pass count)."""
+    return f"""
     WITH cand AS (SELECT vec_id
-                  FROM ({_ivfpq_adc_sql(_IPR_MULT * _IP_K, _IPR_NPROBE, _IPR_CODES)}) s),
+                  FROM ({_ivfpq_adc_sql(_IPR_MULT * _IP_K, _IPR_NPROBE, _IPR_CODES, qid=qid)}) s),
     ex2 AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
                    generate_subscripts(embedding, 1) AS i
             FROM embeddings),
-    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {qid}),
     qx AS (SELECT CAST(unnest(qv) AS DOUBLE) AS qxv, generate_subscripts(qv, 1) AS i FROM q),
     cex AS (SELECT e.vec_id, e.x, e.i FROM ex2 e JOIN cand c ON c.vec_id = e.vec_id),
     qdots AS (SELECT vec_id, SUM(CAST(ROUND(x * qxv * 100000000.0) AS BIGINT)) AS dot
@@ -244,8 +249,10 @@ _IPR_NPROBE, _IPR_CODES, _IPR_MULT = 12, 32, 16  # calibrated, SCALING.md
                 AS BIGINT) AS score_e6
     FROM qdots d JOIN nrms n USING (vec_id) CROSS JOIN qn
     ORDER BY score_e6 DESC, vec_id LIMIT {_IP_K}
-    """,
-)
+    """
+
+
+@query("sim_topk_ivfpq_rerank", _ivfpq_rerank_arm_sql(0))
 def sim_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production ANN composition, all three tiers adjudicated
     in one artifact (operators/similarity.ivfpq_rerank_topk): IVF prunes
@@ -272,6 +279,53 @@ def sim_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=_IPR_NPROBE, m=_IP_M, n_codes=_IPR_CODES,
     )
     return out.select("vec_id", e_int(F.col("score"), 6).alias("score_e6"))
+
+
+# ---------------------------------------------------------------------------
+# Batched IVF-PQ → exact re-rank: the FULL ANN stack, one pass per tier
+# for every query (round 6 — completes the batching ladder)
+# ---------------------------------------------------------------------------
+def _register_many_ivfpq_rerank() -> None:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST({qid} AS BIGINT) AS query_id, a.vec_id, a.score_e6\n"
+        f"FROM ({_ivfpq_rerank_arm_sql(qid)}) a"
+        for qid in range(_MANY_NQ)
+    )
+    sql = f"SELECT * FROM ({arms}) u ORDER BY query_id, score_e6 DESC, vec_id"
+
+    @query("sim_topk_many_ivfpq_rerank", sql)
+    def sim_topk_many_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batched production ANN (operators/similarity.
+        ivfpq_rerank_topk_many): four queries through IVF prune → PQ-ADC
+        shortlist → exact re-rank with ONE pass per tier. The IVF index
+        and PQ codes are query-independent write-time artifacts built
+        once; each query's probe picks and flattened m×n_codes ADC
+        table broadcast alongside, so a single scan of the encoded
+        corpus ADC-scores every (query, candidate) as m integer
+        lookups; the per-query 16k shortlists union into one exact
+        fixed-point re-rank join (Σ_q 160 rows). Scores BIT-IDENTICAL
+        to sim_topk_ivfpq_rerank run per query — the oracle unions the
+        single-query chain once per query id, proving batching changes
+        nothing but the pass count. At 100 TB: code columns are read
+        once for all queries, only probed lists are touched (partition
+        pruning on a write_ivf_partitioned store), and every shuffle
+        carries candidate/shortlist rows, never n_queries × corpus."""
+        from ..operators import similarity as sim_mod
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qdf = emb.filter(F.col("vec_id") < _MANY_NQ).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        out = sim_mod.ivfpq_rerank_topk_many(
+            emb, qdf, k=_IP_K, rerank_mult=_IPR_MULT, n_list=_IP_NLIST,
+            n_probe=_IPR_NPROBE, m=_IP_M, n_codes=_IPR_CODES,
+        )
+        return out.select(
+            "query_id", "vec_id", e_int(F.col("score"), 6).alias("score_e6")
+        ).orderBy("query_id", F.col("score_e6").desc(), "vec_id")
+
+
+_register_many_ivfpq_rerank()
 
 
 # ---------------------------------------------------------------------------

@@ -547,6 +547,32 @@ def test_ivf_many_matches_per_query_probe(spark):
     assert len(batched) == 40
 
 
+def test_ivfpq_rerank_many_matches_per_query_stack(spark):
+    """Batched full-stack ANN (one IVF-pruned ADC scan + one exact
+    re-rank join for N queries) must be BIT-identical to running
+    ivfpq_rerank_topk once per query — same probe lists, same codes,
+    same ADC shortlists, same exact scores and tie order."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").localCheckpoint()
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batched = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in sim.ivfpq_rerank_topk_many(
+            emb, qdf, k=10, rerank_mult=16, n_list=16, n_probe=12, m=8, n_codes=32
+        ).collect()
+    }
+    for qid in range(3):
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == qid).head()["embedding"]]
+        single = sim.ivfpq_rerank_topk(
+            emb, qv, k=10, rerank_mult=16, n_list=16, n_probe=12, m=8, n_codes=32
+        ).collect()
+        assert len(single) == 10
+        for r in single:
+            assert batched[(qid, r["vec_id"])] == r["score"], (qid, r)
+    assert len(batched) == 30
+
+
 def test_auto_n_probe_rule():
     """Curve calibration picks the smallest measured budget meeting the
     target; the closed form assumes the unstructured worst case

@@ -284,3 +284,55 @@ def test_resize_images_nearest_neighbor_exact(spark):
             assert (rw, rh) == (ow, oh)
             expect = src[sy][:, sx]
             assert np.array_equal(got, expect), (i, ow, oh)
+
+
+def test_resize_images_mixed_ppm_png_table(spark):
+    """Magic-byte dispatch: a media table mixing P6 PPM and PNG blobs
+    resizes every row, each re-encoded in ITS OWN container — PNG in →
+    PNG out (decodable by _decode_png), PPM in → PPM out — with pixels
+    matching the NN gather of the source raster byte-for-byte."""
+    import numpy as np
+
+    from skripsi_mapreduce_spark.operators.multimodal import (
+        PNG_SIG,
+        _decode_png,
+        _decode_ppm,
+        make_png,
+        make_ppm,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(7)
+    w, h = 6, 4
+    rasters = {i: rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8) for i in range(4)}
+    rows = [
+        (
+            i,
+            "image",
+            bytearray(
+                (make_png if i % 2 else make_ppm)(w, h, r.tobytes())
+            ),
+            None,
+        )
+        for i, r in rasters.items()
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int,sample_rate:int>",
+    )
+    ow, oh = 3, 2
+    out = {r["media_id"]: r for r in resize_images(media, ow, oh).collect()}
+    sx = (np.arange(ow) * w) // ow
+    sy = (np.arange(oh) * h) // oh
+    assert set(out) == set(rasters)
+    for i, src in rasters.items():
+        blob = bytes(out[i]["content"])
+        if i % 2:
+            assert blob[:8] == PNG_SIG
+            rw, rh, got = _decode_png(blob)
+        else:
+            assert blob[:2] == b"P6"
+            rw, rh, got = _decode_ppm(blob)
+        assert (rw, rh) == (ow, oh)
+        assert np.array_equal(got, src[sy][:, sx]), i
