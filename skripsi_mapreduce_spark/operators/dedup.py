@@ -335,12 +335,16 @@ def prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     boilerplate shingles that dominate candidate generation.
 
     When it pays: high thresholds (prefix length (1-t)|A|+1 shrinks fast)
-    over corpora with a long-tail shingle distribution (real text). On a
-    tiny-vocabulary corpus every shingle is hot and the extra
-    freq-join/window costs more than it prunes — measured on the sf0.1
-    synthetic documents it LOST 2-4x, which is why the built-in dedup
-    paths use the fingerprint cascade + LSH instead and this is offered
-    as an explicit operator."""
+    over corpora with a long-tail shingle distribution (real text) —
+    MEASURED on the zipf corpus (tools/gen_scaledata.py --zipf, 50k-word
+    rank^-1.1 vocabulary): 6.4s vs the LSH cascade's 13.3s at t=0.9 over
+    25k docs, identical verified pairs, AND recall 1.0 by construction
+    where LSH recall is probabilistic (SCALING.md round-6 table;
+    tools/prefix_vs_lsh.py reproduces it). On a tiny-vocabulary corpus
+    every shingle is hot and the extra freq-join/window costs more than
+    it prunes — measured on the sf0.1 synthetic documents it LOST 2-4x —
+    so the built-in dedup paths default to the fingerprint cascade + LSH
+    and the choice between them is one shingle-frequency groupBy away."""
     freq = sh.groupBy("shingle").agg(F.count("*").alias("_freq"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("_n"))
     w = Window.partitionBy("doc_id").orderBy("_freq", "shingle")

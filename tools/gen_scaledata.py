@@ -94,6 +94,43 @@ def gen_embeddings(n: int, rng: np.random.Generator, dim: int = 64, k: int = 10)
     )
 
 
+def gen_documents_zipf(
+    n: int, rng: np.random.Generator, vocab_size: int = 50_000, a: float = 1.1
+) -> pa.Table:
+    """Long-tail corpus for the prefix-filter experiments: the 30-word
+    uniform vocabulary of :func:`gen_documents` makes EVERY shingle hot
+    (the degenerate case where a frequency-ordered prefix filter cannot
+    prune — dedup.prefix_candidates' documented loss). Real text is
+    zipfian: here word ranks draw from p_i ∝ (i+1)^-a over a 50k-word
+    vocabulary, so most shingles in a document are RARE and the rarest-
+    first prefix collides almost only on true near-duplicates. Same
+    near-dup structure as gen_documents (~5% near-copies via a trailing
+    token, a few exact copies)."""
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    p = ranks ** -a
+    p /= p.sum()
+    lens = rng.integers(10, 101, size=n)
+    all_tokens = rng.choice(vocab_size, size=int(lens.sum()), p=p)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    texts: list[str] = []
+    for i in range(n):
+        r = rng.random()
+        if i > 10 and r < 0.05:
+            src = int(rng.integers(0, i))
+            texts.append(texts[src] + " dup" if r >= 0.002 else texts[src])
+        else:
+            texts.append(" ".join(f"w{t}" for t in all_tokens[offs[i] : offs[i + 1]]))
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array([f"src{i % 20}" for i in range(n)], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
 def gen_events(n: int, rng: np.random.Generator) -> pa.Table:
     """Matches the driver's events at sf0.1 (100k rows, 1500 users ≈ 67
     events/user, ts uniform over Jan 2024, value ~ U(0, 560) at 2dp,
@@ -203,11 +240,19 @@ def gen_tpch(sf: float, rng: np.random.Generator, out: str) -> None:
 
 
 def main() -> None:
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.5
+    args = [a for a in sys.argv[1:] if a != "--zipf"]
+    zipf = "--zipf" in sys.argv[1:]
+    sf = float(args[0]) if args else 0.5
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(root, ".scaling", f"sf{sf}")
+    default = os.path.join(root, ".scaling", f"{'zipf' if zipf else 'sf'}{sf}")
+    out = args[1] if len(args) > 1 else default
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(42)
+    if zipf:
+        n_docs = int(50000 * sf)
+        pq.write_table(gen_documents_zipf(n_docs, rng), os.path.join(out, "documents.parquet"))
+        print(f"wrote {out}: zipf documents={n_docs}")
+        return
     n_docs, n_emb, n_ev = int(50000 * sf), int(20000 * sf), int(1_000_000 * sf)
     pq.write_table(gen_documents(n_docs, rng), os.path.join(out, "documents.parquet"))
     pq.write_table(gen_embeddings(n_emb, rng), os.path.join(out, "embeddings.parquet"))
