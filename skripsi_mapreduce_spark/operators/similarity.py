@@ -858,6 +858,104 @@ def auto_n_probe(
     return min(n_list, math.ceil(target_recall * n_list))
 
 
+def corpus_digest(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[int, int]:
+    """(content_hash, row_count) in ONE scan — the cache key for
+    corpus-dependent calibrations. Order-independent (a SUM of per-row
+    hashes commutes), content-sensitive (any id or vector change moves
+    it). Not an adjudicated surface: this keys calibration caches, it
+    never appears in query results, so Spark's native hash() is fine."""
+    row = emb.select(
+        F.sum(F.hash(F.col(id_col), F.col(vec_col)).cast("long")).alias("d"),
+        F.count("*").alias("n"),
+    ).head()
+    return (int(row["d"] or 0), int(row["n"]))
+
+
+def ivf_recall_curve(
+    emb: DataFrame,
+    n_list: int = 16,
+    k: int = 10,
+    budgets: list[int] | None = None,
+    query_ids: tuple = (0,),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, float]:
+    """Measure the (n_probe → recall@k) curve ON THIS CORPUS: one IVF
+    index build, then for each budget the probed-lists top-k is compared
+    against the exact top-k, averaged over ``query_ids``. This is the
+    calibration input :func:`auto_n_probe` wants — and it is a DATASET
+    PROPERTY, not a constant: the same knobs measure 0.70 at sf0.001
+    where sf0.01 measures 0.90 (SCALING.md round-5 note), so any cached
+    curve must be refreshed when the corpus changes
+    (:func:`auto_n_probe_calibrated` automates exactly that).
+
+    Data-independent invariants (pinned by test): recall is MONOTONE
+    non-decreasing in n_probe (candidate lists nest, and an exact-scored
+    true top-k hit can only be displaced by items that are themselves
+    true top-k), and n_probe = n_list measures exactly 1.0 (exhaustive
+    scan)."""
+    if budgets is None:
+        budgets = sorted({1, 2, 4, max(1, n_list // 2), n_list})
+    indexed, cents = ivf_index(emb, n_list, id_col, vec_col, fixed_point=True)
+    indexed = indexed.localCheckpoint(eager=True)  # one index serves every budget
+    hits = {p: 0 for p in budgets}
+    for qid in query_ids:
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col(id_col) == qid).head()[vec_col]
+        ]
+        exact = {
+            r["vec_id"]
+            for r in topk_cosine(emb, qvec, k, id_col, vec_col).collect()
+        }
+        ranked = sorted(
+            sorted(cents),
+            key=lambda lid: (
+                float(_py_dot_i64(cents[lid], cents[lid]))
+                - 2.0 * _py_dot_i64(qvec, cents[lid]),
+                lid,
+            ),
+        )
+        for p in budgets:
+            cands = indexed.filter(F.col("list_id").isin(ranked[:p]))
+            got = {
+                r["vec_id"]
+                for r in topk_cosine(cands, qvec, k, id_col, vec_col).collect()
+            }
+            hits[p] += len(got & exact)
+    return {p: hits[p] / (k * len(query_ids)) for p in budgets}
+
+
+def auto_n_probe_calibrated(
+    emb: DataFrame,
+    cache: dict,
+    n_list: int = 16,
+    target_recall: float = 0.9,
+    k: int = 10,
+    budgets: list[int] | None = None,
+    query_ids: tuple = (0,),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """:func:`auto_n_probe` with the calibration-freshness rule built
+    in: the measured recall curve is keyed by :func:`corpus_digest`, and
+    whenever the corpus content changes the curve is REMEASURED before
+    the budget is picked — a stale calibration is the documented failure
+    mode (recall numbers are dataset properties; the same knobs measured
+    0.70 and 0.90 on two SFs of the same generator). ``cache`` is a
+    plain caller-owned dict (persist it however you persist the index);
+    on a digest hit no Spark job beyond the one digest scan runs."""
+    dig = corpus_digest(emb, id_col, vec_col)
+    if cache.get("digest") != dig or "curve" not in cache:
+        cache["digest"] = dig
+        cache["curve"] = ivf_recall_curve(
+            emb, n_list, k, budgets, query_ids, id_col, vec_col
+        )
+    return auto_n_probe(n_list, target_recall, cache["curve"])
+
+
 def ivfpq_topk(
     emb: DataFrame,
     query_vec: list[float],

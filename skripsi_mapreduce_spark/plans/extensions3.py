@@ -720,6 +720,13 @@ _RECALL_K = 10
 # reads this calibration and returns 12 — the smallest budget at or
 # above the 0.9 target. The 4-probe fast tier (0.70) stays in the
 # output for contrast, so the adjudicated artifact shows the tradeoff.
+# FRESHNESS RULE: this constant is a DATASET PROPERTY of the driver's
+# sf0.01 corpus (sf0.001 measures 0.70 at the same knobs). It is pinned
+# here ONLY because the adjudicated oracle must be a fixed SQL string;
+# production callers use similarity.auto_n_probe_calibrated, which keys
+# the measured curve by corpus_digest and remeasures on any change —
+# the data-independent invariants (monotone in n_probe, 1.0 at n_list)
+# are what tests pin, never a recall number.
 _IVF_RECALL_CURVE = {1: 0.2, 2: 0.5, 4: 0.7, 6: 0.8, 8: 0.8, 12: 0.9, 16: 1.0}
 
 

@@ -573,6 +573,41 @@ def test_ivfpq_rerank_many_matches_per_query_stack(spark):
     assert len(batched) == 30
 
 
+def test_recall_calibration_refresh_and_invariants(spark):
+    """The calibration-freshness rule (round-6 demand): recall curves
+    are dataset properties, so auto_n_probe_calibrated REMEASURES when
+    the corpus digest changes and reuses the cache when it doesn't.
+    Only DATA-INDEPENDENT invariants are pinned: monotone recall in
+    n_probe, exactly 1.0 at the exhaustive budget, digest
+    sensitivity/stability — never a specific recall number."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").localCheckpoint()
+    curve = sim.ivf_recall_curve(emb, n_list=8, k=5, budgets=[1, 2, 4, 8])
+    vals = [curve[p] for p in sorted(curve)]
+    assert vals == sorted(vals), curve  # monotone non-decreasing
+    assert curve[8] == 1.0  # probing every list is the exact scan
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+    d1 = sim.corpus_digest(emb)
+    assert d1 == sim.corpus_digest(emb)  # deterministic
+    changed = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 0, F.array([F.lit(1.0)] * 64)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    assert sim.corpus_digest(changed) != d1  # content-sensitive
+    assert sim.corpus_digest(emb.filter(F.col("vec_id") > 0)) != d1
+
+    cache: dict = {}
+    p1 = sim.auto_n_probe_calibrated(emb, cache, n_list=8, k=5, budgets=[1, 2, 4, 8])
+    assert cache["digest"] == d1 and cache["curve"][8] == 1.0
+    frozen = dict(cache["curve"])
+    p2 = sim.auto_n_probe_calibrated(emb, cache, n_list=8, k=5, budgets=[1, 2, 4, 8])
+    assert p2 == p1 and cache["curve"] == frozen  # cache hit, no remeasure
+    sim.auto_n_probe_calibrated(changed, cache, n_list=8, k=5, budgets=[1, 2, 4, 8])
+    assert cache["digest"] == sim.corpus_digest(changed)  # refreshed
+
+
 def test_auto_n_probe_rule():
     """Curve calibration picks the smallest measured budget meeting the
     target; the closed form assumes the unstructured worst case
