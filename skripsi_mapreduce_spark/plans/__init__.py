@@ -6,62 +6,134 @@ from . import relational2  # noqa: F401  (registers into QUERIES/ORACLE)
 from . import extensions2  # noqa: F401  (registers into QUERIES/ORACLE)
 from . import extensions3  # noqa: F401  (registers into QUERIES/ORACLE)
 
-# The external correctness gate adjudicates the FIRST ~50 registry entries
-# in dict order (rounds 1-4 all cut off at exactly position 50).
+# The external correctness gate adjudicates the FIRST ~50 registry
+# entries in dict order (every round so far cut at exactly position 50).
 # Rotate so every entry's freshest driver-green row stays recent.
 #
-# Round 5 head (executes the r4 verdict's rotation demand verbatim):
-#  (0) entries added or kernel-changed THIS round — must be adjudicated
-#      (the two formerly fixed-knob entries now derive their knob from
-#      the corpus; emb_random_projection's numpy kernel now accumulates
-#      in int64; dedup_incremental's operator got the id_col fix;
-#      emb_kmeans shares the parameterized K-Means CTE chain),
-#  (a) the 27 entries whose freshest driver-green row is r1/r2
-#      (q19/q20/q22/q23/q26 from r1; the q35-q44 + ta_* + mix_* block
-#      from r2) — the stalest evidence in the repo,
-#  (b) fill to EXACTLY 50 with the oldest r3-green entries (q01-q08;
-#      q15/q16 did NOT fit the 50-name window and stay r3-green like
-#      the rest of the q09-q34 block). _PROMOTED is kept at exactly 50
-#      names so the list
-#      documents precisely which entries the gate re-adjudicates —
-#      names beyond the cut would read as promoted while never getting
-#      a fresh row (a registry test pins the length).
-# Tail = r4-greens (freshest evidence, code unchanged, still pinned by
-# the local oracle suite every pytest run).
+# Round 6 head (executes the r5 verdict's rotation ledger verbatim):
+#  (0) entries added or kernel/oracle-changed THIS round — must be
+#      adjudicated (dedup_semantic: hierarchical IVF assignment + new
+#      oracle chain; sim_topk_many_ivfpq_rerank: new batched full-stack
+#      entry; mm_image_resize: magic-byte PPM/PNG dispatch; the three
+#      PQ/IVF-PQ entries whose oracle BUILDERS were reparameterized —
+#      rendered SQL verified identical at the default knobs, promoted
+#      anyway so the gate re-proves it),
+#  (a) the 34 entries whose freshest driver-green row is r3 — the
+#      stalest evidence in the repo (q15-q18, q21, q24-q34 remainder,
+#      the mm_* decode trio, bpe/etl/pack/profile/skew/range/rollup/
+#      pipe/sketch/graph_pagerank/ta blocks, q45),
+#  (b) fill to EXACTLY 50 with the OLDEST r4-green entries (the first
+#      ten of the r5 tail). A registry test pins len == 50.
 #
-# Round-6 rotation plan (freshness ledger after r5): head-50 entries
-# carry r5 evidence; everything else carries r3 (the q17-q30 filler
-# block trimmed from this head, plus dedup_cross_corpus,
-# etl_sequential_ids, bpe_merges, pack_blocks, q31-q34, sketch_kmv/
-# cms, graph_pagerank, bpe_encode, ta_quality_classifier, mm_*,
-# profile_lineitem, skew_salted_agg, range_join_pairs, rollup_events,
-# pipe_contamination, q45, ta_bigram_lp) or r4 (the _TAIL list). r6
-# head = any r6-changed kernels + the r3 block first (oldest), then as
-# many r4s as fit; keep _PROMOTED at exactly 50.
+# Freshness ledger after r6 (for the round-7 rotation): head-50 carry
+# r6 evidence; _TAIL lists the 31 remaining r4-green entries FIRST
+# (oldest — r7's fill pool) then the 46 r5-green entries. r7 head =
+# any r7-changed kernels + the r4 block, then r5 fill to exactly 50.
 _PROMOTED = [
     # (0) changed/new this round
     "dedup_semantic",
+    "sim_topk_many_ivfpq_rerank",
+    "mm_image_resize",
+    "sim_topk_ivfpq_rerank",
+    "sim_topk_ivfpq",
+    "sim_topk_pq",
+    # (a) last driver-green r3
+    "q15_window_rank",
+    "q16_window_lag",
+    "q17_window_frame",
+    "q18_topk",
+    "q21_grouping_sets",
+    "q24_math_fns",
+    "q25_conditional_agg",
+    "q27_tumbling_window",
+    "q28_sessionization",
+    "q29_exact_dedup",
+    "q30_array_tokens",
+    "dedup_cross_corpus",
+    "etl_sequential_ids",
+    "bpe_merges",
+    "pack_blocks",
+    "q31_pivot",
+    "q32_quantiles",
+    "q33_listagg",
+    "q34_ntile",
+    "sketch_kmv_distinct",
+    "sketch_cms_topk",
+    "graph_pagerank",
+    "bpe_encode",
+    "ta_quality_classifier",
+    "mm_image_decode",
+    "mm_audio_decode",
+    "mm_video_frames",
+    "profile_lineitem",
+    "skew_salted_agg",
+    "range_join_pairs",
+    "rollup_events",
+    "pipe_contamination",
+    "q45_apply_changes",
+    "ta_bigram_lp",
+    # (b) oldest r4-green evidence, filling the window to exactly 50
+    "q50_udtf_bigrams",
+    "mix_negatives",
+    "dedup_group_keep",
+    "q51_fuzzy_match",
+    "stream_enrich",
+    "q52_cube",
+    "sim_topk_many",
+    "sketch_bloom",
+    "mix_temperature",
+    "stream_interval_join",
+]
+_TAIL = [
+    # green r4 — the oldest evidence outside the head (r7's fill pool)
+    "stream_sliding",
+    "stream_dedup",
+    "graph_components",
+    "cdc_scd2",
+    "skew_salted_join",
+    "cdc_incremental_agg",
+    "q46_lateral_topk",
+    "q47_pipe_syntax",
+    "q48_variant_props",
+    "sketch_kmv_merge",
+    "graph_triangles",
+    "pipe_prepare_corpus",
+    "stream_tumbling",
+    "stream_sessionization",
+    "stream_stateful_anomalies",
+    "sim_topk_ivf",
+    "kmeans_documents",
+    "ta_trigram_lp",
+    "sketch_hist_quantiles",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "sim_topk_cosine",
+    "sim_topk_lsh",
+    "tfidf_longform",
+    "q09_semi_join",
+    "q10_anti_join",
+    "q11_range_self_join",
+    "q12_cross_join",
+    "q13_scalar_subquery",
+    "q14_correlated_subquery",
+    # green r5 — freshest evidence, rotated out of the head
     "dedup_embedding_cosine",
     "emb_random_projection",
     "dedup_incremental",
     "emb_kmeans",
     "sim_topk_pq_rerank",
-    "sim_topk_ivfpq_rerank",
-    "sim_topk_ivfpq",
     "sim_recall_ivf",
     "q49_recursive_cte",
     "q53_zorder_layout",
     "dedup_prefix_jaccard",
     "sketch_kmv_intersect",
     "sim_topk_many_ivf",
-    "mm_image_resize",
-    # (a) last driver-green r1
     "q19_set_ops",
     "q20_rollup",
     "q22_string_fns",
     "q23_date_fns",
     "q26_distinct",
-    # (a) last driver-green r2
     "q35_regexp",
     "q36_histogram",
     "q37_null_semantics",
@@ -84,7 +156,6 @@ _PROMOTED = [
     "ta_unigram_lp",
     "mix_weighted_topk",
     "mix_stratified",
-    # (b) oldest r3-green evidence, filling the window to ~50
     "q01_scan_project",
     "q02_filter",
     "q03_tpch_q1",
@@ -93,51 +164,6 @@ _PROMOTED = [
     "q06_inner_join",
     "q07_tpch_q5",
     "q08_left_join",
-]
-_TAIL = [
-    # green r4 — freshest driver evidence, rotated out of the head
-    "q50_udtf_bigrams",
-    "mix_negatives",
-    "dedup_group_keep",
-    "q51_fuzzy_match",
-    "stream_enrich",
-    "q52_cube",
-    "sim_topk_many",
-    "sketch_bloom",
-    "mix_temperature",
-    "stream_interval_join",
-    "stream_sliding",
-    "stream_dedup",
-    "graph_components",
-    "cdc_scd2",
-    "skew_salted_join",
-    "cdc_incremental_agg",
-    "q46_lateral_topk",
-    "q47_pipe_syntax",
-    "q48_variant_props",
-    "sketch_kmv_merge",
-    "graph_triangles",
-    "pipe_prepare_corpus",
-    "stream_tumbling",
-    "stream_sessionization",
-    "stream_stateful_anomalies",
-    "sim_topk_ivf",
-    "kmeans_documents",
-    "ta_trigram_lp",
-    "sketch_hist_quantiles",
-    "sim_topk_pq",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "sim_topk_cosine",
-    "sim_topk_lsh",
-    "tfidf_longform",
-    "q09_semi_join",
-    "q10_anti_join",
-    "q11_range_self_join",
-    "q12_cross_join",
-    "q13_scalar_subquery",
-    "q14_correlated_subquery",
 ]
 
 
