@@ -775,12 +775,16 @@ def kmeans_fixedpoint_ivf(
     ).localCheckpoint(eager=True)
     d2 = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("x2"))
 
+    # seed pick: dense ids are unique by contract, so the n·d-row
+    # distinct over the exploded form is skipped when dense is given —
+    # the md5 ordering (and thus the picked set) is identical
+    ids = (
+        dense.select("doc_id")
+        if dense is not None
+        else w.select("doc_id").distinct()
+    )
     seed_rows = (
-        w.select("doc_id")
-        .distinct()
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-        .limit(k)
-        .collect()
+        ids.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id").limit(k).collect()
     )
     spark = weights.sparkSession
     seed_df = spark.createDataFrame(
