@@ -538,6 +538,104 @@ def _probe_lists_numpy(
     return dense.mapInPandas(probe, schema)
 
 
+def _np_trunc_div(a, b):
+    """Integer division truncating toward ZERO — numpy's ``//`` floors
+    (differs on negatives), while Spark's DIV and DuckDB's ``//`` both
+    truncate; signed centroid sums make the distinction load-bearing."""
+    import numpy as np
+
+    return np.sign(a) * np.sign(b) * (np.abs(a) // np.abs(b))
+
+
+def _coarse_model_numpy(f0_rows: list, n_list: int, n_passes_seed_probe: int = 2):
+    """Driver-side exact-int replica of the coarse-quantizer chain over
+    the COLLECTED fine seed vectors (k×d rows — the same payload the
+    fused kernel already holds in its closure, so no new scale bound):
+    md5-min coarse seeds → one assignment pass → (2s+n) trunc-div
+    update → final quantization of the seeds. Returns
+    (g_rows, cmap1_rows) shaped like the distributed path's collects —
+    BIT-IDENTICAL to the join-form/SQL chain (pinned by the kernel
+    parity + degenerate==exact tests): int64 matmuls (products < 2^63),
+    (key, id) tie-breaks via first-hit argmin over id-ascending
+    columns, zero-dropped rows excluded from candidacy exactly as the
+    SQL's ``WHERE gw <> 0`` does. Exists purely to delete ~6 tiny
+    Spark jobs per clustering (the measured fixed floor at small SF —
+    the coarse chain is k-row work that never needed a cluster)."""
+    import hashlib
+
+    import numpy as np
+
+    js = sorted({int(r["cluster"]) for r in f0_rows})
+    width = max(int(r["word"]) for r in f0_rows) + 1
+    jidx = {j: i for i, j in enumerate(js)}
+    S = np.zeros((len(js), width), dtype=np.int64)
+    for r in f0_rows:
+        S[jidx[int(r["cluster"])], int(r["word"])] = int(r["cw"])
+    x2 = (S * S).sum(axis=1)
+    cseeds = sorted(js, key=lambda j: (hashlib.md5(str(j).encode()).hexdigest(), j))[
+        : min(n_list, len(js))
+    ]
+    G0 = S[[jidx[j] for j in cseeds]]
+    # candidacy mirrors the join form: a list is a candidate only if its
+    # centroid has >= 1 nonzero weight (zero rows never reach cent/g)
+    cand0 = [m for m in range(len(cseeds)) if G0[m].any()]
+    g02 = (G0 * G0).sum(axis=1)
+    keys0 = x2[:, None] + g02[None, cand0] - 2 * (S @ G0[cand0].T)
+    ca1 = np.array(cand0)[np.argmin(keys0, axis=1)]  # first hit = lowest m
+    G = np.zeros((len(cseeds), width), dtype=np.int64)
+    nonempty = []
+    for m in set(int(v) for v in ca1):
+        members = S[ca1 == m]
+        n = members.shape[0]
+        s = members.sum(axis=0)
+        gw = _np_trunc_div(2 * s + n, np.int64(2 * n))
+        G[m] = gw
+        if gw.any():
+            nonempty.append(m)
+    nonempty = sorted(nonempty)
+    g2 = (G * G).sum(axis=1)
+    keys1 = x2[:, None] + g2[None, nonempty] - 2 * (S @ G[nonempty].T)
+    cmap1 = np.array(nonempty)[np.argmin(keys1, axis=1)]
+    g_rows = [
+        {"m": m, "word": w, "gw": int(G[m, w])}
+        for m in nonempty
+        for w in np.nonzero(G[m])[0]
+    ]
+    cmap1_rows = [{"cluster": int(j), "m": int(m)} for j, m in zip(js, cmap1)]
+    return g_rows, cmap1_rows, G, g2, nonempty
+
+
+def _quantize_rows_numpy(cent_rows: list, G, g2, nonempty: list) -> list:
+    """Driver-side pass-2 re-quantization: assign each (collected) fine
+    centroid to its nearest nonempty coarse list under the same int64
+    key and tie-break — the cmap2 stage without a Spark job."""
+    import numpy as np
+
+    js = sorted({int(r["cluster"]) for r in cent_rows})
+    width = G.shape[1]
+    jidx = {j: i for i, j in enumerate(js)}
+    C = np.zeros((len(js), width), dtype=np.int64)
+    extra = 0
+    for r in cent_rows:
+        w = int(r["word"])
+        if w < width:
+            C[jidx[int(r["cluster"])], w] = int(r["cw"])
+        else:
+            extra += 1  # word beyond G's width: dot term is 0 anyway
+    x2 = (C * C).sum(axis=1)
+    if extra:
+        # x2 must still count out-of-width coords (they square into x2
+        # even though they never meet a nonzero G column)
+        for r in cent_rows:
+            if int(r["word"]) >= width:
+                x2[jidx[int(r["cluster"])]] += int(r["cw"]) ** 2
+    keys = x2[:, None] + g2[None, nonempty] - 2 * (C @ G[nonempty].T)
+    import numpy as np
+
+    ms = np.array(nonempty)[np.argmin(keys, axis=1)]
+    return [{"cluster": int(j), "m": int(m)} for j, m in zip(js, ms)]
+
+
 def _assign_fused_numpy(
     dense: DataFrame,
     g_rows: list,
@@ -790,6 +888,31 @@ def kmeans_fixedpoint_ivf(
     seed_df = spark.createDataFrame(
         [(r["doc_id"], i) for i, r in enumerate(seed_rows)], "doc_id long, cluster int"
     )
+    # Fused fast path (decided from the dense dim BEFORE building the
+    # distributed coarse chain): when the k×d fine codebook fits the
+    # closure bound it is COLLECTED anyway, so the whole coarse chain
+    # (k-row work) runs driver-side in exact int64 numpy
+    # (_coarse_model_numpy — bit-identical by the parity tests) and
+    # each assignment pass is ONE mapInPandas job. Deletes ~6 tiny
+    # Spark jobs per clustering — the measured fixed floor at small SF.
+    dim = len(dense.head()["vec"]) if dense is not None else 0
+    if dense is not None and k * dim <= _FUSED_MAX_CELLS:
+        f0_rows = (
+            w.join(F.broadcast(seed_df), "doc_id")
+            .select("cluster", "word", F.col("w").alias("cw"))
+            .filter(F.col("cw") != 0)
+            .collect()
+        )
+        if f0_rows:
+            g_rows, cmap1_rows, G, g2v, nonempty = _coarse_model_numpy(f0_rows, n_list)
+            a1 = _assign_fused_numpy(
+                dense, g_rows, f0_rows, cmap1_rows, n_probe
+            ).localCheckpoint(eager=True)
+            c1_rows = _centroid_update(w, a1).collect()
+            cmap2_rows = _quantize_rows_numpy(c1_rows, G, g2v, nonempty)
+            a2 = _assign_fused_numpy(dense, g_rows, c1_rows, cmap2_rows, n_probe)
+            return a2.localCheckpoint(eager=True)
+
     # pass-1 fine centroids = the seed vectors (exact zeros dropped —
     # they contribute nothing to c2 or any dot; mirrors the oracle CTE)
     f0 = (
@@ -827,22 +950,16 @@ def kmeans_fixedpoint_ivf(
     )
     g_probe = g.select(F.col("cluster").alias("m"), "word", F.col("cw").alias("gw"))
     g_rows = g_probe.collect() if dense is not None else None  # c×d rows, bounded
-    width = (max(int(r["word"]) for r in g_rows) + 1) if g_rows else 0
-    fused = dense is not None and k * width <= _FUSED_MAX_CELLS
 
-    # One hierarchical assignment pass. Kernel tiers, fastest honest one
-    # wins: (1) fused Arrow/numpy (probe + score in ONE dense pass, both
-    # codebooks in the closure) while the k×d fine codebook fits
-    # _FUSED_MAX_CELLS; (2) numpy probes (c×d codebook — bounded at ANY
-    # scale) + distributed join scoring; (3) all-join form. Probe
-    # ranking is always restricted to lists that HOLD at least one fine
-    # centroid (a doc probing only fine-empty lists would otherwise get
-    # zero candidates and silently vanish from the assignment).
+    # One hierarchical assignment pass. Remaining kernel tiers (the
+    # fused one-pass kernel returned above when the k×d codebook fit
+    # the closure bound): (2) numpy probes (c×d codebook — bounded at
+    # ANY scale: c ~ sqrt(2k)) + distributed join scoring; (3) all-join
+    # form. Probe ranking is always restricted to lists that HOLD at
+    # least one fine centroid (a doc probing only fine-empty lists
+    # would otherwise get zero candidates and silently vanish from the
+    # assignment).
     def _pass(cent: DataFrame, cmap: DataFrame) -> DataFrame:
-        if fused:
-            return _assign_fused_numpy(
-                dense, g_rows, cent.collect(), cmap.collect(), n_probe
-            )
         if dense is not None:
             lists = {r["m"] for r in cmap.select("m").distinct().collect()}  # <= c rows
             probes = _probe_lists_numpy(
