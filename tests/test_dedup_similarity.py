@@ -707,6 +707,53 @@ def test_semantic_ivf_pruned_assignment_covers_every_doc(spark):
     assert a.filter(F.col("dist2") < 0).count() == 0  # exact ints, never negative
 
 
+def test_semantic_ivf_kernel_parity_adversarial_ties(spark):
+    """Tie-break torture for the three assignment implementations: tiny
+    integer vectors from {-2..2} make equal distances, all-zero seeds,
+    zero-weight words, and emptied coarse lists COMMON — exactly the
+    cases smooth random embeddings never hit and where the driver-side
+    numpy coarse model, the fused kernel, and the distributed join form
+    could silently diverge on (key, id) ordering or trunc-vs-floor
+    division of negative centroid sums. All three must stay bit-equal.
+
+    Deterministic seed grid instead of hypothesis: each case costs
+    multiple Spark jobs, so a fixed 6-case sweep keeps the suite fast
+    while still covering negative/zero/tie-heavy inputs."""
+    import random
+
+    from skripsi_mapreduce_spark.functions.numeric import e_int
+    from skripsi_mapreduce_spark.operators.kmeans import kmeans_fixedpoint_ivf
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n, dim = 40, 4
+        rows = [
+            (i, [float(rng.choice([-2, -1, 0, 0, 1, 2])) for _ in range(dim)])
+            for i in range(n)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        w = emb.select(
+            F.col("vec_id").alias("doc_id"), F.posexplode("embedding").alias("word", "x")
+        ).select("doc_id", "word", e_int(F.col("x").cast("double"), 4).alias("x_e4"))
+        dense = emb.select(
+            F.col("vec_id").cast("long").alias("doc_id"), F.col("embedding").alias("vec")
+        )
+        k = 8
+        join_form = sorted(
+            map(tuple, kmeans_fixedpoint_ivf(w, k=k, n_probe=2, weight_col="x_e4").collect())
+        )
+        fused = sorted(
+            map(
+                tuple,
+                kmeans_fixedpoint_ivf(
+                    w, k=k, n_probe=2, weight_col="x_e4", dense=dense
+                ).collect(),
+            )
+        )
+        assert join_form == fused, f"seed={seed}"
+        assert len(fused) == n, f"seed={seed}: doc lost under ties"
+
+
 def test_semantic_ivf_numpy_probe_kernel_matches_join_form(spark):
     """The Arrow/numpy probe kernel (dense matmul, codebook in the
     closure) must produce BIT-IDENTICAL assignments to the long-form

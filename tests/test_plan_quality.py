@@ -345,3 +345,33 @@ def test_q53_zorder_is_pure_expression_single_agg(spark):
     # partial HashAggregate -> ONE hash exchange -> final -> output sort
     assert p.count("hashpartitioning") == 1, p.count("hashpartitioning")
     assert p.count("HashAggregate") >= 2  # map-side partials present
+
+
+def test_fused_ivf_assignment_is_shuffle_free(spark):
+    """The fused hierarchical-assignment kernel's contract is that one
+    WHOLE assignment pass is a single mapInPandas over the dense
+    vectors — no Exchange of any kind (the join form pays a word-join
+    hash aggregate plus a per-doc window per pass). A shuffle appearing
+    here means the kernel regressed into the join tiers silently."""
+    from pyspark.sql import functions as F
+
+    from skripsi_mapreduce_spark.operators.kmeans import _assign_fused_numpy
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dense = emb.select(
+        F.col("vec_id").cast("long").alias("doc_id"), F.col("embedding").alias("vec")
+    )
+    g_rows = [{"m": 0, "word": 0, "gw": 5}, {"m": 1, "word": 1, "gw": -3}]
+    cent_rows = [
+        {"cluster": 0, "word": 0, "cw": 4},
+        {"cluster": 1, "word": 1, "cw": -2},
+        {"cluster": 2, "word": 2, "cw": 7},
+    ]
+    cmap_rows = [{"cluster": 0, "m": 0}, {"cluster": 1, "m": 1}, {"cluster": 2, "m": 0}]
+    out = _assign_fused_numpy(dense, g_rows, cent_rows, cmap_rows, n_probe=2)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+    assert out.count() == emb.count()  # and it actually runs
