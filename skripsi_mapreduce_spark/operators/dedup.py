@@ -1109,30 +1109,14 @@ def semantic_near_dups(
     import math
 
     from ..functions.numeric import e_int
-    from .kmeans import kmeans_fixedpoint, kmeans_fixedpoint_ivf
     from .similarity import pair_cosine_pandas
 
     if k == "auto":
         k = max(2, math.ceil(emb.count() / target_cluster_size))
-    w = emb.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(vec_col).alias("word", "x"),
-    ).select("doc_id", "word", e_int(F.col("x").cast("double"), 4).alias("x_e4"))
-    if assign == "ivf":
-        dense = emb.select(
-            F.col(id_col).cast("long").alias("doc_id"), F.col(vec_col).alias("vec")
-        )
-        assign_df = kmeans_fixedpoint_ivf(
-            w, k=int(k), n_probe=n_probe, weight_col="x_e4", dense=dense
-        ).select("doc_id", "cluster")
-    elif assign == "exact":
-        assign_df = kmeans_fixedpoint(
-            w, k=int(k), n_assign_passes=n_assign_passes, weight_col="x_e4",
-            output="assignments",
-        ).select("doc_id", "cluster")
-    else:
-        raise ValueError(f"assign must be 'ivf' or 'exact', got {assign!r}")
-    assign = assign_df
+    assign = semantic_assignments(
+        emb, int(k), id_col=id_col, vec_col=vec_col, assign=assign,
+        n_probe=n_probe, n_assign_passes=n_assign_passes,
+    )
     a = assign.select(F.col("doc_id").alias("id_a"), F.col("cluster"))
     b = assign.select(F.col("doc_id").alias("id_b"), F.col("cluster").alias("_cb"))
     pairs = a.join(
@@ -1149,3 +1133,93 @@ def semantic_near_dups(
         .filter(F.col("_rn") <= int(top_per_cluster))
         .select("cluster", "id_a", "id_b", "cosine_e6")
     )
+
+
+def semantic_keep(
+    emb: DataFrame,
+    eps: float = 0.99,
+    k: int | str = "auto",
+    target_cluster_size: int = 500,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "ivf",
+    n_probe: int = 2,
+) -> DataFrame:
+    """SemDeDup's END — the keep/drop decision a training-data pipeline
+    actually consumes (semantic_near_dups surfaces the evidence pairs;
+    this emits the verdict): cluster with the hierarchical fixed-point
+    K-Means, score cosine within clusters only, and DROP every doc that
+    has a LOWER-id witness in its cluster with cosine >= ``eps`` — the
+    deterministic min-id form of the paper's keep-one-per-duplicate-set
+    rule (Abbas et al. 2023 §3: within-cluster pairs above eps collapse
+    to one representative; min-id makes the choice engine-replayable).
+    Returns (doc_id, cluster, kept) for EVERY doc, kept ∈ {0, 1}.
+
+    Scale shape: identical to semantic_near_dups (the decision is a
+    within-cluster anti-join — no new quadratic term, and the drop rule
+    needs no connected components: a doc keeps or drops on the
+    EXISTENCE of a smaller-id near-dup, one semi-join)."""
+    import math
+
+    from ..functions.numeric import e_int
+    from .similarity import pair_cosine_pandas
+
+    if k == "auto":
+        k = max(2, math.ceil(emb.count() / target_cluster_size))
+    assign_df = semantic_assignments(
+        emb, int(k), id_col=id_col, vec_col=vec_col, assign=assign, n_probe=n_probe
+    )
+    a = assign_df.select(F.col("doc_id").alias("id_a"), F.col("cluster"))
+    b = assign_df.select(F.col("doc_id").alias("id_b"), F.col("cluster").alias("_cb"))
+    pairs = a.join(
+        b, (F.col("cluster") == F.col("_cb")) & (F.col("id_a") < F.col("id_b"))
+    ).select("cluster", "id_a", "id_b")
+    eps_e6 = int(round(eps * 1_000_000))
+    dropped = (
+        pair_cosine_pandas(pairs, emb, id_col=id_col, vec_col=vec_col)
+        .select("id_b", e_int(F.col("cosine"), 6).alias("cosine_e6"))
+        .filter(F.col("cosine_e6") >= eps_e6)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return assign_df.join(
+        dropped.withColumn("_d", F.lit(1)), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "cluster",
+        F.when(F.col("_d").isNull(), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("kept"),
+    )
+
+
+def semantic_assignments(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "ivf",
+    n_probe: int = 2,
+    n_assign_passes: int = 2,
+) -> DataFrame:
+    """(doc_id, cluster): the clustering stage shared by
+    :func:`semantic_near_dups` and :func:`semantic_keep` — e4-quantized
+    long form into the hierarchical (or exact) fixed-point K-Means."""
+    from ..functions.numeric import e_int
+    from .kmeans import kmeans_fixedpoint, kmeans_fixedpoint_ivf
+
+    w = emb.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(vec_col).alias("word", "x"),
+    ).select("doc_id", "word", e_int(F.col("x").cast("double"), 4).alias("x_e4"))
+    if assign == "ivf":
+        dense = emb.select(
+            F.col(id_col).cast("long").alias("doc_id"), F.col(vec_col).alias("vec")
+        )
+        return kmeans_fixedpoint_ivf(
+            w, k=int(k), n_probe=n_probe, weight_col="x_e4", dense=dense
+        ).select("doc_id", "cluster")
+    if assign == "exact":
+        return kmeans_fixedpoint(
+            w, k=int(k), n_assign_passes=n_assign_passes, weight_col="x_e4",
+            output="assignments",
+        ).select("doc_id", "cluster")
+    raise ValueError(f"assign must be 'ivf' or 'exact', got {assign!r}")

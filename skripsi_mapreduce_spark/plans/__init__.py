@@ -22,16 +22,20 @@ from . import extensions3  # noqa: F401  (registers into QUERIES/ORACLE)
 #      stalest evidence in the repo (q15-q18, q21, q24-q34 remainder,
 #      the mm_* decode trio, bpe/etl/pack/profile/skew/range/rollup/
 #      pipe/sketch/graph_pagerank/ta blocks, q45),
-#  (b) fill to EXACTLY 50 with the OLDEST r4-green entries (the first
-#      ten of the r5 tail). A registry test pins len == 50.
+#  (b) fill to EXACTLY 50 with the OLDEST r4-green entries (nine of the
+#      first ten of the r5 tail — stream_interval_join was displaced
+#      when dedup_semantic_keep landed late in the round and new
+#      entries outrank fills). A registry test pins len == 50.
 #
 # Freshness ledger after r6 (for the round-7 rotation): head-50 carry
-# r6 evidence; _TAIL lists the 31 remaining r4-green entries FIRST
-# (oldest — r7's fill pool) then the 46 r5-green entries. r7 head =
-# any r7-changed kernels + the r4 block, then r5 fill to exactly 50.
+# r6 evidence; _TAIL lists the 32 remaining r4-green entries FIRST
+# (oldest — r7's fill pool, stream_interval_join included) then the 46
+# r5-green entries. r7 head = any r7-changed kernels + the r4 block,
+# then r5 fill to exactly 50.
 _PROMOTED = [
     # (0) changed/new this round
     "dedup_semantic",
+    "dedup_semantic_keep",
     "sim_topk_many_ivfpq_rerank",
     "mm_image_resize",
     "sim_topk_ivfpq_rerank",
@@ -82,10 +86,10 @@ _PROMOTED = [
     "sim_topk_many",
     "sketch_bloom",
     "mix_temperature",
-    "stream_interval_join",
 ]
 _TAIL = [
     # green r4 — the oldest evidence outside the head (r7's fill pool)
+    "stream_interval_join",
     "stream_sliding",
     "stream_dedup",
     "graph_components",

@@ -1047,7 +1047,7 @@ _SEM_TARGET = 50  # target cluster size: small enough that the coarse
 _SEM_NPROBE = 2
 
 
-def _semantic_ivf_ctes(k_sql: str, c_sql: str, n_probe: int) -> str:
+def _semantic_ivf_ctes(k_sql: str, c_sql: str, n_probe: int, src: str = "embeddings") -> str:
     """The hierarchically-assigned fixed-point K-Means CTE chain through
     the final assignment table ``a2`` (doc_id, cluster, dist2) — the SQL
     replay of operators/kmeans.kmeans_fixedpoint_ivf, stage for stage:
@@ -1061,7 +1061,7 @@ def _semantic_ivf_ctes(k_sql: str, c_sql: str, n_probe: int) -> str:
         SELECT vec_id AS doc_id,
                generate_subscripts(embedding, 1) - 1 AS word,
                {e_int_sql('CAST(unnest(embedding) AS DOUBLE)', 4)} AS w
-        FROM embeddings),
+        FROM {src}),
     d2 AS MATERIALIZED (SELECT doc_id, SUM(w * w) AS x2 FROM w GROUP BY doc_id),
     seeds AS MATERIALIZED (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS INT) AS j
               FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
@@ -1230,6 +1230,103 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign="ivf", n_probe=_SEM_NPROBE,
     )
     return out.orderBy("cluster", F.desc("cosine_e6"), "id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup's END: the per-doc keep/drop VERDICT (round 6) — the output a
+# training-data pipeline consumes. Same hierarchical clustering chain,
+# within-cluster cosines thresholded at eps, drop = exists a LOWER-id
+# witness at/above eps in the same cluster (the deterministic min-id
+# form of keep-one-per-duplicate-set; no components needed — one
+# EXISTS/anti-join decides each doc).
+# ---------------------------------------------------------------------------
+_SEM_KEEP_EPS_E6 = 990_000  # cosine >= 0.99 collapses a duplicate set
+
+
+def _semantic_keep_oracle_sql() -> str:
+    # The raw table has no dedup-grade pairs (max pairwise cosine 0.51),
+    # so both sides plant deterministic twins — every 20th vector
+    # rescaled by 1.02 under vec_id + (max+1), cosine 1.0 with its base
+    # — making the DROP branch non-vacuous on the adjudicated surface
+    # (the dedup_embedding_cosine convention).
+    return f"""
+    WITH src AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings),
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.02)
+        FROM embeddings WHERE vec_id % 20 = 0),
+    nk AS (SELECT GREATEST(2, CAST(CEIL(COUNT(*) / {_SEM_TARGET}.0) AS INT)) AS k,
+                  GREATEST(2, CAST(CEIL(SQRT(2.0 * GREATEST(2,
+                      CAST(CEIL(COUNT(*) / {_SEM_TARGET}.0) AS INT)))) AS INT)) AS c
+           FROM src),
+    {_semantic_ivf_ctes("(SELECT k FROM nk)", "(SELECT c FROM nk)", _SEM_NPROBE, "src")},
+    kpairs AS MATERIALIZED (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM a2 x JOIN a2 y
+          ON x.cluster = y.cluster AND x.doc_id < y.doc_id),
+    kex AS MATERIALIZED (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM src),
+    kdots AS MATERIALIZED (
+        SELECT p.id_a, p.id_b,
+               SUM(CAST(ROUND(xa.x * xb.x * 100000000.0) AS BIGINT)) AS dot
+        FROM kpairs p
+        JOIN kex xa ON xa.vec_id = p.id_a
+        JOIN kex xb ON xb.vec_id = p.id_b AND xb.i = xa.i
+        GROUP BY 1, 2),
+    knrms AS MATERIALIZED (
+        SELECT vec_id,
+               SQRT(CAST(SUM(CAST(ROUND(x * x * 100000000.0) AS BIGINT)) AS DOUBLE)
+                    / 100000000.0) AS nrm
+        FROM kex GROUP BY vec_id),
+    dropped AS MATERIALIZED (
+        SELECT DISTINCT d.id_b AS doc_id
+        FROM kdots d JOIN knrms na ON na.vec_id = d.id_a
+        JOIN knrms nb ON nb.vec_id = d.id_b
+        WHERE CAST(ROUND(ROUND((CAST(d.dot AS DOUBLE) / 100000000.0)
+                               / (na.nrm * nb.nrm), 6) * 1000000) AS BIGINT)
+              >= {_SEM_KEEP_EPS_E6})
+    SELECT a2.doc_id, a2.cluster,
+           CAST(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM a2 LEFT JOIN dropped dr USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@query("dedup_semantic_keep", _semantic_keep_oracle_sql())
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end to end, VERDICT included: the hierarchical
+    fixed-point clustering (same chain as dedup_semantic), within-
+    cluster e8 cosines, and the per-doc keep/drop decision — a doc is
+    dropped iff a LOWER-id doc in its cluster scores cosine >= 0.99
+    (the deterministic min-id form of Abbas et al.'s keep-one-per-
+    duplicate-set; one anti-join, no connected components, no new
+    quadratic term). Emits (doc_id, cluster, kept) for EVERY doc, so
+    the adjudicated surface covers the kept majority AND the dropped
+    near-dup tail (the generator plants ~2% perturbation twins).
+    Every knob COUNT(*)-derived on both engines, the oracle replaying
+    planting, clustering, scoring, and election verbatim. The raw table
+    has no >= 0.99 pairs, so both sides plant the deterministic
+    1.02-rescaled twins (every 20th vector, ids offset by max+1 — the
+    dedup_embedding_cosine convention) and the drop branch adjudicates
+    on real casualties instead of vacuously keeping everything."""
+    from ..operators.dedup import semantic_keep
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    off = emb.agg(F.max("vec_id")).head()[0] + 1
+    twins = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + F.lit(int(off))).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.02)).alias("embedding"),
+    )
+    out = semantic_keep(
+        emb.unionByName(twins), eps=0.99, k="auto",
+        target_cluster_size=_SEM_TARGET, assign="ivf", n_probe=_SEM_NPROBE,
+    )
+    return out.orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
