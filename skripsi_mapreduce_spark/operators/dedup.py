@@ -1191,6 +1191,89 @@ def semantic_keep(
     )
 
 
+def semantic_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    eps: float = 0.99,
+    k: int | str = "auto",
+    target_cluster_size: int = 500,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+) -> DataFrame:
+    """Incremental SemDeDup — the batch×corpus shape (the semantic twin
+    of :func:`minhash_near_dups_against` / the dedup_incremental entry):
+    train the hierarchical fixed-point clustering on the CORPUS once,
+    quantize each arriving BATCH doc through the SAME trained model (one
+    fused kernel pass — centroids never move), and score cosines only
+    between a batch doc and the corpus members of ITS cluster. Returns
+    one verdict row per batch doc: (doc_id, cluster, n_dups,
+    max_cosine_e6, is_new) where n_dups counts corpus members at
+    cosine >= ``eps``, max_cosine_e6 is the best in-cluster match
+    (-2000000 when the cluster holds no corpus members... it always
+    does — clusters are built FROM the corpus), and is_new = 1 iff no
+    corpus member reaches eps.
+
+    Scale shape: the batch never sees the corpus pairwise — per batch
+    doc the comparisons are bounded by its one cluster's size, and the
+    corpus is re-clustered zero times per batch. Ids must be disjoint
+    across the two tables (caller contract; the adjudicated entry
+    offsets planted ids by max+1)."""
+    import math
+
+    from ..functions.numeric import e_int
+    from .kmeans import assign_with_model, kmeans_fixedpoint_ivf_model
+    from .similarity import pair_cosine_pandas
+
+    if k == "auto":
+        k = max(2, math.ceil(corpus.count() / target_cluster_size))
+    w = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(vec_col).alias("word", "x"),
+    ).select("doc_id", "word", e_int(F.col("x").cast("double"), 4).alias("x_e4"))
+    dense_c = corpus.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(vec_col).alias("vec")
+    )
+    corpus_assign, model = kmeans_fixedpoint_ivf_model(
+        w, int(k), n_probe=n_probe, weight_col="x_e4", dense=dense_c
+    )
+    dense_b = batch.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(vec_col).alias("vec")
+    )
+    batch_assign = assign_with_model(dense_b, model).select("doc_id", "cluster")
+    pairs = (
+        batch_assign.select(F.col("doc_id").alias("id_b"), "cluster")
+        .join(
+            corpus_assign.select(F.col("doc_id").alias("id_a"), F.col("cluster")),
+            "cluster",
+        )
+        .select("cluster", "id_a", "id_b")
+    )
+    allemb = corpus.select(id_col, vec_col).unionByName(batch.select(id_col, vec_col))
+    eps_e6 = int(round(eps * 1_000_000))
+    scored = pair_cosine_pandas(pairs, allemb, id_col=id_col, vec_col=vec_col).select(
+        "id_b", e_int(F.col("cosine"), 6).alias("cosine_e6")
+    )
+    agg = scored.groupBy("id_b").agg(
+        F.sum(F.when(F.col("cosine_e6") >= eps_e6, 1).otherwise(0))
+        .cast("long")
+        .alias("_nd"),
+        F.max("cosine_e6").alias("_mx"),
+    )
+    return batch_assign.join(
+        agg, batch_assign["doc_id"] == agg["id_b"], "left"
+    ).select(
+        "doc_id",
+        "cluster",
+        F.coalesce(F.col("_nd"), F.lit(0).cast("long")).alias("n_dups"),
+        F.coalesce(F.col("_mx"), F.lit(-2_000_000).cast("long")).alias("max_cosine_e6"),
+        F.when(F.coalesce(F.col("_nd"), F.lit(0)) == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_new"),
+    )
+
+
 def semantic_assignments(
     emb: DataFrame,
     k: int,

@@ -808,6 +808,100 @@ def _centroid_update(w: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
+def _fused_chain(
+    w: DataFrame, dense: DataFrame, f0_rows: list, n_list: int, n_probe: int
+) -> tuple[DataFrame, dict]:
+    """The fused-kernel hierarchical chain, returning the final
+    assignments AND the trained model — the coarse codebook G, the
+    final fine centroids (c1), and the fine→coarse map (cmap2) — so a
+    LATER batch can be quantized through the same model without
+    re-clustering (the incremental-dedup shape). Assignments are
+    eagerly checkpointed."""
+    g_rows, cmap1_rows, G, g2v, nonempty = _coarse_model_numpy(f0_rows, n_list)
+    a1 = _assign_fused_numpy(
+        dense, g_rows, f0_rows, cmap1_rows, n_probe
+    ).localCheckpoint(eager=True)
+    c1_rows = _centroid_update(w, a1).collect()
+    cmap2_rows = _quantize_rows_numpy(c1_rows, G, g2v, nonempty)
+    a2 = _assign_fused_numpy(dense, g_rows, c1_rows, cmap2_rows, n_probe)
+    model = {
+        "g_rows": g_rows,
+        "cent_rows": c1_rows,
+        "cmap_rows": cmap2_rows,
+        "n_probe": n_probe,
+    }
+    return a2.localCheckpoint(eager=True), model
+
+
+def kmeans_fixedpoint_ivf_model(
+    weights: DataFrame,
+    k: int,
+    n_list: int | None = None,
+    n_probe: int = 2,
+    id_col: str = "doc_id",
+    word_col: str = "word",
+    weight_col: str = "w_e4",
+    dense: DataFrame | None = None,
+) -> tuple[DataFrame, dict]:
+    """:func:`kmeans_fixedpoint_ivf`'s fused path with the trained model
+    EXPOSED: returns (assignments, model) where the model quantizes
+    later batches via :func:`assign_with_model` without re-clustering —
+    the incremental-dedup shape (train on the corpus once, route every
+    arriving batch through the same lists). Requires the dense form and
+    the fused closure bound; past ``_FUSED_MAX_CELLS`` it raises — at
+    that scale persist the centroid tables and re-assign batches with
+    the distributed join tiers instead of a driver-held model."""
+    import math
+
+    if dense is None:
+        raise ValueError("kmeans_fixedpoint_ivf_model requires the dense form")
+    if n_list is None:
+        n_list = max(2, math.ceil(math.sqrt(2 * k)))
+    w = weights.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(word_col).alias("word"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).localCheckpoint(eager=True)
+    dim = len(dense.head()["vec"])
+    if k * dim > _FUSED_MAX_CELLS:
+        raise ValueError(
+            f"fine codebook {k}x{dim} exceeds the fused closure bound "
+            f"({_FUSED_MAX_CELLS} cells); use kmeans_fixedpoint_ivf's "
+            "distributed tiers and a persisted centroid store"
+        )
+    seed_rows = (
+        dense.select("doc_id")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(k)
+        .collect()
+    )
+    seed_df = weights.sparkSession.createDataFrame(
+        [(r["doc_id"], i) for i, r in enumerate(seed_rows)], "doc_id long, cluster int"
+    )
+    f0_rows = (
+        w.join(F.broadcast(seed_df), "doc_id")
+        .select("cluster", "word", F.col("w").alias("cw"))
+        .filter(F.col("cw") != 0)
+        .collect()
+    )
+    if not f0_rows:
+        raise ValueError("no nonzero features in the seed vectors")
+    return _fused_chain(w, dense, f0_rows, n_list, n_probe)
+
+
+def assign_with_model(dense: DataFrame, model: dict) -> DataFrame:
+    """(doc_id, cluster, dist2): quantize NEW vectors through an
+    already-trained hierarchical model (:func:`_fused_chain`'s output) —
+    one fused kernel pass, the trained centroids never move. This is
+    the write-time shape incremental pipelines want: train once on the
+    corpus, route every arriving batch through the same lists, compare
+    only within assigned clusters."""
+    return _assign_fused_numpy(
+        dense, model["g_rows"], model["cent_rows"], model["cmap_rows"],
+        model["n_probe"],
+    )
+
+
 def kmeans_fixedpoint_ivf(
     weights: DataFrame,
     k: int,
@@ -904,14 +998,8 @@ def kmeans_fixedpoint_ivf(
             .collect()
         )
         if f0_rows:
-            g_rows, cmap1_rows, G, g2v, nonempty = _coarse_model_numpy(f0_rows, n_list)
-            a1 = _assign_fused_numpy(
-                dense, g_rows, f0_rows, cmap1_rows, n_probe
-            ).localCheckpoint(eager=True)
-            c1_rows = _centroid_update(w, a1).collect()
-            cmap2_rows = _quantize_rows_numpy(c1_rows, G, g2v, nonempty)
-            a2 = _assign_fused_numpy(dense, g_rows, c1_rows, cmap2_rows, n_probe)
-            return a2.localCheckpoint(eager=True)
+            a2, _model = _fused_chain(w, dense, f0_rows, n_list, n_probe)
+            return a2
 
     # pass-1 fine centroids = the seed vectors (exact zeros dropped —
     # they contribute nothing to c2 or any dot; mirrors the oracle CTE)

@@ -1330,6 +1330,130 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental SemDeDup (round 6): batch×corpus — train the hierarchical
+# clustering on the corpus ONCE, quantize each batch doc through the
+# SAME trained model (centroids never move), score only against the
+# corpus members of its cluster. The semantic twin of dedup_incremental.
+# ---------------------------------------------------------------------------
+def _semantic_incr_oracle_sql() -> str:
+    # corpus = vec_id % 5 != 0; batch = the rest PLUS planted
+    # 1.02-rescaled twins of corpus docs (vec_id % 20 == 1 is always in
+    # the corpus), so the dup-found branch adjudicates real hits.
+    return f"""
+    WITH corpus AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+    batch AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+        UNION ALL
+        SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings),
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.02)
+        FROM embeddings WHERE vec_id % 20 = 1),
+    nk AS (SELECT GREATEST(2, CAST(CEIL(COUNT(*) / {_SEM_TARGET}.0) AS INT)) AS k,
+                  GREATEST(2, CAST(CEIL(SQRT(2.0 * GREATEST(2,
+                      CAST(CEIL(COUNT(*) / {_SEM_TARGET}.0) AS INT)))) AS INT)) AS c
+           FROM corpus),
+    {_semantic_ivf_ctes("(SELECT k FROM nk)", "(SELECT c FROM nk)", _SEM_NPROBE, "corpus")},
+    wb AS MATERIALIZED (
+        SELECT vec_id AS doc_id,
+               generate_subscripts(embedding, 1) - 1 AS word,
+               {e_int_sql('CAST(unnest(embedding) AS DOUBLE)', 4)} AS w
+        FROM batch),
+    bd2 AS MATERIALIZED (SELECT doc_id, SUM(w * w) AS x2 FROM wb GROUP BY doc_id),
+    bgd AS MATERIALIZED (SELECT wb.doc_id, g.m, SUM(wb.w * g.gw) AS dot
+                         FROM wb JOIN g USING (word) GROUP BY 1, 2),
+    bprobes AS MATERIALIZED (SELECT doc_id, m FROM (
+            SELECT bd2.doc_id, gl.m,
+                   ROW_NUMBER() OVER (PARTITION BY bd2.doc_id
+                       ORDER BY bd2.x2 + gl.g2 - 2 * COALESCE(bgd.dot, 0), gl.m) AS rn
+            FROM bd2 CROSS JOIN (SELECT gn.m, gn.g2 FROM gn JOIN lists2 USING (m)) gl
+            LEFT JOIN bgd ON bgd.doc_id = bd2.doc_id AND bgd.m = gl.m) t
+            WHERE rn <= {_SEM_NPROBE}),
+    bcand AS MATERIALIZED (SELECT p.doc_id, c.j FROM bprobes p JOIN cmap2 c USING (m)),
+    bfdot AS MATERIALIZED (SELECT c.doc_id, c.j, SUM(wb.w * f.cw) AS dot
+            FROM bcand c JOIN wb USING (doc_id)
+            JOIN c1 f ON f.cluster = c.j AND f.word = wb.word
+            GROUP BY 1, 2),
+    ba AS MATERIALIZED (SELECT doc_id, cluster FROM (
+            SELECT c.doc_id, c.j AS cluster,
+                   ROW_NUMBER() OVER (PARTITION BY c.doc_id
+                       ORDER BY bd2.x2 + COALESCE(c1n.c2, 0) - 2 * COALESCE(fd.dot, 0), c.j) AS rn
+            FROM bcand c JOIN bd2 USING (doc_id)
+            LEFT JOIN c1n ON c1n.j = c.j
+            LEFT JOIN bfdot fd ON fd.doc_id = c.doc_id AND fd.j = c.j) t WHERE rn = 1),
+    bpairs AS MATERIALIZED (SELECT ba.doc_id AS id_b, a2.doc_id AS id_a
+            FROM ba JOIN a2 ON a2.cluster = ba.cluster),
+    iex AS MATERIALIZED (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i FROM corpus
+        UNION ALL
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE),
+               generate_subscripts(embedding, 1) FROM batch),
+    idots AS MATERIALIZED (
+        SELECT p.id_b, p.id_a,
+               SUM(CAST(ROUND(xa.x * xb.x * 100000000.0) AS BIGINT)) AS dot
+        FROM bpairs p
+        JOIN iex xa ON xa.vec_id = p.id_a
+        JOIN iex xb ON xb.vec_id = p.id_b AND xb.i = xa.i
+        GROUP BY 1, 2),
+    inrm AS MATERIALIZED (
+        SELECT vec_id,
+               SQRT(CAST(SUM(CAST(ROUND(x * x * 100000000.0) AS BIGINT)) AS DOUBLE)
+                    / 100000000.0) AS nrm
+        FROM iex GROUP BY vec_id),
+    iscore AS MATERIALIZED (
+        SELECT d.id_b,
+               CAST(ROUND(ROUND((CAST(d.dot AS DOUBLE) / 100000000.0)
+                                / (na.nrm * nb.nrm), 6) * 1000000) AS BIGINT) AS cosine_e6
+        FROM idots d JOIN inrm na ON na.vec_id = d.id_a
+        JOIN inrm nb ON nb.vec_id = d.id_b)
+    SELECT ba.doc_id, ba.cluster,
+           CAST(COALESCE(SUM(CASE WHEN s.cosine_e6 >= {_SEM_KEEP_EPS_E6}
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dups,
+           CAST(COALESCE(MAX(s.cosine_e6), -2000000) AS BIGINT) AS max_cosine_e6,
+           CAST(CASE WHEN COALESCE(SUM(CASE WHEN s.cosine_e6 >= {_SEM_KEEP_EPS_E6}
+                                            THEN 1 ELSE 0 END), 0) = 0
+                     THEN 1 ELSE 0 END AS INT) AS is_new
+    FROM ba LEFT JOIN iscore s ON s.id_b = ba.doc_id
+    GROUP BY ba.doc_id, ba.cluster
+    ORDER BY doc_id
+    """
+
+
+@query("dedup_semantic_incremental", _semantic_incr_oracle_sql())
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (operators/dedup.semantic_incremental), the
+    semantic twin of dedup_incremental: the corpus (vec_id % 5 != 0)
+    trains the hierarchical fixed-point clustering ONCE; the batch (the
+    rest, plus planted 1.02-rescaled twins of corpus docs so the
+    dup-found branch adjudicates real hits) is quantized through the
+    SAME trained model — one fused kernel pass, centroids never move —
+    and each batch doc scores cosines only against the corpus members
+    of ITS cluster. One verdict row per batch doc: (doc_id, cluster,
+    n_dups, max_cosine_e6, is_new). The oracle replays training, batch
+    quantization, and scoring stage for stage; every knob
+    COUNT(*)-derived from the corpus on both engines. At 100 TB the
+    batch never sees the corpus pairwise and the corpus re-clusters
+    zero times per batch."""
+    from ..operators.dedup import semantic_incremental
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    off = emb.agg(F.max("vec_id")).head()[0] + 1
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    twins = emb.filter(F.col("vec_id") % 20 == 1).select(
+        (F.col("vec_id") + F.lit(int(off))).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.02)).alias("embedding"),
+    )
+    batch = emb.filter(F.col("vec_id") % 5 == 0).unionByName(twins)
+    out = semantic_incremental(
+        corpus, batch, eps=0.99, k="auto", target_cluster_size=_SEM_TARGET,
+        n_probe=_SEM_NPROBE,
+    )
+    return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Bigram LM scoring — one step up the KenLM ladder from ta_unigram_lp
 # ---------------------------------------------------------------------------
 @query(

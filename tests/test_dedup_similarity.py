@@ -754,6 +754,51 @@ def test_semantic_ivf_kernel_parity_adversarial_ties(spark):
         assert len(fused) == n, f"seed={seed}: doc lost under ties"
 
 
+def test_semantic_incremental_routes_twins_to_their_base_cluster(spark):
+    """Incremental SemDeDup invariants: a planted 1.02-rescaled twin of
+    a corpus doc must be quantized (through the TRAINED model — no
+    re-clustering) into its base's cluster, score cosine 1.0 against
+    it, and flag is_new=0; untouched batch docs on this corpus (max raw
+    pairwise cosine ~0.51) flag is_new=1 with max < eps."""
+    from skripsi_mapreduce_spark.operators.dedup import (
+        semantic_assignments,
+        semantic_incremental,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).localCheckpoint()
+    off = emb.agg(F.max("vec_id")).head()[0] + 1
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    twins = emb.filter(F.col("vec_id") % 20 == 1).select(
+        (F.col("vec_id") + F.lit(int(off))).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.02)).alias("embedding"),
+    )
+    batch = emb.filter(F.col("vec_id") % 5 == 0).unionByName(twins)
+    out = {
+        r["doc_id"]: r
+        for r in semantic_incremental(
+            corpus, batch, eps=0.99, target_cluster_size=50
+        ).collect()
+    }
+    n_twins = twins.count()
+    assert n_twins > 0
+    corpus_clusters = {
+        r["doc_id"]: r["cluster"]
+        for r in semantic_assignments(
+            corpus, k=max(2, -(-corpus.count() // 50))
+        ).collect()
+    }
+    for r in emb.filter(F.col("vec_id") % 20 == 1).select("vec_id").collect():
+        base, twin = r["vec_id"], r["vec_id"] + int(off)
+        assert out[twin]["is_new"] == 0, twin
+        assert out[twin]["max_cosine_e6"] == 1_000_000, twin
+        assert out[twin]["cluster"] == corpus_clusters[base], twin
+    for did, r in out.items():
+        if did < off:  # raw batch docs: nothing dedup-grade on this corpus
+            assert r["is_new"] == 1 and r["max_cosine_e6"] < 990_000, did
+
+
 def test_semantic_ivf_numpy_probe_kernel_matches_join_form(spark):
     """The Arrow/numpy probe kernel (dense matmul, codebook in the
     closure) must produce BIT-IDENTICAL assignments to the long-form

@@ -375,3 +375,12 @@ def test_fused_ivf_assignment_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
     assert out.count() == emb.count()  # and it actually runs
+
+
+def test_dedup_semantic_keep_no_nested_loop(spark):
+    """The SemDeDup verdict entry's pair generation must stay an
+    equi-join on cluster id (never a nested loop / cartesian), and the
+    election an anti-ish left join — the shapes that keep within-cluster
+    work bounded by cluster size at any corpus."""
+    p = formatted_plan(spark, "dedup_semantic_keep")
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p, p
