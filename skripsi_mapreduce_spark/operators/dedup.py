@@ -1105,7 +1105,10 @@ def semantic_near_dups(
       distances per pass. BREAKING CHANGE note: callers that omitted
       ``assign`` before round 6 got this path; clusterings (and thus
       emitted pairs) differ between the two kernels whenever the coarse
-      quantizer actually prunes (n_probe < n_list)."""
+      quantizer actually prunes (n_probe < n_list). ``n_assign_passes``
+      applies to THIS path only — the ivf kernel is fixed at two
+      hierarchical passes (a pass count ≠ 2 under assign="ivf" raises
+      rather than silently running a different depth)."""
     import math
 
     from ..functions.numeric import e_int
@@ -1210,9 +1213,12 @@ def semantic_incremental(
     one verdict row per batch doc: (doc_id, cluster, n_dups,
     max_cosine_e6, is_new) where n_dups counts corpus members at
     cosine >= ``eps``, max_cosine_e6 is the best in-cluster match
-    (-2000000 when the cluster holds no corpus members... it always
-    does — clusters are built FROM the corpus), and is_new = 1 iff no
-    corpus member reaches eps.
+    (sentinel -2000000 when the assigned cluster holds NO corpus
+    members in the final assignment — rare but possible: a fine
+    cluster survives in the trained model via pass 1 yet loses every
+    corpus doc in pass 2, so treat is_new=1 with the sentinel as
+    "unverified", not "verified novel"), and is_new = 1 iff no corpus
+    member reaches eps.
 
     Scale shape: the batch never sees the corpus pairwise — per batch
     doc the comparisons are bounded by its one cluster's size, and the
@@ -1294,6 +1300,11 @@ def semantic_assignments(
         F.posexplode(vec_col).alias("word", "x"),
     ).select("doc_id", "word", e_int(F.col("x").cast("double"), 4).alias("x_e4"))
     if assign == "ivf":
+        if n_assign_passes != 2:
+            raise ValueError(
+                "the hierarchical (ivf) kernel is fixed at 2 assignment "
+                "passes; n_assign_passes applies to assign='exact' only"
+            )
         dense = emb.select(
             F.col(id_col).cast("long").alias("doc_id"), F.col(vec_col).alias("vec")
         )

@@ -547,7 +547,7 @@ def _np_trunc_div(a, b):
     return np.sign(a) * np.sign(b) * (np.abs(a) // np.abs(b))
 
 
-def _coarse_model_numpy(f0_rows: list, n_list: int, n_passes_seed_probe: int = 2):
+def _coarse_model_numpy(f0_rows: list, n_list: int):
     """Driver-side exact-int replica of the coarse-quantizer chain over
     the COLLECTED fine seed vectors (k×d rows — the same payload the
     fused kernel already holds in its closure, so no new scale bound):
@@ -630,8 +630,6 @@ def _quantize_rows_numpy(cent_rows: list, G, g2, nonempty: list) -> list:
             if int(r["word"]) >= width:
                 x2[jidx[int(r["cluster"])]] += int(r["cw"]) ** 2
     keys = x2[:, None] + g2[None, nonempty] - 2 * (C @ G[nonempty].T)
-    import numpy as np
-
     ms = np.array(nonempty)[np.argmin(keys, axis=1)]
     return [{"cluster": int(j), "m": int(m)} for j, m in zip(js, ms)]
 

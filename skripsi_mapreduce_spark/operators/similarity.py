@@ -946,13 +946,19 @@ def auto_n_probe_calibrated(
     mode (recall numbers are dataset properties; the same knobs measured
     0.70 and 0.90 on two SFs of the same generator). ``cache`` is a
     plain caller-owned dict (persist it however you persist the index);
-    on a digest hit no Spark job beyond the one digest scan runs."""
+    on a hit no Spark job beyond the one digest scan runs. The key
+    covers the CALIBRATION KNOBS too — a curve measured for one
+    (n_list, k, budgets, query_ids) shape must not answer for another —
+    and is written only AFTER the curve measures successfully, so a
+    failed remeasure can never leave the previous corpus's curve keyed
+    under the new corpus's digest."""
     dig = corpus_digest(emb, id_col, vec_col)
-    if cache.get("digest") != dig or "curve" not in cache:
+    params = (n_list, k, tuple(budgets) if budgets else None, tuple(query_ids))
+    if cache.get("digest") != dig or cache.get("params") != params or "curve" not in cache:
+        curve = ivf_recall_curve(emb, n_list, k, budgets, query_ids, id_col, vec_col)
+        cache["curve"] = curve
         cache["digest"] = dig
-        cache["curve"] = ivf_recall_curve(
-            emb, n_list, k, budgets, query_ids, id_col, vec_col
-        )
+        cache["params"] = params
     return auto_n_probe(n_list, target_recall, cache["curve"])
 
 

@@ -1568,6 +1568,8 @@ def _pq_adc_sql(k: int, n_codes: int = _PQ_CODES, m: int = _PQ_M) -> str:
     caller using a different split) — shared by sim_topk_pq (ADC-only
     tier) and sim_topk_pq_rerank (which feeds a larger ADC shortlist
     into the exact re-rank)."""
+    if 64 % m:
+        raise ValueError(f"64-dim embeddings not divisible by m={m}")
     sub = f"(generate_subscripts(embedding, 1) - 1) // ({64 // m})"
     return f"""
     WITH seeds AS (

@@ -36,8 +36,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     argv = sys.argv[1:]
-    reps = int(argv[argv.index("--reps") + 1]) if "--reps" in argv else 2
-    pos = [a for a in argv if not a.startswith("--") and a != str(reps)]
+    reps = 2
+    if "--reps" in argv:
+        i = argv.index("--reps")
+        reps = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]  # remove exactly the flag + its value
+    pos = [a for a in argv if not a.startswith("--")]
     docs_dir = pos[0] if pos else ".scaling/zipf0.5"
     t = float(pos[1]) if len(pos) > 1 else 0.8
 
