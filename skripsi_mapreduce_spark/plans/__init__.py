@@ -22,16 +22,16 @@ from . import extensions3  # noqa: F401  (registers into QUERIES/ORACLE)
 #      stalest evidence in the repo (q15-q18, q21, q24-q34 remainder,
 #      the mm_* decode trio, bpe/etl/pack/profile/skew/range/rollup/
 #      pipe/sketch/graph_pagerank/ta blocks, q45),
-#  (b) fill to EXACTLY 50 with the OLDEST r4-green entries (eight of
-#      the first ten of the r5 tail — stream_interval_join and
-#      mix_temperature were displaced when dedup_semantic_keep and
-#      dedup_semantic_incremental landed late in the round; new entries
-#      outrank fills). A registry test pins len == 50.
+#  (b) fill to EXACTLY 50 with the OLDEST r4-green entries (seven of
+#      the first ten of the r5 tail — sketch_bloom, mix_temperature and
+#      stream_interval_join were displaced as the SemDeDup
+#      keep/incremental/stream entries landed late in the round; new
+#      entries outrank fills). A registry test pins len == 50.
 #
 # Freshness ledger after r6 (for the round-7 rotation): head-50 carry
-# r6 evidence; _TAIL lists the 33 remaining r4-green entries FIRST
-# (oldest — r7's fill pool, mix_temperature/stream_interval_join
-# included) then the 46
+# r6 evidence; _TAIL lists the 34 remaining r4-green entries FIRST
+# (oldest — r7's fill pool; sketch_bloom/mix_temperature/
+# stream_interval_join included) then the 46
 # r5-green entries. r7 head = any r7-changed kernels + the r4 block,
 # then r5 fill to exactly 50.
 _PROMOTED = [
@@ -39,6 +39,7 @@ _PROMOTED = [
     "dedup_semantic",
     "dedup_semantic_keep",
     "dedup_semantic_incremental",
+    "stream_semantic_incremental",
     "sim_topk_many_ivfpq_rerank",
     "mm_image_resize",
     "sim_topk_ivfpq_rerank",
@@ -87,10 +88,10 @@ _PROMOTED = [
     "stream_enrich",
     "q52_cube",
     "sim_topk_many",
-    "sketch_bloom",
 ]
 _TAIL = [
     # green r4 — the oldest evidence outside the head (r7's fill pool)
+    "sketch_bloom",
     "mix_temperature",
     "stream_interval_join",
     "stream_sliding",

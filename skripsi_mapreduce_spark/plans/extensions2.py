@@ -1453,6 +1453,71 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+_SSI_SEQ = iter(range(1, 1 << 30))
+
+
+@query("stream_semantic_incremental", _semantic_incr_oracle_sql())
+def stream_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of dedup_semantic_incremental, sharing its
+    oracle VERBATIM: the corpus trains the hierarchical model once
+    (batch side, identical code path); the batch docs then arrive as an
+    UNBOUNDED STREAM (file-source replay, availableNow) and each
+    micro-batch pays one fused quantization kernel + a stream-static
+    join to its clusters' corpus members + the exact cosine kernel —
+    one complete-mode aggregation emits the per-doc verdicts. A doc's
+    verdict depends only on the static corpus and its own vector, so
+    the result is IDENTICAL however the source slices micro-batches —
+    the replay-invariance statement the other stream_* entries make,
+    extended to the model-serving shape a production ingest pipeline
+    runs. The zero-pair case rides a sentinel row into the aggregation
+    (stream-stream outer joins need watermarks; a union does not),
+    reproducing the batch COALESCE semantics exactly."""
+    from ..functions.numeric import e_int
+    from ..operators.kmeans import kmeans_fixedpoint_ivf_model
+    from ..streaming.semantic import semantic_verdicts_stream, stream_embeddings
+    from ..streaming.windows import run_to_memory_sink, state_partitions
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    off = emb.agg(F.max("vec_id")).head()[0] + 1
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    k = max(2, -(-corpus.count() // _SEM_TARGET))
+    w = corpus.select(
+        F.col("vec_id").alias("doc_id"), F.posexplode("embedding").alias("word", "x")
+    ).select("doc_id", "word", e_int(F.col("x").cast("double"), 4).alias("x_e4"))
+    dense_c = corpus.select(
+        F.col("vec_id").cast("long").alias("doc_id"), F.col("embedding").alias("vec")
+    )
+    corpus_assign, model = kmeans_fixedpoint_ivf_model(
+        w, k, n_probe=_SEM_NPROBE, weight_col="x_e4", dense=dense_c
+    )
+    twins_b = emb.filter(F.col("vec_id") % 20 == 1).select(
+        (F.col("vec_id") + F.lit(int(off))).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.02)).alias("embedding"),
+    )
+    allemb = corpus.unionByName(
+        emb.filter(F.col("vec_id") % 5 == 0).unionByName(twins_b)
+    )
+
+    es = stream_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins_s = es.filter(F.col("vec_id") % 20 == 1).select(
+        (F.col("vec_id") + F.lit(int(off))).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.02)).alias("embedding"),
+    )
+    bstream = es.filter(F.col("vec_id") % 5 == 0).unionByName(twins_s)
+    verdicts = semantic_verdicts_stream(
+        bstream, corpus_assign, model, allemb, _SEM_KEEP_EPS_E6
+    )
+    with state_partitions(spark, 8):
+        out = run_to_memory_sink(
+            verdicts, f"stream_semantic_{next(_SSI_SEQ)}", "complete"
+        )
+    return out.orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Bigram LM scoring — one step up the KenLM ladder from ta_unigram_lp
 # ---------------------------------------------------------------------------

@@ -338,3 +338,56 @@ def test_stream_to_versioned_snapshots_matches_batch(spark, tmp_path):
         (r["hour_epoch"], r["event_type"], r["n"]) for r in batch.collect()
     )
     assert got == want
+
+
+def test_stream_semantic_verdicts_invariant_to_microbatch_slicing(spark, tmp_path):
+    """The streaming SemDeDup twin's replay claim, exercised for real: a
+    doc's verdict depends only on the static corpus and its own vector,
+    so splitting the batch stream into MANY micro-batches (one file per
+    trigger over a 4-file directory) must produce row-identical verdicts
+    to the batch operator on the same split."""
+    import os
+
+    from skripsi_mapreduce_spark.io import load_table
+    from skripsi_mapreduce_spark.functions.numeric import e_int
+    from skripsi_mapreduce_spark.operators.dedup import semantic_incremental
+    from skripsi_mapreduce_spark.operators.kmeans import kmeans_fixedpoint_ivf_model
+    from skripsi_mapreduce_spark.streaming.semantic import semantic_verdicts_stream
+    from skripsi_mapreduce_spark.streaming.windows import run_to_memory_sink, state_partitions
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).localCheckpoint()
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+
+    want = sorted(
+        map(tuple, semantic_incremental(corpus, batch, eps=0.99, target_cluster_size=50).collect())
+    )
+
+    k = max(2, -(-corpus.count() // 50))
+    w = corpus.select(
+        F.col("vec_id").alias("doc_id"), F.posexplode("embedding").alias("word", "x")
+    ).select("doc_id", "word", e_int(F.col("x").cast("double"), 4).alias("x_e4"))
+    dense_c = corpus.select(
+        F.col("vec_id").cast("long").alias("doc_id"), F.col("embedding").alias("vec")
+    )
+    corpus_assign, model = kmeans_fixedpoint_ivf_model(
+        w, k, n_probe=2, weight_col="x_e4", dense=dense_c
+    )
+    src = str(tmp_path / "batch_files")
+    batch.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+    bstream = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    allemb = corpus.unionByName(batch)
+    verdicts = semantic_verdicts_stream(bstream, corpus_assign, model, allemb, 990_000)
+    with state_partitions(spark, 8):
+        sunk = run_to_memory_sink(verdicts, "stream_sem_slice_test", "complete")
+    got = sorted(map(tuple, sunk.collect()))
+    assert got == want
+    assert len({q for q in os.listdir(src) if q.endswith(".parquet")}) >= 2
