@@ -229,10 +229,14 @@ def write_versioned(df: DataFrame, path: str) -> int:
     n = max(_version_dirs(path, committed_only=False), default=0) + 1
     df.write.mode("errorifexists").parquet(os.path.join(path, f"v={n}"))
     # Own commit witness, written driver-side AFTER the job returns:
-    # clusters running cloud committers with
+    # jobs configured with
     # mapreduce.fileoutputcommitter.marksuccessfuljobs=false emit no
     # _SUCCESS, and a version must not become invisible because of a
     # committer setting. Underscore-prefixed, so scans ignore it.
+    # SCOPE: the witness (like _latest.tmp's os.replace below) is a
+    # driver-LOCAL file write, so it covers local-filesystem roots only —
+    # an object-store root (s3://...) would need the marker routed
+    # through the Hadoop FileSystem API instead of open().
     with open(os.path.join(path, f"v={n}", "_committed"), "w") as fh:
         fh.write("1")
     tmp = os.path.join(path, "_latest.tmp")

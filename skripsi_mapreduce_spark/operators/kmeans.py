@@ -823,6 +823,7 @@ def _fused_chain(
     cmap2_rows = _quantize_rows_numpy(c1_rows, G, g2v, nonempty)
     a2 = _assign_fused_numpy(dense, g_rows, c1_rows, cmap2_rows, n_probe)
     model = {
+        "kind": "fused",
         "g_rows": g_rows,
         "cent_rows": c1_rows,
         "cmap_rows": cmap2_rows,
@@ -840,60 +841,75 @@ def kmeans_fixedpoint_ivf_model(
     word_col: str = "word",
     weight_col: str = "w_e4",
     dense: DataFrame | None = None,
+    max_fused_cells: int | None = None,
 ) -> tuple[DataFrame, dict]:
-    """:func:`kmeans_fixedpoint_ivf`'s fused path with the trained model
-    EXPOSED: returns (assignments, model) where the model quantizes
-    later batches via :func:`assign_with_model` without re-clustering —
-    the incremental-dedup shape (train on the corpus once, route every
-    arriving batch through the same lists). Requires the dense form and
-    the fused closure bound; past ``_FUSED_MAX_CELLS`` it raises — at
-    that scale persist the centroid tables and re-assign batches with
-    the distributed join tiers instead of a driver-held model."""
-    import math
+    """:func:`kmeans_fixedpoint_ivf` with the trained model EXPOSED:
+    returns (assignments, model) where the model quantizes later
+    batches via :func:`assign_with_model` without re-clustering — the
+    incremental-dedup shape (train on the corpus once, route every
+    arriving batch through the same lists). Requires the dense form.
 
+    The model has TWO tiers, auto-picked by the same closure bound the
+    batch path uses (``max_fused_cells``, default ``_FUSED_MAX_CELLS``)
+    and pinned bit-identical across the boundary by test:
+
+    - **fused** (k×dim within the bound): both codebooks ride the
+      model dict as collected rows; a batch assignment is ONE
+      mapInPandas pass (streaming-safe — the streaming SemDeDup twin
+      serves through this tier).
+    - **distributed** (past the bound — the 100 TB shape, where
+      k = n/target outgrows any closure): the model holds the fine
+      centroid and fine→coarse map as eagerly-checkpointed DataFrames
+      plus the c×d coarse codebook rows (c ~ sqrt(2k) — bounded at any
+      scale); :func:`assign_with_model` routes batches through the
+      numpy coarse probes + the distributed join-scoring tier, exactly
+      the batch path's own fallback ladder. Batch-only: the join
+      scorer aggregates over a self-derived long form, which a
+      micro-batch stream cannot express without watermarked
+      stream-stream joins."""
     if dense is None:
         raise ValueError("kmeans_fixedpoint_ivf_model requires the dense form")
-    if n_list is None:
-        n_list = max(2, math.ceil(math.sqrt(2 * k)))
-    w = weights.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.col(word_col).alias("word"),
-        F.col(weight_col).cast("long").alias("w"),
-    ).localCheckpoint(eager=True)
-    dim = len(dense.head()["vec"])
-    if k * dim > _FUSED_MAX_CELLS:
-        raise ValueError(
-            f"fine codebook {k}x{dim} exceeds the fused closure bound "
-            f"({_FUSED_MAX_CELLS} cells); use kmeans_fixedpoint_ivf's "
-            "distributed tiers and a persisted centroid store"
-        )
-    seed_rows = (
-        dense.select("doc_id")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-        .limit(k)
-        .collect()
+    return kmeans_fixedpoint_ivf(
+        weights, k, n_list=n_list, n_probe=n_probe, id_col=id_col,
+        word_col=word_col, weight_col=weight_col, dense=dense,
+        _want_model=True, _max_fused_cells=max_fused_cells,
     )
-    seed_df = weights.sparkSession.createDataFrame(
-        [(r["doc_id"], i) for i, r in enumerate(seed_rows)], "doc_id long, cluster int"
-    )
-    f0_rows = (
-        w.join(F.broadcast(seed_df), "doc_id")
-        .select("cluster", "word", F.col("w").alias("cw"))
-        .filter(F.col("cw") != 0)
-        .collect()
-    )
-    if not f0_rows:
-        raise ValueError("no nonzero features in the seed vectors")
-    return _fused_chain(w, dense, f0_rows, n_list, n_probe)
 
 
 def assign_with_model(dense: DataFrame, model: dict) -> DataFrame:
     """(doc_id, cluster, dist2): quantize NEW vectors through an
-    already-trained hierarchical model (:func:`_fused_chain`'s output) —
-    one fused kernel pass, the trained centroids never move. This is
-    the write-time shape incremental pipelines want: train once on the
-    corpus, route every arriving batch through the same lists, compare
-    only within assigned clusters."""
+    already-trained hierarchical model
+    (:func:`kmeans_fixedpoint_ivf_model`'s output) — the trained
+    centroids never move. A ``fused`` model runs one mapInPandas pass
+    (both codebooks in the closure); a ``distributed`` model (large k —
+    the codebook outgrew the closure bound) probes coarse lists with
+    the numpy kernel and scores fine candidates with the distributed
+    join tier, bit-identical to the fused route (pinned by test). This
+    is the write-time shape incremental pipelines want: train once on
+    the corpus, route every arriving batch through the same lists,
+    compare only within assigned clusters."""
+    if model.get("kind") == "distributed":
+        from ..functions.numeric import e_int
+
+        cmap, cent = model["cmap_df"], model["cent_df"]
+        # probe only lists that HOLD >= 1 fine centroid — the same
+        # restriction the batch path's _pass applies (<= c rows)
+        lists = {r["m"] for r in cmap.select("m").distinct().collect()}
+        probes = _probe_lists_numpy(
+            dense, [r for r in model["g_rows"] if r["m"] in lists],
+            model["n_probe"],
+        )
+        # e4 long form of the batch — e_int == the fused kernel's
+        # _round_half_away(x·1e4) quantization (pinned by parity tests)
+        w_b = dense.select(
+            F.col("doc_id"), F.posexplode(F.col("vec")).alias("word", "x")
+        ).select(
+            "doc_id", "word", e_int(F.col("x").cast("double"), 4).alias("w")
+        )
+        d2_b = w_b.groupBy("doc_id").agg(
+            F.sum(F.col("w") * F.col("w")).alias("x2")
+        )
+        return _assign_via_probes(w_b, d2_b, cent, probes, cmap)
     return _assign_fused_numpy(
         dense, model["g_rows"], model["cent_rows"], model["cmap_rows"],
         model["n_probe"],
@@ -909,6 +925,8 @@ def kmeans_fixedpoint_ivf(
     word_col: str = "word",
     weight_col: str = "w_e4",
     dense: DataFrame | None = None,
+    _want_model: bool = False,
+    _max_fused_cells: int | None = None,
 ) -> DataFrame:
     """Hierarchically-assigned fixed-point K-Means (two assignment
     passes): the scale-safe form of :func:`kmeans_fixedpoint` for k that
@@ -988,7 +1006,8 @@ def kmeans_fixedpoint_ivf(
     # each assignment pass is ONE mapInPandas job. Deletes ~6 tiny
     # Spark jobs per clustering — the measured fixed floor at small SF.
     dim = len(dense.head()["vec"]) if dense is not None else 0
-    if dense is not None and k * dim <= _FUSED_MAX_CELLS:
+    bound = _FUSED_MAX_CELLS if _max_fused_cells is None else _max_fused_cells
+    if dense is not None and k * dim <= bound:
         f0_rows = (
             w.join(F.broadcast(seed_df), "doc_id")
             .select("cluster", "word", F.col("w").alias("cw"))
@@ -997,7 +1016,9 @@ def kmeans_fixedpoint_ivf(
         )
         if f0_rows:
             a2, _model = _fused_chain(w, dense, f0_rows, n_list, n_probe)
-            return a2
+            return (a2, _model) if _want_model else a2
+    if _want_model and dense is None:
+        raise ValueError("a distributed model still needs the dense form")
 
     # pass-1 fine centroids = the seed vectors (exact zeros dropped —
     # they contribute nothing to c2 or any dot; mirrors the oracle CTE)
@@ -1067,8 +1088,23 @@ def kmeans_fixedpoint_ivf(
         .select(F.col("doc_id").cast("int").alias("cluster"), F.col("cluster").alias("m"))
         .select("cluster", "m")
     )
+    if _want_model:
+        cmap2 = cmap2.localCheckpoint(eager=True)  # freeze the map the model holds
     a2 = _pass(c1, cmap2)
-    return a2.localCheckpoint(eager=True)
+    a2 = a2.localCheckpoint(eager=True)
+    if _want_model:
+        # the large-k model: centroid TABLES, not collected rows — c1 is
+        # k×d rows (eagerly checkpointed above), cmap2 is k rows, and
+        # g_rows is the c×d coarse codebook (c ~ sqrt(2k), bounded at
+        # any scale) that the numpy probe kernel needs in its closure
+        return a2, {
+            "kind": "distributed",
+            "g_rows": g_rows,
+            "cent_df": c1,
+            "cmap_df": cmap2,
+            "n_probe": n_probe,
+        }
+    return a2
 
 
 def kmeans_ml(

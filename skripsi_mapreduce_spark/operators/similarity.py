@@ -902,10 +902,10 @@ def ivf_recall_curve(
     indexed = indexed.localCheckpoint(eager=True)  # one index serves every budget
     hits = {p: 0 for p in budgets}
     for qid in query_ids:
-        qvec = [
-            float(x)
-            for x in emb.filter(F.col(id_col) == qid).head()[vec_col]
-        ]
+        qrow = emb.filter(F.col(id_col) == qid).head()
+        if qrow is None:
+            raise ValueError(f"query id {qid} not found in corpus")
+        qvec = [float(x) for x in qrow[vec_col]]
         exact = {
             r["vec_id"]
             for r in topk_cosine(emb, qvec, k, id_col, vec_col).collect()
@@ -989,6 +989,12 @@ def ivfpq_topk(
         .limit(max(n_list, n_codes))
         .collect()
     )
+    if len(seed_rows) < max(n_list, n_codes):
+        raise ValueError(
+            f"corpus holds {len(seed_rows)} vectors but the index needs "
+            f"max(n_list={n_list}, n_codes={n_codes}) distinct seed rows; "
+            "shrink the codebook/list knobs or grow the corpus"
+        )
     seeds = {i: [float(x) for x in r["_v"]] for i, r in enumerate(seed_rows)}
     pq_cents = {i: seeds[i] for i in range(n_codes)}
     indexed, ivf_cents = ivf_index(emb, n_list, id_col, vec_col, fixed_point=True)
@@ -1082,6 +1088,12 @@ def ivfpq_rerank_topk_many(
         .limit(max(n_list, n_codes))
         .collect()
     )
+    if len(seed_rows) < max(n_list, n_codes):
+        raise ValueError(
+            f"corpus holds {len(seed_rows)} vectors but the index needs "
+            f"max(n_list={n_list}, n_codes={n_codes}) distinct seed rows; "
+            "shrink the codebook/list knobs or grow the corpus"
+        )
     seeds = {i: [float(x) for x in r["_v"]] for i, r in enumerate(seed_rows)}
     pq_cents = {i: seeds[i] for i in range(n_codes)}
     indexed, ivf_cents = ivf_index(emb, n_list, id_col, vec_col, fixed_point=True)
@@ -1386,18 +1398,22 @@ def pair_cosine_pandas(
     the numpy path is one matmul-shaped pass per batch and the Arrow
     transfer carries only the narrow pair rows, never vectors.
 
-    Scale contract: the vector table must fit the driver/broadcast
-    (guarded by ``max_vectors``). For corpus-scale vector tables,
-    partition BOTH sides by cluster/bucket and run this kernel per
-    partition group — the SemDeDup shape."""
+    Scale contract: the BROADCAST tier needs the vector table to fit
+    the driver (guarded by ``max_vectors``); past the bound the call
+    AUTO-FALLS-BACK to :func:`pair_cosine_join` — the fully distributed
+    tier (vectors ride two equi-joins, the kernel sees only its own
+    Arrow batch, nothing is collected) — with results pinned
+    BIT-IDENTICAL across the tier boundary by test (the kmeans
+    kernel-ladder convention). Below the bound the broadcast tier wins
+    because the pair stream shuffles NARROW (id, id) rows while the
+    join tier's shuffle carries two dense vectors per pair row."""
     import numpy as np
 
     n = emb.count()
     if n > max_vectors:
-        raise ValueError(
-            f"pair_cosine_pandas broadcasts the vector table; {n} vectors "
-            f"> max_vectors={max_vectors} — partition by cluster and run "
-            "the kernel per group instead"
+        return pair_cosine_join(
+            pairs, emb, id_a=id_a, id_b=id_b, id_col=id_col,
+            vec_col=vec_col, out_col=out_col,
         )
     rows = emb.select(id_col, vec_col).collect()
     idx = {int(r[0]): j for j, r in enumerate(rows)}
@@ -1424,3 +1440,61 @@ def pair_cosine_pandas(
 
     schema = T.StructType(list(pairs.schema.fields) + [T.StructField(out_col, T.DoubleType())])
     return pairs.mapInPandas(score, schema)
+
+def pair_cosine_join(
+    pairs: DataFrame,
+    emb: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cosine",
+) -> DataFrame:
+    """The fully DISTRIBUTED tier of the pair-cosine kernel ladder:
+    vectors reach each pair row through two plain equi-joins (pairs ⋈
+    emb on ``id_a``, then on ``id_b``) and the scoring kernel sees only
+    its own Arrow batch — nothing is collected or broadcast, so the
+    tier has NO corpus-size ceiling (:func:`pair_cosine_pandas`
+    auto-selects it past ``max_vectors``; this is the SemDeDup scoring
+    shape at 100 TB, where the in-cluster candidate pairs are the only
+    rows that ever carry a vector). Scores are BIT-IDENTICAL to the
+    broadcast tier (pinned by test): the same float64 gather, the same
+    ``_round_half_away`` e8 fixed-point products, the same 6dp rounding
+    — only WHERE the vectors come from differs.
+
+    Scale shape: the shuffles are the two vector equi-joins — each
+    carries (pair count) × dim values, the unavoidable payload of any
+    distributed exact scorer; Catalyst picks broadcast-hash only when
+    a side is genuinely small (no hint is forced here). Works on
+    STREAMING pair inputs too (stream-static equi-joins + mapInPandas),
+    which is how the streaming SemDeDup twin stays unbounded-safe."""
+    import numpy as np
+
+    pair_cols = [f.name for f in pairs.schema.fields]
+    va, vb = "_pcj_va", "_pcj_vb"
+    ea = emb.select(
+        F.col(id_col).cast("long").alias(id_a), F.col(vec_col).alias(va)
+    )
+    eb = emb.select(
+        F.col(id_col).cast("long").alias(id_b), F.col(vec_col).alias(vb)
+    )
+    joined = pairs.join(ea, id_a).join(eb, id_b)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.vstack(pdf[va].map(lambda v: np.asarray(v, dtype=np.float64)))
+            B = np.vstack(pdf[vb].map(lambda v: np.asarray(v, dtype=np.float64)))
+            dots = _round_half_away(A * B * SCALE).sum(axis=1)
+            na = np.sqrt(_round_half_away(A * A * SCALE).sum(axis=1) / SCALE)
+            nb = np.sqrt(_round_half_away(B * B * SCALE).sum(axis=1) / SCALE)
+            raw = (dots / SCALE) / (na * nb)
+            out = pdf[pair_cols].copy()
+            out[out_col] = _round_half_away(raw * 1e6) / 1e6  # 6dp, not banker's
+            yield out
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(list(pairs.schema.fields) + [T.StructField(out_col, T.DoubleType())])
+    return joined.mapInPandas(score, schema)

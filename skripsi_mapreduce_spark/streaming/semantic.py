@@ -60,12 +60,16 @@ def semantic_verdicts_stream(
         F.col(id_col).cast("long").alias("doc_id"), F.col(vec_col).alias("vec")
     )
     ba = assign_with_model(dense_b, model).select("doc_id", "cluster")
+    # No broadcast hint on corpus_assign: it is an n-row table (one row
+    # per corpus doc), which is NOT a broadcastable side at corpus
+    # scale. The stream-static equi-join on cluster works shuffled, and
+    # Catalyst may still SIZE-pick a broadcast when the corpus is
+    # genuinely small — the decision belongs to the planner, not a
+    # hint (a test pins that no unconditional broadcast survives).
     pairs = (
         ba.select(F.col("doc_id").alias("id_b"), "cluster")
         .join(
-            F.broadcast(
-                corpus_assign.select(F.col("doc_id").alias("id_a"), F.col("cluster"))
-            ),
+            corpus_assign.select(F.col("doc_id").alias("id_a"), F.col("cluster")),
             "cluster",
         )
         .select("cluster", "id_a", "id_b")

@@ -1012,3 +1012,86 @@ def test_dup_edges_on_transitive_chain(spark):
     assert got == [e for e in expected if e[0] in in_graph]
     # the chain genuinely produced a multi-hop component
     assert any(node - comp >= 2 for node, comp in got)
+
+
+def test_pair_cosine_join_tier_bit_identical(spark):
+    """The distributed pair-scoring tier (round-7): pair_cosine_pandas
+    auto-falls-back to pair_cosine_join past max_vectors (here forced
+    with max_vectors=1), and the two tiers must be BIT-identical —
+    same float64 gather, same e8 fixed-point products, same 6dp
+    rounding; only where the vectors come from differs."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a")).limit(30)
+    b = emb.select(F.col("vec_id").alias("id_b")).limit(30)
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    bc = sim.pair_cosine_pandas(pairs, emb).orderBy("id_a", "id_b").collect()
+    jn = sim.pair_cosine_pandas(pairs, emb, max_vectors=1).orderBy(
+        "id_a", "id_b"
+    ).collect()
+    assert len(bc) == len(jn) == 435
+    assert bc == jn
+
+
+def test_semantic_family_identical_across_scoring_tiers(spark, monkeypatch):
+    """SemDeDup end-to-end across the scoring-tier boundary: with every
+    pair_cosine_pandas call forced onto the distributed join tier
+    (max_vectors=0 — the 100 TB route, nothing collected), the
+    semantic_keep verdicts and semantic_near_dups pairs must equal the
+    broadcast tier's bit for bit."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).localCheckpoint()
+
+    keep_bc = sorted(map(tuple, dd.semantic_keep(emb, target_cluster_size=100).collect()))
+    nd_bc = sorted(map(tuple, dd.semantic_near_dups(emb, target_cluster_size=100).collect()))
+
+    orig = sim.pair_cosine_pandas
+
+    def forced(*args, **kwargs):
+        kwargs["max_vectors"] = 0
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(sim, "pair_cosine_pandas", forced)
+    keep_jn = sorted(map(tuple, dd.semantic_keep(emb, target_cluster_size=100).collect()))
+    nd_jn = sorted(map(tuple, dd.semantic_near_dups(emb, target_cluster_size=100).collect()))
+    assert keep_bc == keep_jn and len(keep_bc) == emb.count()
+    assert nd_bc == nd_jn and len(nd_bc) > 0
+
+
+def test_streaming_semantic_plan_forces_no_broadcast(spark):
+    """Round-7 scale fix: semantic_verdicts_stream must NOT hint-force a
+    broadcast of corpus_assign (an n-row table). With the size-based
+    auto-broadcast disabled, the batch twin of the stream plan must
+    contain no broadcast join at all — proving every broadcast that
+    ever appears is the planner's own bounded size decision, never an
+    unconditional hint."""
+    from skripsi_mapreduce_spark.functions.numeric import e_int
+    from skripsi_mapreduce_spark.operators.kmeans import kmeans_fixedpoint_ivf_model
+    from skripsi_mapreduce_spark.streaming.semantic import semantic_verdicts_stream
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).localCheckpoint()
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    w = corpus.select(
+        F.col("vec_id").alias("doc_id"), F.posexplode("embedding").alias("word", "x")
+    ).select("doc_id", "word", e_int(F.col("x").cast("double"), 4).alias("x_e4"))
+    dense_c = corpus.select(
+        F.col("vec_id").cast("long").alias("doc_id"), F.col("embedding").alias("vec")
+    )
+    corpus_assign, model = kmeans_fixedpoint_ivf_model(
+        w, 8, weight_col="x_e4", dense=dense_c
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = semantic_verdicts_stream(
+            batch, corpus_assign, model, emb, 990_000
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert out.count() == batch.count()  # and the shuffled plan still runs
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -194,3 +194,53 @@ def test_fixedpoint_pivot_kernel_bit_equal_to_join(spark):
             ).collect()
         )
         assert a == b and len(a) > 0
+
+
+def test_ivf_model_distributed_tier_bit_equal_to_fused(spark):
+    """The frozen-model kernel ladder (round-7): past the fused closure
+    bound, kmeans_fixedpoint_ivf_model returns a DISTRIBUTED model
+    (centroid/cmap DataFrames + the bounded c×d coarse rows) and
+    assign_with_model routes through numpy probes + the join-scoring
+    tier. At a size BOTH tiers can run, training assignments AND
+    batch quantization must be bit-identical across the boundary
+    (max_fused_cells=0 forces the distributed tier)."""
+    from pyspark.sql import functions as F
+
+    from skripsi_mapreduce_spark.functions.numeric import e_int
+    from skripsi_mapreduce_spark.operators.kmeans import (
+        assign_with_model,
+        kmeans_fixedpoint_ivf_model,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0).limit(40)
+
+    def longform(df):
+        return df.select(
+            F.col("vec_id").alias("doc_id"),
+            F.posexplode("embedding").alias("word", "x"),
+        ).select("doc_id", "word", e_int(F.col("x").cast("double"), 4).alias("x_e4"))
+
+    def dense(df):
+        return df.select(
+            F.col("vec_id").cast("long").alias("doc_id"),
+            F.col("embedding").alias("vec"),
+        )
+
+    a_f, m_f = kmeans_fixedpoint_ivf_model(
+        longform(corpus), 12, weight_col="x_e4", dense=dense(corpus)
+    )
+    a_d, m_d = kmeans_fixedpoint_ivf_model(
+        longform(corpus), 12, weight_col="x_e4", dense=dense(corpus),
+        max_fused_cells=0,  # 12×64 cells > 0: forces the large-k tier
+    )
+    assert (m_f["kind"], m_d["kind"]) == ("fused", "distributed")
+    assert sorted(map(tuple, a_f.collect())) == sorted(map(tuple, a_d.collect()))
+    bf = sorted(map(tuple, assign_with_model(dense(batch), m_f).collect()))
+    bd = sorted(map(tuple, assign_with_model(dense(batch), m_d).collect()))
+    assert bf == bd and len(bf) == 40
