@@ -1317,3 +1317,98 @@ def semantic_assignments(
             output="assignments",
         ).select("doc_id", "cluster")
     raise ValueError(f"assign must be 'ivf' or 'exact', got {assign!r}")
+
+
+def jaccard_generator_profile(
+    sh: DataFrame, threshold: float, budget_factor: int = 30
+) -> dict:
+    """The candidate-generator DECISION the prefix-filter studies call
+    for (SCALING.md round-6: "pick the candidate generator by the
+    corpus's shingle-frequency profile — one groupBy to check"), made
+    executable and engine-replayable. Builds the prefix table exactly
+    as :func:`prefix_candidates` would (global-df rarest-first order,
+    length |A| - ceil(t·|A|) + 1) and computes the EXACT size of the
+    candidate-pair multiset its self-join would emit —
+    Σ_shingle C(prefix_df, 2) — without running the join. That number
+    is the whole cost model: the prefix filter's only super-linear
+    stage is the candidate join, so
+
+        prefix_cand_pairs <= budget_factor · n_docs  →  'prefix'
+        (lossless, recall 1.0, no signature work), else 'lsh'
+        (the minhash cascade: linear signature cost, probabilistic
+        recall, candidates bounded by banding).
+
+    The factor 30 brackets the measured crossover (zipf corpus t=0.9:
+    5·n candidates → prefix wins 2×; t=0.8: 29·n → parity; the uniform
+    30-word-vocab corpus: ~quadratic → LSH wins 2-4×; SCALING.md
+    round-6 table). Everything here is integer counts over one
+    deterministic ranking, so a SQL engine replays the decision
+    bit-for-bit — the dedup_jaccard_autoselect entry adjudicates it.
+
+    Returns {n_docs, distinct_shingles, prefix_cand_pairs, generator}."""
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("_freq"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("_n"))
+    w = Window.partitionBy("doc_id").orderBy("_freq", "shingle")
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("_rk", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("_rk") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        prefix.groupBy("shingle")
+        .agg(F.count("*").alias("pdf"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("pdf * (pdf - 1) DIV 2")), F.lit(0).cast("long")
+            ).alias("cand")
+        )
+        .head()["cand"]
+    )
+    n_docs = sizes.count()
+    distinct_shingles = freq.count()
+    generator = "prefix" if cand <= budget_factor * n_docs else "lsh"
+    return {
+        "n_docs": int(n_docs),
+        "distinct_shingles": int(distinct_shingles),
+        "prefix_cand_pairs": int(cand),
+        "generator": generator,
+    }
+
+
+def jaccard_near_dups_auto(
+    df: DataFrame,
+    threshold: float = 0.9,
+    shingle_size: int = 1,
+    budget_factor: int = 30,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, dict]:
+    """Exact-verified Jaccard near-dups with the CANDIDATE GENERATOR
+    auto-selected per corpus (:func:`jaccard_generator_profile`):
+    long-tail shingle distributions (real text) route through the
+    lossless prefix filter (recall 1.0, wins 2× on the measured zipf
+    corpus at t=0.9), hot-vocabulary corpora through the minhash
+    cascade (the uniform corpus where the prefix join is quadratic).
+    Returns (pairs, profile) — pairs is (id_a, id_b, jaccard >= t),
+    profile records the decision and its statistic. Both arms verify
+    with the same exact kernel, so on any corpus where both achieve
+    full recall the outputs are identical (pinned on both corpus
+    shapes by test)."""
+    sh = shingles(df, id_col, text_col, shingle_size).localCheckpoint(eager=False)
+    prof = jaccard_generator_profile(sh, threshold, budget_factor)
+    if prof["generator"] == "prefix":
+        cands = prefix_candidates(sh, threshold)
+        pairs = jaccard_pairs(sh, pairs=cands, min_jaccard=threshold).filter(
+            F.col("jaccard") >= threshold
+        )
+    else:
+        pairs = minhash_near_dups(
+            df, threshold=threshold, num_hashes=num_hashes,
+            rows_per_band=rows_per_band, shingle_size=shingle_size,
+            id_col=id_col, text_col=text_col,
+        )
+    return pairs, prof

@@ -10,87 +10,35 @@ from . import extensions3  # noqa: F401  (registers into QUERIES/ORACLE)
 # entries in dict order (every round so far cut at exactly position 50).
 # Rotate so every entry's freshest driver-green row stays recent.
 #
-# Round 6 head (executes the r5 verdict's rotation ledger verbatim):
+# Round 7 head (executes the r6 verdict's rotation ledger verbatim):
 #  (0) entries added or kernel/oracle-changed THIS round — must be
-#      adjudicated (dedup_semantic: hierarchical IVF assignment + new
-#      oracle chain; sim_topk_many_ivfpq_rerank: new batched full-stack
-#      entry; mm_image_resize: magic-byte PPM/PNG dispatch; the three
-#      PQ/IVF-PQ entries whose oracle BUILDERS were reparameterized —
-#      rendered SQL verified identical at the default knobs, promoted
-#      anyway so the gate re-proves it),
-#  (a) the 34 entries whose freshest driver-green row is r3 — the
-#      stalest evidence in the repo (q15-q18, q21, q24-q34 remainder,
-#      the mm_* decode trio, bpe/etl/pack/profile/skew/range/rollup/
-#      pipe/sketch/graph_pagerank/ta blocks, q45),
-#  (b) fill to EXACTLY 50 with the OLDEST r4-green entries (seven of
-#      the first ten of the r5 tail — sketch_bloom, mix_temperature and
-#      stream_interval_join were displaced as the SemDeDup
-#      keep/incremental/stream entries landed late in the round; new
-#      entries outrank fills). A registry test pins len == 50.
+#      adjudicated (dedup_jaccard_autoselect + sim_recall_many_ivfpq:
+#      new; the four SemDeDup entries: pair_cosine_pandas grew the
+#      auto-selected distributed join tier, the frozen model grew the
+#      large-k DataFrame tier, and the streaming twin dropped its
+#      corpus_assign broadcast hint — the guard-only additions to the
+#      PQ/IVF-PQ seeders and ivf_recall_curve change no adjudicated
+#      plan and are not re-promoted),
+#  (a) the 34 entries whose freshest driver-green row is r4 — the
+#      stalest evidence in the repo (sketch_bloom ...
+#      q14_correlated_subquery, the whole r4 block of the r6 tail),
+#  (b) fill to EXACTLY 50 with the OLDEST r5-green entries
+#      (dedup_embedding_cosine ... sketch_kmv_intersect). A registry
+#      test pins len == 50.
 #
-# Freshness ledger after r6 (for the round-7 rotation): head-50 carry
-# r6 evidence; _TAIL lists the 34 remaining r4-green entries FIRST
-# (oldest — r7's fill pool; sketch_bloom/mix_temperature/
-# stream_interval_join included) then the 46
-# r5-green entries. r7 head = any r7-changed kernels + the r4 block,
-# then r5 fill to exactly 50.
+# Freshness ledger after r7 (for the round-8 rotation): head-50 carry
+# r7 evidence; _TAIL lists the 36 remaining r5-green entries FIRST
+# (oldest — r8's fill pool) then the 46 r6-green entries. r8 head =
+# any r8-changed kernels + the r5 block, then r6 fill to exactly 50.
 _PROMOTED = [
     # (0) changed/new this round
+    "dedup_jaccard_autoselect",
+    "sim_recall_many_ivfpq",
     "dedup_semantic",
     "dedup_semantic_keep",
     "dedup_semantic_incremental",
     "stream_semantic_incremental",
-    "sim_topk_many_ivfpq_rerank",
-    "mm_image_resize",
-    "sim_topk_ivfpq_rerank",
-    "sim_topk_ivfpq",
-    "sim_topk_pq",
-    # (a) last driver-green r3
-    "q15_window_rank",
-    "q16_window_lag",
-    "q17_window_frame",
-    "q18_topk",
-    "q21_grouping_sets",
-    "q24_math_fns",
-    "q25_conditional_agg",
-    "q27_tumbling_window",
-    "q28_sessionization",
-    "q29_exact_dedup",
-    "q30_array_tokens",
-    "dedup_cross_corpus",
-    "etl_sequential_ids",
-    "bpe_merges",
-    "pack_blocks",
-    "q31_pivot",
-    "q32_quantiles",
-    "q33_listagg",
-    "q34_ntile",
-    "sketch_kmv_distinct",
-    "sketch_cms_topk",
-    "graph_pagerank",
-    "bpe_encode",
-    "ta_quality_classifier",
-    "mm_image_decode",
-    "mm_audio_decode",
-    "mm_video_frames",
-    "profile_lineitem",
-    "skew_salted_agg",
-    "range_join_pairs",
-    "rollup_events",
-    "pipe_contamination",
-    "q45_apply_changes",
-    "ta_bigram_lp",
-    # (b) oldest r4-green evidence, filling the window to exactly 50
-    "q50_udtf_bigrams",
-    "mix_negatives",
-    "dedup_group_keep",
-    "q51_fuzzy_match",
-    "stream_enrich",
-    "q52_cube",
-    "sim_topk_many",
-]
-_TAIL = [
-    # green r4 — the oldest evidence outside the head (r7's fill pool)
+    # (a) last driver-green r4
     "sketch_bloom",
     "mix_temperature",
     "stream_interval_join",
@@ -125,7 +73,7 @@ _TAIL = [
     "q12_cross_join",
     "q13_scalar_subquery",
     "q14_correlated_subquery",
-    # green r5 — freshest evidence, rotated out of the head
+    # (b) oldest r5-green evidence, filling the window to exactly 50
     "dedup_embedding_cosine",
     "emb_random_projection",
     "dedup_incremental",
@@ -136,6 +84,9 @@ _TAIL = [
     "q53_zorder_layout",
     "dedup_prefix_jaccard",
     "sketch_kmv_intersect",
+]
+_TAIL = [
+    # green r5 — the oldest evidence outside the head (r8's fill pool)
     "sim_topk_many_ivf",
     "q19_set_ops",
     "q20_rollup",
@@ -172,8 +123,54 @@ _TAIL = [
     "q06_inner_join",
     "q07_tpch_q5",
     "q08_left_join",
+    # green r6 — freshest evidence, rotated out of the head
+    "sim_topk_many_ivfpq_rerank",
+    "mm_image_resize",
+    "sim_topk_ivfpq_rerank",
+    "sim_topk_ivfpq",
+    "sim_topk_pq",
+    "q15_window_rank",
+    "q16_window_lag",
+    "q17_window_frame",
+    "q18_topk",
+    "q21_grouping_sets",
+    "q24_math_fns",
+    "q25_conditional_agg",
+    "q27_tumbling_window",
+    "q28_sessionization",
+    "q29_exact_dedup",
+    "q30_array_tokens",
+    "dedup_cross_corpus",
+    "etl_sequential_ids",
+    "bpe_merges",
+    "pack_blocks",
+    "q31_pivot",
+    "q32_quantiles",
+    "q33_listagg",
+    "q34_ntile",
+    "sketch_kmv_distinct",
+    "sketch_cms_topk",
+    "graph_pagerank",
+    "bpe_encode",
+    "ta_quality_classifier",
+    "mm_image_decode",
+    "mm_audio_decode",
+    "mm_video_frames",
+    "profile_lineitem",
+    "skew_salted_agg",
+    "range_join_pairs",
+    "rollup_events",
+    "pipe_contamination",
+    "q45_apply_changes",
+    "ta_bigram_lp",
+    "q50_udtf_bigrams",
+    "mix_negatives",
+    "dedup_group_keep",
+    "q51_fuzzy_match",
+    "stream_enrich",
+    "q52_cube",
+    "sim_topk_many",
 ]
-
 
 def _reorder(d: dict) -> dict:
     head = [k for k in _PROMOTED if k in d]

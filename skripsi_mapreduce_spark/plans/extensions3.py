@@ -1758,3 +1758,140 @@ def q53_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zprefix")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: candidate-generator auto-selection — the shingle-frequency
+# profile decision (SCALING.md round-6) as an adjudicated artifact
+# ---------------------------------------------------------------------------
+_AUTO_T, _AUTO_BUDGET = 0.9, 30
+
+
+def _register_jaccard_autoselect() -> None:
+    from .extensions import ASCII_TOKEN
+
+    sql = f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS shingle
+        FROM documents),
+    freq AS (SELECT shingle, COUNT(*) AS f FROM toks GROUP BY shingle),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    pref AS (SELECT doc_id, shingle FROM (
+        SELECT t.doc_id, t.shingle, s.n,
+               ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.f, t.shingle) AS rk
+        FROM toks t JOIN freq f USING (shingle) JOIN sizes s USING (doc_id)) r
+        WHERE rk <= n - CEIL({_AUTO_T} * n) + 1),
+    pstat AS (SELECT shingle, COUNT(*) AS pdf FROM pref GROUP BY shingle),
+    agg AS (SELECT CAST(COALESCE(SUM(pdf * (pdf - 1) // 2), 0) AS BIGINT) AS cand
+            FROM pstat),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sizes),
+    ds AS (SELECT CAST(COUNT(*) AS BIGINT) AS distinct_shingles FROM freq)
+    SELECT nd.n_docs, ds.distinct_shingles, agg.cand AS prefix_cand_pairs,
+           CASE WHEN agg.cand <= {_AUTO_BUDGET} * nd.n_docs
+                THEN 'prefix' ELSE 'lsh' END AS generator
+    FROM agg, nd, ds
+    """
+
+    @query("dedup_jaccard_autoselect", sql)
+    def dedup_jaccard_autoselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The candidate-generator decision for exact-Jaccard dedup,
+        adjudicated (operators/dedup.jaccard_generator_profile): build
+        the t=0.9 prefix table exactly as the prefix filter would
+        (global-df rarest-first order, |A| - ceil(t·|A|) + 1 per doc)
+        and compute the EXACT candidate-pair count its self-join would
+        emit — Σ_shingle C(prefix_df, 2) — without running the join;
+        pick 'prefix' (lossless, recall 1.0) when that count is within
+        30·n_docs, else 'lsh' (the minhash cascade). The factor
+        brackets the measured crossover: the zipf long-tail corpus at
+        t=0.9 profiles ~5·n and the prefix arm WINS 2× with recall 1.0
+        (SCALING.md round-6 table); this uniform-30-word corpus
+        profiles ~quadratic and correctly routes to LSH. Every number
+        is an integer count over one deterministic ranking, so the
+        DECISION ITSELF is hash-matched — and
+        dedup.jaccard_near_dups_auto runs the chosen arm end-to-end
+        (equality on both corpus shapes pinned by
+        tests/test_prefix_filter.py). At 100 TB the profile costs two
+        groupBys over the shingle table the pipeline builds anyway —
+        the cheapest insurance against committing a quadratic
+        candidate join to the wrong corpus."""
+        from ..operators import dedup as dd
+
+        docs = load_table(spark, sf_dir, "documents")
+        sh = dd.shingles(docs, size=1)
+        prof = dd.jaccard_generator_profile(
+            sh, threshold=_AUTO_T, budget_factor=_AUTO_BUDGET
+        )
+        return spark.createDataFrame(
+            [(
+                prof["n_docs"],
+                prof["distinct_shingles"],
+                prof["prefix_cand_pairs"],
+                prof["generator"],
+            )],
+            "n_docs bigint, distinct_shingles bigint, "
+            "prefix_cand_pairs bigint, generator string",
+        )
+
+
+_register_jaccard_autoselect()
+
+
+# ---------------------------------------------------------------------------
+# Round 7: batched-stack recall adjudication — the production ANN path's
+# QUALITY, not just its scores' parity, composed from the two entries'
+# own oracle chains
+# ---------------------------------------------------------------------------
+def _register_recall_many() -> None:
+    sql = f"""
+    SELECT a.query_id,
+           CAST({_MANY_K} AS BIGINT) AS k,
+           CAST(COUNT(e.vec_id) AS BIGINT) AS n_hit,
+           CAST(ROUND(CAST(COUNT(e.vec_id) AS DOUBLE) / {_MANY_K}.0 * 10000)
+                AS BIGINT) AS recall_e4
+    FROM ({ORACLE["sim_topk_many_ivfpq_rerank"]}) a
+    LEFT JOIN ({ORACLE["sim_topk_many"]}) e USING (query_id, vec_id)
+    GROUP BY a.query_id ORDER BY a.query_id
+    """
+
+    @query("sim_recall_many_ivfpq", sql)
+    def sim_recall_many_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Recall@10 of the BATCHED full ANN stack (IVF prune → PQ-ADC
+        shortlist → exact re-rank, one pass per tier for all four
+        queries) against the exact batched top-10 — sim_recall_ivf
+        grades the single-query probe budget; this grades the
+        production path end to end, per query. Both sides are the
+        repo's own adjudicated operators and the oracle is COMPOSED
+        from their adjudicated oracle strings verbatim, so the
+        evaluation itself is hash-matched (integer recall_e4, never a
+        float). At 100 TB the evaluation costs one batched ANN pass
+        plus one exact pass over the SAME corpus scan shapes the two
+        underlying entries already have."""
+        from ..operators import similarity as sim_mod
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qdf = emb.filter(F.col("vec_id") < _MANY_NQ).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        approx = sim_mod.ivfpq_rerank_topk_many(
+            emb, qdf, k=_IP_K, rerank_mult=_IPR_MULT, n_list=_IP_NLIST,
+            n_probe=_IPR_NPROBE, m=_IP_M, n_codes=_IPR_CODES,
+        ).select("query_id", "vec_id")
+        exact = sim_mod.topk_cosine_many(emb, qdf, k=_MANY_K).select(
+            "query_id", "vec_id"
+        ).withColumn("_h", F.lit(1))
+        joined = approx.join(exact, ["query_id", "vec_id"], "left")
+        return (
+            joined.groupBy("query_id")
+            .agg(
+                F.lit(_MANY_K).cast("bigint").alias("k"),
+                F.count("_h").cast("bigint").alias("n_hit"),
+                e_int(
+                    F.count("_h").cast("double") / F.lit(float(_MANY_K)), 4
+                ).alias("recall_e4"),
+            )
+            .orderBy("query_id")
+        )
+
+
+_register_recall_many()

@@ -66,3 +66,85 @@ def test_prefix_candidates_lossless_random_corpora(spark):
             qualifying = {p for p, j in truth_all.items() if j >= t}
             missing = qualifying - cands
             assert not missing, (trial, t, missing)
+
+
+def _zipf_corpus(spark, n_docs=120, vocab=4000, doc_len=24, seed=7):
+    """Deterministic long-tail corpus: token ranks drawn ∝ rank^-1.1
+    from a large vocabulary (the tools/gen_scaledata.py --zipf shape,
+    shrunk to test size), with every 10th doc a near-dup of its
+    predecessor (one token swapped — Jaccard well above 0.9 at this
+    length)."""
+    import random
+
+    rng = random.Random(seed)
+    weights = [1.0 / (r ** 1.1) for r in range(1, vocab + 1)]
+    tot = sum(weights)
+    cum, acc = [], 0.0
+    for wt in weights:
+        acc += wt / tot
+        cum.append(acc)
+
+    def draw():
+        import bisect
+
+        return f"w{bisect.bisect_left(cum, rng.random()):05d}"
+
+    rows, prev = [], None
+    for i in range(n_docs):
+        if prev is not None and i % 10 == 9:
+            toks = list(prev)
+            toks[rng.randrange(len(toks))] = draw()
+        else:
+            toks = [draw() for _ in range(doc_len)]
+        rows.append((i, " ".join(toks)))
+        prev = toks
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_generator_autoselect_routes_both_corpus_shapes(spark):
+    """jaccard_near_dups_auto (round-7): the shingle-frequency profile
+    must route the long-tail (zipf) corpus to the LOSSLESS prefix arm
+    — whose output must equal brute-force exact Jaccard — and the
+    hot-vocabulary synthetic documents corpus to the LSH cascade —
+    whose output must equal minhash_near_dups run directly. The
+    decision statistic is the EXACT candidate-pair count of the
+    prefix self-join, computed without running the join."""
+    from skripsi_mapreduce_spark.operators.dedup import (
+        jaccard_generator_profile,
+        jaccard_near_dups_auto,
+        minhash_near_dups,
+    )
+
+    from .conftest import SF_DIR
+
+    t = 0.9
+    # long-tail shape: prefix wins, recall 1.0 == brute force
+    zipf = _zipf_corpus(spark).localCheckpoint(eager=True)
+    sh_z = shingles(zipf, size=1).localCheckpoint(eager=True)
+    prof_z = jaccard_generator_profile(sh_z, t)
+    assert prof_z["generator"] == "prefix", prof_z
+    pairs_z, prof_z2 = jaccard_near_dups_auto(zipf, threshold=t)
+    assert prof_z2 == prof_z
+    got_z = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in pairs_z.collect()
+    )
+    truth_z = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in jaccard_pairs(sh_z).filter(F.col("jaccard") >= t).collect()
+    )
+    assert got_z == truth_z and len(got_z) >= 5  # planted near-dups found
+
+    # hot-vocabulary shape: the prefix join would be ~quadratic → LSH
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sh_u = shingles(docs, size=1).localCheckpoint(eager=True)
+    prof_u = jaccard_generator_profile(sh_u, t)
+    assert prof_u["generator"] == "lsh", prof_u
+    pairs_u, _ = jaccard_near_dups_auto(docs, threshold=t)
+    got_u = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in pairs_u.collect()
+    )
+    want_u = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_near_dups(docs, threshold=t).collect()
+    )
+    assert got_u == want_u and len(got_u) > 0
