@@ -1112,7 +1112,7 @@ def semantic_near_dups(
     import math
 
     from ..functions.numeric import e_int
-    from .similarity import pair_cosine_pandas
+    from .similarity import pair_cosine_join
 
     if k == "auto":
         k = max(2, math.ceil(emb.count() / target_cluster_size))
@@ -1125,7 +1125,7 @@ def semantic_near_dups(
     pairs = a.join(
         b, (F.col("cluster") == F.col("_cb")) & (F.col("id_a") < F.col("id_b"))
     ).select("cluster", "id_a", "id_b")
-    scored = pair_cosine_pandas(pairs, emb, id_col=id_col, vec_col=vec_col).select(
+    scored = pair_cosine_join(pairs, emb, id_col=id_col, vec_col=vec_col).select(
         "cluster", "id_a", "id_b", e_int(F.col("cosine"), 6).alias("cosine_e6")
     )
     rn = F.row_number().over(
@@ -1165,7 +1165,7 @@ def semantic_keep(
     import math
 
     from ..functions.numeric import e_int
-    from .similarity import pair_cosine_pandas
+    from .similarity import pair_cosine_join
 
     if k == "auto":
         k = max(2, math.ceil(emb.count() / target_cluster_size))
@@ -1179,7 +1179,7 @@ def semantic_keep(
     ).select("cluster", "id_a", "id_b")
     eps_e6 = int(round(eps * 1_000_000))
     dropped = (
-        pair_cosine_pandas(pairs, emb, id_col=id_col, vec_col=vec_col)
+        pair_cosine_join(pairs, emb, id_col=id_col, vec_col=vec_col)
         .select("id_b", e_int(F.col("cosine"), 6).alias("cosine_e6"))
         .filter(F.col("cosine_e6") >= eps_e6)
         .select(F.col("id_b").alias("doc_id"))
@@ -1229,7 +1229,7 @@ def semantic_incremental(
 
     from ..functions.numeric import e_int
     from .kmeans import assign_with_model, kmeans_fixedpoint_ivf_model
-    from .similarity import pair_cosine_pandas
+    from .similarity import pair_cosine_join
 
     if k == "auto":
         k = max(2, math.ceil(corpus.count() / target_cluster_size))
@@ -1257,7 +1257,7 @@ def semantic_incremental(
     )
     allemb = corpus.select(id_col, vec_col).unionByName(batch.select(id_col, vec_col))
     eps_e6 = int(round(eps * 1_000_000))
-    scored = pair_cosine_pandas(pairs, allemb, id_col=id_col, vec_col=vec_col).select(
+    scored = pair_cosine_join(pairs, allemb, id_col=id_col, vec_col=vec_col).select(
         "id_b", e_int(F.col("cosine"), 6).alias("cosine_e6")
     )
     agg = scored.groupBy("id_b").agg(

@@ -1404,9 +1404,14 @@ def pair_cosine_pandas(
     tier (vectors ride two equi-joins, the kernel sees only its own
     Arrow batch, nothing is collected) — with results pinned
     BIT-IDENTICAL across the tier boundary by test (the kmeans
-    kernel-ladder convention). Below the bound the broadcast tier wins
-    because the pair stream shuffles NARROW (id, id) rows while the
-    join tier's shuffle carries two dense vectors per pair row."""
+    kernel-ladder convention). Tier choice: the broadcast tier shuffles
+    NARROW (id, id) pair rows where the join tier carries two dense
+    vectors per pair, but it pays count + collect + broadcast jobs
+    before the first pair scores — measured SLOWER end-to-end on the
+    SemDeDup shape at every local sf (SCALING.md round-7 table), so the
+    SemDeDup family calls :func:`pair_cosine_join` directly and this
+    kernel remains for pair-dense shapes (pair multiset >> vector
+    table) and as the parity reference."""
     import numpy as np
 
     n = emb.count()

@@ -54,7 +54,7 @@ def semantic_verdicts_stream(
     (pinned by the shared oracle)."""
     from ..functions.numeric import e_int
     from ..operators.kmeans import assign_with_model
-    from ..operators.similarity import pair_cosine_pandas
+    from ..operators.similarity import pair_cosine_join
 
     dense_b = batch_stream.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(vec_col).alias("vec")
@@ -74,7 +74,7 @@ def semantic_verdicts_stream(
         )
         .select("cluster", "id_a", "id_b")
     )
-    scored = pair_cosine_pandas(pairs, allemb, id_col=id_col, vec_col=vec_col).select(
+    scored = pair_cosine_join(pairs, allemb, id_col=id_col, vec_col=vec_col).select(
         "id_b", "cluster", e_int(F.col("cosine"), 6).alias("cosine_e6")
     )
     sentinel = ba.select(

@@ -458,13 +458,15 @@ def test_pair_cosine_pandas_bit_identical_to_hof(spark):
     assert fast == slow
 
 
-def test_pair_cosine_pandas_guards_vector_count(spark):
+def test_pair_cosine_pandas_falls_back_past_vector_bound(spark):
+    """Past max_vectors the broadcast kernel no longer raises (the
+    round-6 behavior) — it auto-selects the distributed join tier and
+    still returns the same scores."""
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     pairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="max_vectors"):
-        sim.pair_cosine_pandas(pairs, emb, max_vectors=1)
+    got = sim.pair_cosine_pandas(pairs, emb, max_vectors=1).collect()
+    want = sim.pair_cosine_pandas(pairs, emb).collect()
+    assert got == want and len(got) == 1
 
 
 def test_pq_rerank_precision_and_recall(spark):
@@ -1033,27 +1035,28 @@ def test_pair_cosine_join_tier_bit_identical(spark):
 
 
 def test_semantic_family_identical_across_scoring_tiers(spark, monkeypatch):
-    """SemDeDup end-to-end across the scoring-tier boundary: with every
-    pair_cosine_pandas call forced onto the distributed join tier
-    (max_vectors=0 — the 100 TB route, nothing collected), the
-    semantic_keep verdicts and semantic_near_dups pairs must equal the
-    broadcast tier's bit for bit."""
+    """SemDeDup end-to-end across the scoring-tier boundary: the family
+    scores through the distributed join tier by DEFAULT (the 100 TB
+    route, nothing collected — and measured faster at every local sf);
+    forcing every scoring call back onto the broadcast kernel must
+    reproduce the semantic_keep verdicts and semantic_near_dups pairs
+    bit for bit."""
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     ).localCheckpoint()
 
-    keep_bc = sorted(map(tuple, dd.semantic_keep(emb, target_cluster_size=100).collect()))
-    nd_bc = sorted(map(tuple, dd.semantic_near_dups(emb, target_cluster_size=100).collect()))
-
-    orig = sim.pair_cosine_pandas
-
-    def forced(*args, **kwargs):
-        kwargs["max_vectors"] = 0
-        return orig(*args, **kwargs)
-
-    monkeypatch.setattr(sim, "pair_cosine_pandas", forced)
     keep_jn = sorted(map(tuple, dd.semantic_keep(emb, target_cluster_size=100).collect()))
     nd_jn = sorted(map(tuple, dd.semantic_near_dups(emb, target_cluster_size=100).collect()))
+
+    orig_pandas = sim.pair_cosine_pandas
+
+    def forced_broadcast(pairs, emb_, **kwargs):
+        kwargs["max_vectors"] = 1 << 62  # never fall back (would recurse)
+        return orig_pandas(pairs, emb_, **kwargs)
+
+    monkeypatch.setattr(sim, "pair_cosine_join", forced_broadcast)
+    keep_bc = sorted(map(tuple, dd.semantic_keep(emb, target_cluster_size=100).collect()))
+    nd_bc = sorted(map(tuple, dd.semantic_near_dups(emb, target_cluster_size=100).collect()))
     assert keep_bc == keep_jn and len(keep_bc) == emb.count()
     assert nd_bc == nd_jn and len(nd_bc) > 0
 
