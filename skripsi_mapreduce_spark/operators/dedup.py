@@ -1350,12 +1350,15 @@ def jaccard_generator_profile(
     # table once instead of re-tokenizing the corpus per branch
     sh = sh.localCheckpoint(eager=False)
     freq = sh.groupBy("shingle").agg(F.count("*").alias("_freq"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("_n"))
     w = Window.partitionBy("doc_id").orderBy("_freq", "shingle")
+    # per-doc set size via the SAME window shuffle the ranking needs
+    # (an unbounded count over the doc partition) — one groupBy + join
+    # fewer than a separate sizes table, identical values
+    wn = Window.partitionBy("doc_id")
     prefix = (
         sh.join(freq, "shingle")
         .withColumn("_rk", F.row_number().over(w))
-        .join(sizes, "doc_id")
+        .withColumn("_n", F.count("*").over(wn))
         .filter(F.col("_rk") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
         .select("doc_id", "shingle")
     )
@@ -1368,7 +1371,7 @@ def jaccard_generator_profile(
             ).alias("cand")
         )
     )
-    nd_df = sizes.agg(F.count("*").alias("_nd"))
+    nd_df = sh.agg(F.count_distinct("doc_id").alias("_nd"))
     ds_df = freq.agg(F.count("*").alias("_ds"))
     # ONE action for all three scalars (separate .count() jobs would
     # re-run the whole chain per scalar — measured 3.2s -> ~1.2s)
