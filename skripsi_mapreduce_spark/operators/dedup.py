@@ -325,6 +325,27 @@ def minhash_candidates(bands: DataFrame) -> DataFrame:
     )
 
 
+def _prefix_table(sh: DataFrame, threshold: float) -> tuple[DataFrame, DataFrame]:
+    """(prefix, freq): each doc's (1-t)|A|+1 rarest shingles under the
+    one consistent global-df total order (df asc, shingle asc) — the
+    table :func:`prefix_candidates` self-joins and
+    :func:`jaccard_generator_profile` sizes WITHOUT joining. The per-doc
+    set size rides the SAME window shuffle as the ranking (an unbounded
+    count over the doc partition) instead of a separate groupBy + join;
+    rows per doc are bounded by the vocabulary, so no skew."""
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("_freq"))
+    w = Window.partitionBy("doc_id").orderBy("_freq", "shingle")
+    wn = Window.partitionBy("doc_id")
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wn))
+        .filter(F.col("_rk") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
+        .select("doc_id", "shingle")
+    )
+    return prefix, freq
+
+
 def prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     """Exact prefix-filtered candidate pairs for Jaccard >= threshold
     (Bayardo et al. all-pairs / SSJoin): order each set's shingles by
@@ -344,17 +365,9 @@ def prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     every shingle is hot and the extra freq-join/window costs more than
     it prunes — measured on the sf0.1 synthetic documents it LOST 2-4x —
     so the built-in dedup paths default to the fingerprint cascade + LSH
-    and the choice between them is one shingle-frequency groupBy away."""
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("_freq"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("_n"))
-    w = Window.partitionBy("doc_id").orderBy("_freq", "shingle")
-    prefix = (
-        sh.join(freq, "shingle")
-        .withColumn("_rk", F.row_number().over(w))
-        .join(sizes, "doc_id")
-        .filter(F.col("_rk") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
-        .select("doc_id", "shingle")
-    )
+    and the choice is :func:`jaccard_generator_profile`, one groupBy
+    away (:func:`jaccard_near_dups_auto` automates it)."""
+    prefix, _ = _prefix_table(sh, threshold)
     a = prefix.alias("pa")
     b = prefix.alias("pb")
     return (
@@ -1346,22 +1359,10 @@ def jaccard_generator_profile(
     bit-for-bit — the dedup_jaccard_autoselect entry adjudicates it.
 
     Returns {n_docs, distinct_shingles, prefix_cand_pairs, generator}."""
-    # three consumers (freq, sizes, prefix ranking) — pin the shingle
+    # three consumers (freq, n_docs, prefix ranking) — pin the shingle
     # table once instead of re-tokenizing the corpus per branch
     sh = sh.localCheckpoint(eager=False)
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("_freq"))
-    w = Window.partitionBy("doc_id").orderBy("_freq", "shingle")
-    # per-doc set size via the SAME window shuffle the ranking needs
-    # (an unbounded count over the doc partition) — one groupBy + join
-    # fewer than a separate sizes table, identical values
-    wn = Window.partitionBy("doc_id")
-    prefix = (
-        sh.join(freq, "shingle")
-        .withColumn("_rk", F.row_number().over(w))
-        .withColumn("_n", F.count("*").over(wn))
-        .filter(F.col("_rk") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
-        .select("doc_id", "shingle")
-    )
+    prefix, freq = _prefix_table(sh, threshold)
     cand_df = (
         prefix.groupBy("shingle")
         .agg(F.count("*").alias("pdf"))
