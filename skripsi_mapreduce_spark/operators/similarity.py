@@ -1472,7 +1472,14 @@ def pair_cosine_join(
     distributed exact scorer; Catalyst picks broadcast-hash only when
     a side is genuinely small (no hint is forced here). Works on
     STREAMING pair inputs too (stream-static equi-joins + mapInPandas),
-    which is how the streaming SemDeDup twin stays unbounded-safe."""
+    which is how the streaming SemDeDup twin stays unbounded-safe.
+
+    Caller contract (same as the broadcast kernel's, different edge
+    behavior): every pair id must exist in ``emb`` — here a missing id
+    silently DROPS its pair at the inner join, where the broadcast
+    kernel's gather would fail on the absent key. The SemDeDup call
+    sites satisfy it by construction (pairs come from assignments over
+    the same table)."""
     import numpy as np
 
     pair_cols = [f.name for f in pairs.schema.fields]

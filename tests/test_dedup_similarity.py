@@ -1098,3 +1098,48 @@ def test_streaming_semantic_plan_forces_no_broadcast(spark):
         assert out.count() == batch.count()  # and the shuffled plan still runs
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_streaming_semantic_batch_twin_equals_semantic_incremental(spark):
+    """semantic_verdicts_stream is pure DataFrame ops, so running it on
+    BATCH inputs must reproduce dedup.semantic_incremental row for row
+    on the same corpus/batch/knobs — pinning Spark-vs-Spark (not just
+    via the shared oracle) that the sentinel-union aggregation equals
+    the batch operator's left-join + COALESCE semantics."""
+    from skripsi_mapreduce_spark.functions.numeric import e_int
+    from skripsi_mapreduce_spark.operators.dedup import semantic_incremental
+    from skripsi_mapreduce_spark.operators.kmeans import kmeans_fixedpoint_ivf_model
+    from skripsi_mapreduce_spark.streaming.semantic import semantic_verdicts_stream
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).localCheckpoint()
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    k = max(2, -(-corpus.count() // 50))
+    w = corpus.select(
+        F.col("vec_id").alias("doc_id"), F.posexplode("embedding").alias("word", "x")
+    ).select("doc_id", "word", e_int(F.col("x").cast("double"), 4).alias("x_e4"))
+    dense_c = corpus.select(
+        F.col("vec_id").cast("long").alias("doc_id"), F.col("embedding").alias("vec")
+    )
+    corpus_assign, model = kmeans_fixedpoint_ivf_model(
+        w, k, weight_col="x_e4", dense=dense_c
+    )
+    stream_twin = sorted(
+        map(
+            tuple,
+            semantic_verdicts_stream(
+                batch, corpus_assign, model, emb, 990_000
+            ).collect(),
+        )
+    )
+    batch_op = sorted(
+        map(
+            tuple,
+            semantic_incremental(
+                corpus, batch, eps=0.99, k=k, target_cluster_size=50
+            ).collect(),
+        )
+    )
+    assert stream_twin == batch_op and len(stream_twin) == batch.count()
