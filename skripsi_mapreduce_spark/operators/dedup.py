@@ -511,11 +511,48 @@ def _jaccard_pairs_bitmap(
     )
 
 
+def _jaccard_pairs_arrays(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Set-ARRAY verify kernel: each doc's distinct shingle set becomes
+    ONE sorted array row; candidate pairs join the two compact arrays and
+    overlap = size(array_intersect(sa, sb)) per pair, in-stage.
+
+    Exact for ANY vocabulary (unlike the bitmap kernel's dense-dictionary
+    bit cap) — the gate is per-doc SET SIZE, not vocab: memory per joined
+    row is O(|A|+|B|), so callers opt in only when docs are boundedly
+    small (verify_max_tokens). Why it pays: the shared-shingle equi-join
+    verify shuffles |candidates| x avg|A| exploded (id, shingle) string
+    rows, while this joins |candidates| rows against a |docs|-row array
+    table (broadcast when small, sort-merge on id otherwise) and the
+    arrays die inside the join stage — measured 3.7s -> 0.6s on the
+    trigram prefix entry (125k candidates x ~52 shingles, sf0.1)."""
+    sets = sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("shingle")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"), F.col("n").alias("na")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"), F.col("n").alias("nb")
+    )
+    o = F.size(F.array_intersect("s_a", "s_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (o / (F.col("na") + F.col("nb") - o)).alias("jaccard"),
+        )
+    )
+
+
 def jaccard_pairs(
     sh: DataFrame,
     pairs: DataFrame | None = None,
     bitmap_max_vocab: int = BITMAP_MAX_VOCAB,
     min_jaccard: float | None = None,
+    verify_max_tokens: int = 0,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs (or all pairs sharing >=1 shingle
     when ``pairs`` is None): (id_a, id_b, jaccard).
@@ -535,11 +572,21 @@ def jaccard_pairs(
     division, so the result is backend-invariant bit-for-bit.
     ``min_jaccard`` (a promise that callers filter at >= that value)
     enables the lossless size-bound prune inside the bitmap kernel —
-    rows below it may be dropped early, never rows at/above it."""
+    rows below it may be dropped early, never rows at/above it.
+
+    ``verify_max_tokens`` > 0 opts candidate verification into the
+    set-ARRAY kernel (:func:`_jaccard_pairs_arrays`) when the caller
+    KNOWS per-doc distinct-shingle counts stay below it — exact for any
+    vocabulary, joined-row memory O(|A|+|B|); large-vocab small-doc
+    corpora (n-gram shingles) otherwise fall through to the exploded
+    equi-join, whose shuffle carries |candidates| x avg-set-size string
+    rows. The bound is a memory/perf contract, never a correctness one."""
     if bitmap_max_vocab > 0:
         bm_nw = _shingle_bitmaps(sh, bitmap_max_vocab)
         if bm_nw is not None:
             return _jaccard_pairs_bitmap(bm_nw[0], bm_nw[1], pairs, min_jaccard)
+    if verify_max_tokens > 0 and pairs is not None:
+        return _jaccard_pairs_arrays(sh, pairs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     if pairs is not None:
         # Restrict BEFORE the shingle join: intersecting only candidate

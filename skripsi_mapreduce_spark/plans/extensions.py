@@ -192,16 +192,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_prefix_jaccard",
     rf"""
-    WITH nm AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 2000.0) AS BIGINT)) AS m
-                FROM documents),
-    docs5 AS (SELECT doc_id, text FROM documents, nm WHERE doc_id % nm.m = 0),
-    toks AS (
-        SELECT DISTINCT doc_id,
-               unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS shingle
-        FROM docs5),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS w,
+               generate_subscripts(regexp_extract_all(lower(text), '{ASCII_TOKEN}'), 1) AS i
+        FROM documents),
+    sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+           FROM toks a
+           JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+           JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     ov AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS o
-           FROM toks sa JOIN toks sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+           FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
            GROUP BY 1, 2),
     j AS (SELECT id_a, id_b, o * 1.0 / (x.n + y.n - o) AS jac
           FROM ov JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
@@ -214,44 +216,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-unigram Jaccard >= 0.8 via PREFIX-FILTERED candidates
+    """Exact word-TRIGRAM Jaccard >= 0.8 via PREFIX-FILTERED candidates
     (operators/dedup.prefix_candidates — the Bayardo et al. all-pairs /
     SSJoin mechanism): order each set rarest-shingle-first, keep only
     the (1-t)|A|+1 prefix, and join prefixes instead of full sets — any
     qualifying pair MUST collide inside both prefixes, so the candidate
-    cut is lossless while excluding the hot boilerplate shingles that
-    dominate candidate work; the exact verify (dedup.jaccard_pairs)
-    runs inside candidates only. The oracle is BRUTE-FORCE exact
-    Jaccard with no prefix anywhere, so losslessness is adjudicated,
-    not just property-tested (test_prefix_filter.py).
+    cut is lossless while excluding the hot shingles that dominate
+    candidate work; the exact verify (dedup.jaccard_pairs) runs inside
+    candidates only. The oracle is BRUTE-FORCE exact Jaccard with no
+    prefix anywhere, so losslessness is adjudicated, not just
+    property-tested (test_prefix_filter.py).
 
-    Two deliberate output choices: (1) per-DOC verdicts (n_dups,
-    max_jaccard) — this synthetic corpus is unigram-degenerate (2.6M
-    qualifying pairs at sf0.1), so the pair LIST is quadratic in
-    duplicate-cluster size while the dedup decision is linear, the same
-    shape dedup_group_keep/dedup_incremental adjudicate; (2) a
-    COUNT(*)-derived audit slice — both engines take doc_id % m with
-    m = max(1, ceil(n/2000)), holding the slice near 2000 docs at any
-    corpus size (the fixed 1/5 slice measured 3.4/24/70s over 10x data:
-    exact pair enumeration on duplicate-saturated data is inherently
-    output-bound, so the adjudicated artifact pins the MECHANISM on a
-    constant-size slice and scale dedup belongs to MinHash/group-keep).
-    At 100 TB this is the high-threshold EXACT companion to
+    TRIGRAM shingles are the deliberate corpus match (rounds 1-7 ran
+    unigrams on a doc_id % m audit slice): the synthetic corpus has a
+    31-word uniform vocabulary, so its unigram space is degenerate —
+    every shingle hot, random doc pairs at J≈0.87, 2.6M qualifying
+    pairs at sf0.1 — exactly the shape where prefix filtering LOSES
+    (measured 2-7x behind brute force; jaccard_near_dups_auto now
+    routes such corpora to the LSH cascade). The trigram space over the
+    same corpus is long-tail (median df 9 at sf0.1, planted dups at
+    J≈0.99 with the next pair below 0.4) — the distribution real text
+    has, where the rarest-first prefix prunes candidate work by orders
+    of magnitude while brute force pays Σ C(df,2) over every shared
+    shingle. Per-DOC verdicts (n_dups, max_jaccard) keep the output
+    linear, the same shape dedup_group_keep/dedup_incremental
+    adjudicate. At 100 TB this is the high-threshold EXACT companion to
     MinHash-LSH: no probabilistic recall, prefixes shrinking as the
-    threshold rises — and on the long-tail shingle distributions real
-    text has it WINS outright (zipf corpus, 25k docs, t=0.9: 6.4s vs
-    the LSH cascade's 13.3s, identical pairs, recall 1.0 — SCALING.md
-    round-6 table, reproduced by tools/prefix_vs_lsh.py)."""
-    import math
-
-    all_docs = load_table(spark, sf_dir, "documents")
-    m = max(1, math.ceil(all_docs.count() / 2000.0))
-    docs = all_docs.filter(F.col("doc_id") % m == 0)
-    sh = dd.shingles(docs, size=1).localCheckpoint(eager=False)
+    threshold rises (zipf corpus, 25k docs, t=0.9: 6.4s vs the LSH
+    cascade's 13.3s, identical pairs, recall 1.0 — SCALING.md round-6
+    table, reproduced by tools/prefix_vs_lsh.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.shingles(docs, size=3).localCheckpoint(eager=False)
     cands = dd.prefix_candidates(sh, threshold=0.8)
-    pairs = dd.jaccard_pairs(sh, pairs=cands, min_jaccard=0.8).filter(
-        F.col("jaccard") >= 0.8
-    )
+    # bitmap_max_vocab=0: the trigram space grows with the corpus (27k
+    # distinct at sf0.1), so probing for a dense <=4096-bit dictionary
+    # is a guaranteed-wasted job; verify through the set-array kernel
+    # instead (docs are short — bounded distinct trigrams per doc).
+    pairs = dd.jaccard_pairs(
+        sh, pairs=cands, bitmap_max_vocab=0, min_jaccard=0.8, verify_max_tokens=4096
+    ).filter(F.col("jaccard") >= 0.8)
     sym = pairs.select(F.col("id_a").alias("doc_id"), "jaccard").unionByName(
         pairs.select(F.col("id_b").alias("doc_id"), "jaccard")
     )

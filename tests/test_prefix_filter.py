@@ -148,3 +148,21 @@ def test_generator_autoselect_routes_both_corpus_shapes(spark):
         for r in minhash_near_dups(docs, threshold=t).collect()
     )
     assert got_u == want_u and len(got_u) > 0
+
+
+def test_array_verify_kernel_matches_join_verify(spark):
+    """The set-array verify kernel (verify_max_tokens opt-in) must be
+    bit-identical to the exploded equi-join verify on the same
+    candidates — same pairs, same float64 jaccard — on a long-tail
+    corpus whose trigram-sized vocabulary disables the bitmap tier."""
+    docs = _zipf_corpus(spark, n_docs=80).localCheckpoint(eager=True)
+    for size, t in ((1, 0.7), (3, 0.8)):
+        sh = shingles(docs, size=size).localCheckpoint(eager=True)
+        cands = prefix_candidates(sh, t).localCheckpoint(eager=True)
+        via_join = jaccard_pairs(sh, pairs=cands, bitmap_max_vocab=0)
+        via_arrays = jaccard_pairs(
+            sh, pairs=cands, bitmap_max_vocab=0, verify_max_tokens=4096
+        )
+        a = sorted(map(tuple, via_join.collect()))
+        b = sorted(map(tuple, via_arrays.collect()))
+        assert a == b and len(a) > 0, (size, t, len(a), len(b))
