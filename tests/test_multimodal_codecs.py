@@ -336,3 +336,71 @@ def test_resize_images_mixed_ppm_png_table(spark):
             rw, rh, got = _decode_ppm(blob)
         assert (rw, rh) == (ow, oh)
         assert np.array_equal(got, src[sy][:, sx]), i
+
+
+def test_image_dhash_known_raster_and_png_parity(spark):
+    """dHash bits computed by hand for a 9x8 raster with one known
+    luma step per row, and PPM vs PNG containers of the SAME raster
+    must hash identically (the signature is a property of pixels, not
+    of the encoding)."""
+    import numpy as np
+
+    from skripsi_mapreduce_spark.operators.multimodal import (
+        image_dhash,
+        make_png,
+        make_ppm,
+    )
+
+    # row y: pixels 0..y are white (luma high), rest black -> bit set
+    # exactly at x == y for y in 0..7 (luma(y) > luma(y+1)), bit y*8+y
+    px = np.zeros((8, 9, 3), dtype=np.uint8)
+    for y in range(8):
+        px[y, : y + 1, :] = 255
+    raw = px.tobytes()
+    rows = [
+        (0, "image", make_ppm(9, 8, raw), None),
+        (1, "image", make_png(9, 8, raw), None),
+    ]
+    media = spark.createDataFrame(rows, schema="media_id long, kind string, content binary, meta string")
+    got = {r["media_id"]: (r["sim_hi"], r["sim_lo"]) for r in image_dhash(media).collect()}
+    want_bits = {y * 8 + y for y in range(8)}
+    lo = sum(1 << b for b in want_bits if b < 32)
+    hi = sum(1 << (b - 32) for b in want_bits if b >= 32)
+    assert got[0] == (hi, lo)
+    assert got[1] == got[0]  # PNG container parity
+
+
+def test_image_near_dups_blocked_equals_all_pairs(spark):
+    """The pigeonhole-blocked image near-dup join must be row-identical
+    to the O(n^2) all-pairs verify on the same dHash signatures —
+    losslessness of the blocking, on media with planted exact and
+    perturbed twins."""
+    import numpy as np
+
+    from skripsi_mapreduce_spark.operators.dedup import simhash_near_dups
+    from skripsi_mapreduce_spark.operators.multimodal import image_dhash, make_ppm
+
+    rng = np.random.RandomState(11)
+    rows = []
+    base_px = None
+    for i in range(40):
+        if i % 10 == 9 and base_px is not None:
+            px = base_px.copy()
+            if i % 20 == 19:  # perturbed twin
+                px[0, 0, :2] = (px[0, 0, :2].astype(int) + 128) % 256
+        else:
+            px = rng.randint(0, 256, size=(8, 9, 3)).astype(np.uint8)
+        base_px = px
+        rows.append((i, "image", make_ppm(9, 8, px.tobytes()), None))
+    media = spark.createDataFrame(
+        rows, schema="media_id long, kind string, content binary, meta string"
+    )
+    sig = image_dhash(media).withColumnRenamed("media_id", "doc_id").localCheckpoint()
+    blocked = sorted(map(tuple, simhash_near_dups(sig, max_hamming=4).collect()))
+    allp = sorted(map(tuple, simhash_near_dups(sig, max_hamming=4, block=False).collect()))
+    assert blocked == allp
+    planted = {(i - 1, i) for i in range(40) if i % 10 == 9}
+    got_pairs = {(a, b) for a, b, _ in blocked}
+    assert planted <= got_pairs  # every twin found (<=2 bits can move)
+    ham = {(a, b): h for a, b, h in blocked}
+    assert all(ham[(i - 1, i)] == 0 for i in range(40) if i % 20 == 9)
