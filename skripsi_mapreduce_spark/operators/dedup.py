@@ -1289,7 +1289,6 @@ def semantic_incremental(
 
     from ..functions.numeric import e_int
     from .kmeans import assign_with_model, kmeans_fixedpoint_ivf_model
-    from .similarity import pair_cosine_join
 
     if k == "auto":
         k = max(2, math.ceil(corpus.count() / target_cluster_size))
@@ -1307,6 +1306,32 @@ def semantic_incremental(
         F.col(id_col).cast("long").alias("doc_id"), F.col(vec_col).alias("vec")
     )
     batch_assign = assign_with_model(dense_b, model).select("doc_id", "cluster")
+    allemb = corpus.select(id_col, vec_col).unionByName(batch.select(id_col, vec_col))
+    eps_e6 = int(round(eps * 1_000_000))
+    return assigned_batch_verdicts(
+        batch_assign, corpus_assign, allemb, eps_e6, id_col=id_col, vec_col=vec_col
+    )
+
+
+def assigned_batch_verdicts(
+    batch_assign: DataFrame,
+    corpus_assign: DataFrame,
+    allemb: DataFrame,
+    eps_e6: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The verdict tail of :func:`semantic_incremental`, shared verbatim
+    with the streaming twin's foreachBatch route
+    (streaming/semantic.serve_semantic_verdicts_foreachbatch) so the two
+    paths are bit-identical BY CONSTRUCTION: join each assigned batch doc
+    to the corpus members of its cluster, score exact fixed-point
+    cosines, and emit one verdict row per batch doc — (doc_id, cluster,
+    n_dups, max_cosine_e6, is_new) with the -2000000 sentinel when the
+    cluster holds no corpus member."""
+    from ..functions.numeric import e_int
+    from .similarity import pair_cosine_join
+
     pairs = (
         batch_assign.select(F.col("doc_id").alias("id_b"), "cluster")
         .join(
@@ -1315,8 +1340,6 @@ def semantic_incremental(
         )
         .select("cluster", "id_a", "id_b")
     )
-    allemb = corpus.select(id_col, vec_col).unionByName(batch.select(id_col, vec_col))
-    eps_e6 = int(round(eps * 1_000_000))
     scored = pair_cosine_join(pairs, allemb, id_col=id_col, vec_col=vec_col).select(
         "id_b", e_int(F.col("cosine"), 6).alias("cosine_e6")
     )

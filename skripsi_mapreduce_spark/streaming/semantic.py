@@ -56,6 +56,20 @@ def semantic_verdicts_stream(
     from ..operators.kmeans import assign_with_model
     from ..operators.similarity import pair_cosine_join
 
+    if model.get("kind") != "fused":
+        # A 'distributed' model's assignment tier chains per-doc
+        # aggregations (dot sums, argmin) the single-aggregation
+        # streaming plan below cannot express — unguarded it would die
+        # at stream start with an opaque AnalysisException. The large-k
+        # streaming route exists: serve_semantic_verdicts_foreachbatch
+        # runs the FULL batch verdict path per micro-batch.
+        raise ValueError(
+            f"semantic_verdicts_stream serves only 'fused' models (got "
+            f"{model.get('kind')!r}): a distributed large-k model needs "
+            "multi-aggregation scoring a streaming plan cannot express — "
+            "use serve_semantic_verdicts_foreachbatch, which routes each "
+            "micro-batch through the batch verdict path (bit-identical)."
+        )
     dense_b = batch_stream.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(vec_col).alias("vec")
     )
@@ -97,3 +111,84 @@ def semantic_verdicts_stream(
         F.col("max_cosine_e6").cast("long").alias("max_cosine_e6"),
         F.when(F.col("n_dups") == 0, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("is_new"),
     )
+
+
+def serve_semantic_verdicts_foreachbatch(
+    batch_stream: DataFrame,
+    corpus_assign: DataFrame,
+    model: dict,
+    allemb: DataFrame,
+    eps_e6: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sink_path: str | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """The LARGE-K streaming SemDeDup route: serve a stream through ANY
+    model kind — including the 'distributed' tier whose assignment
+    chains per-doc aggregations no single streaming plan can express —
+    by running the FULL batch verdict path on each micro-batch under
+    ``foreachBatch``. Inside the hook every micro-batch is a plain
+    batch DataFrame, so quantization routes through
+    kmeans.assign_with_model's own tier ladder (fused kernel or numpy
+    coarse probes + distributed join scoring) and the verdicts come
+    from dedup.assigned_batch_verdicts — the SAME function the batch
+    entry calls, so stream and batch verdicts are bit-identical BY
+    CONSTRUCTION (and pinned by test across the max_fused_cells
+    boundary).
+
+    Replay invariance holds for free: a doc's verdict depends only on
+    the static corpus and its own vector, so per-micro-batch outputs
+    are final rows and the union over any micro-batch slicing is the
+    same table.
+
+    Sink: with ``sink_path`` each micro-batch APPENDS its verdicts as
+    parquet (the production shape — verdict rows are k-per-batch-doc
+    scalars, never vectors); without it the verdicts accumulate in a
+    driver-side list (the memory-sink test/audit shape, same role as
+    windows.run_to_memory_sink). Returns the accumulated verdicts as a
+    batch DataFrame.
+
+    Scale note: this trades the fused route's one-kernel latency for
+    full batch-plan generality — each micro-batch pays the distributed
+    tier's join scheduling, which amortizes at production micro-batch
+    sizes (the k×dim closure bound this lifts only matters when k has
+    outgrown a broadcastable codebook anyway)."""
+    from ..operators.dedup import assigned_batch_verdicts
+    from ..operators.kmeans import assign_with_model
+
+    spark = batch_stream.sparkSession
+    rows: list = []
+
+    def _serve(mb: DataFrame, _epoch: int) -> None:
+        dense_b = mb.select(
+            F.col(id_col).cast("long").alias("doc_id"), F.col(vec_col).alias("vec")
+        )
+        ba = assign_with_model(dense_b, model).select("doc_id", "cluster")
+        out = assigned_batch_verdicts(
+            ba, corpus_assign, allemb, eps_e6, id_col=id_col, vec_col=vec_col
+        )
+        if sink_path is not None:
+            out.write.mode("append").parquet(sink_path)
+        else:
+            rows.extend(out.collect())
+
+    q = (
+        batch_stream.writeStream.foreachBatch(_serve)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"semantic foreachBatch replay did not finish within {timeout_s}s"
+        )
+    if sink_path is not None:
+        return spark.read.parquet(sink_path)
+    schema = (
+        "doc_id long, cluster bigint, n_dups long, max_cosine_e6 long, is_new int"
+    )
+    return spark.createDataFrame(rows, schema=schema)

@@ -391,3 +391,82 @@ def test_stream_semantic_verdicts_invariant_to_microbatch_slicing(spark, tmp_pat
     got = sorted(map(tuple, sunk.collect()))
     assert got == want
     assert len({q for q in os.listdir(src) if q.endswith(".parquet")}) >= 2
+
+
+def test_stream_semantic_large_k_foreachbatch_route(spark, tmp_path):
+    """Round-8: the streaming SemDeDup twin's LARGE-K route. A model
+    built past the fused closure bound (max_fused_cells=0 forces the
+    'distributed' kind) cannot ride the single-aggregation streaming
+    plan — semantic_verdicts_stream must refuse it with a descriptive
+    error, and serve_semantic_verdicts_foreachbatch must serve the same
+    multi-file stream through the batch verdict path per micro-batch,
+    bit-identical to the batch operator's verdicts."""
+    import os
+
+    import pytest
+
+    from skripsi_mapreduce_spark.io import load_table
+    from skripsi_mapreduce_spark.functions.numeric import e_int
+    from skripsi_mapreduce_spark.operators.dedup import semantic_incremental
+    from skripsi_mapreduce_spark.operators.kmeans import kmeans_fixedpoint_ivf_model
+    from skripsi_mapreduce_spark.streaming.semantic import (
+        semantic_verdicts_stream,
+        serve_semantic_verdicts_foreachbatch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).localCheckpoint()
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+
+    want = sorted(
+        map(tuple, semantic_incremental(corpus, batch, eps=0.99, target_cluster_size=50).collect())
+    )
+
+    k = max(2, -(-corpus.count() // 50))
+    w = corpus.select(
+        F.col("vec_id").alias("doc_id"), F.posexplode("embedding").alias("word", "x")
+    ).select("doc_id", "word", e_int(F.col("x").cast("double"), 4).alias("x_e4"))
+    dense_c = corpus.select(
+        F.col("vec_id").cast("long").alias("doc_id"), F.col("embedding").alias("vec")
+    )
+    corpus_assign, model = kmeans_fixedpoint_ivf_model(
+        w, k, n_probe=2, weight_col="x_e4", dense=dense_c, max_fused_cells=0
+    )
+    assert model["kind"] == "distributed"
+
+    src = str(tmp_path / "batch_files")
+    batch.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+    bstream = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    allemb = corpus.unionByName(batch).localCheckpoint()
+
+    # the single-plan stream refuses the distributed model loudly
+    with pytest.raises(ValueError, match="foreachbatch"):
+        semantic_verdicts_stream(bstream, corpus_assign, model, allemb, 990_000)
+
+    got_df = serve_semantic_verdicts_foreachbatch(
+        bstream, corpus_assign, model, allemb, 990_000
+    )
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want
+    assert len({q for q in os.listdir(src) if q.endswith(".parquet")}) >= 2
+
+    # the parquet-sink production shape emits the same table
+    sink = str(tmp_path / "verdict_sink")
+    bstream2 = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    got2_df = serve_semantic_verdicts_foreachbatch(
+        bstream2, corpus_assign, model, allemb, 990_000, sink_path=sink
+    )
+    assert sorted(map(tuple, got2_df.collect())) == want
