@@ -618,3 +618,168 @@ def trigram_logprob(
             ).otherwise(0.0)
         ).alias("nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trainable quality classifier: exact normal-equations least squares over
+# hashed token features (round-8). The reference scores with fixed
+# weights only; a real pipeline refits its quality filter per corpus.
+# ---------------------------------------------------------------------------
+
+QC_FIT_BUCKETS = 3  # d = 1 intercept + 3 hashed buckets (the adjudicated size)
+
+
+def hashed_token_features(
+    df: DataFrame,
+    n_buckets: int = QC_FIT_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, x1..x{n}): hashed-token count features — every token
+    lands in bucket md5(token)[:8 hex] mod ``n_buckets`` and x_j counts
+    the doc's tokens in bucket j. INTEGER counts, so every downstream
+    moment sum is exact int64 (the e-int discipline); the md5-derived
+    bucket is the engine-portable hash both Spark and a SQL oracle
+    compute identically. Docs with no tokens keep zero rows via the
+    left join. One explode + one groupBy — scan-shaped at 100 TB."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("t"),
+    )
+    bkt = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("bigint") % n_buckets
+    counts = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(bkt == j, 1).otherwise(0)).cast("long").alias(f"x{j + 1}")
+            for j in range(n_buckets)
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id")).join(counts, "doc_id", "left").select(
+        "doc_id",
+        *[
+            F.coalesce(F.col(f"x{j + 1}"), F.lit(0).cast("long")).alias(f"x{j + 1}")
+            for j in range(n_buckets)
+        ],
+    )
+
+
+def moment_aggs(n_buckets: int, y_col: str = "y") -> list[Column]:
+    """The normal-equation moments as ONE partial-aggregated pass:
+    A = X'X (symmetric — d(d+1)/2 distinct sums, named a{i}{j} with
+    i <= j over the [1, x1..xn] feature vector) and b = X'y (named
+    b{i}). All inputs integer, so the sums are exact int64 and the
+    moments hash identically across engines — the q44_corr_stats
+    pattern generalized from d=2 to arbitrary bounded d."""
+    feats = ["1"] + [f"x{j + 1}" for j in range(n_buckets)]
+    aggs: list[Column] = []
+    for i, fi in enumerate(feats):
+        for j in range(i, len(feats)):
+            fj = feats[j]
+            prod = (
+                F.lit(1).cast("long")
+                if fi == "1" and fj == "1"
+                else F.col(fj)
+                if fi == "1"
+                else F.col(fi) * F.col(fj)
+            )
+            aggs.append(F.sum(prod).cast("long").alias(f"a{i}{j}"))
+        yi = F.col(y_col) if fi == "1" else F.col(fi) * F.col(y_col)
+        aggs.append(F.sum(yi).cast("long").alias(f"b{i}"))
+    return aggs
+
+
+def cramer4_sql() -> tuple[str, list[str]]:
+    """Closed-form 4x4 Cramer solve as arithmetic STRINGS over the
+    moment column names (a00..a33, b0..b3): (det_A, [det_A_0..det_A_3])
+    where A_j is A with column j replaced by b. Generated ONCE from the
+    same Leibniz expansion and used verbatim by the Spark plan
+    (F.expr) and the DuckDB oracle, so both engines evaluate the
+    identical left-associated IEEE-double chain — the solve itself is
+    adjudicated, not just the moments. Bounded d=4 keeps the expansion
+    at 24 terms; the general-d path (:func:`fit_quality_classifier`)
+    solves driver-side instead."""
+    from itertools import permutations
+
+    def a(i: int, j: int) -> str:
+        return f"CAST(a{min(i, j)}{max(i, j)} AS DOUBLE)"
+
+    def build(repl: int | None) -> str:
+        def entry(i: int, j: int) -> str:
+            return f"CAST(b{i} AS DOUBLE)" if j == repl else a(i, j)
+
+        terms = []
+        for p in permutations(range(4)):
+            inv = sum(
+                1 for i in range(4) for k in range(i + 1, 4) if p[i] > p[k]
+            )
+            sgn = "+" if inv % 2 == 0 else "-"
+            terms.append(f"{sgn} " + " * ".join(entry(i, p[i]) for i in range(4)))
+        return "(0.0 " + " ".join(terms) + ")"
+
+    return build(None), [build(j) for j in range(4)]
+
+
+def fit_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    n_buckets: int = QC_FIT_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Distributed EXACT least squares for a linear quality filter:
+    regress an integer (or fixed-point ``_e4``) label on the hashed
+    token features. The cluster computes only the normal-equation
+    moments — X'X and X'y as exact int64 aggregates in ONE
+    partial-aggregated pass (shuffle carries d(d+3)/2 longs, data never
+    moves) — and the d x d solve runs driver-side at bounded d
+    (d = n_buckets + 1; a quality filter has dozens of features, not
+    millions). Returns {"n", "n_buckets", "weights": [w0..wd]} with w0
+    the intercept, in label units.
+
+    The adjudicated entry (ta_fit_classifier) is the fixed d=4 twin
+    whose solve stays ENGINE-SIDE via :func:`cramer4_sql`, so the whole
+    fit is oracle-replayable; this driver-solve path generalizes to any
+    bounded d and is pinned against the Cramer path by test. Labels
+    must be integers for exact moments (the caller scales e4 — the
+    repo's fixed-point discipline)."""
+    import numpy as np
+
+    feats = hashed_token_features(df, n_buckets, id_col=id_col, text_col=text_col)
+    lab = feats.join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(label_col).alias("y")),
+        "doc_id",
+    )
+    row = lab.agg(*moment_aggs(n_buckets, "y")).head()
+    d = n_buckets + 1
+    A = np.zeros((d, d), dtype=np.float64)
+    b = np.zeros(d, dtype=np.float64)
+    for i in range(d):
+        b[i] = float(row[f"b{i}"])
+        for j in range(i, d):
+            A[i, j] = A[j, i] = float(row[f"a{i}{j}"])
+    w = np.linalg.solve(A, b)
+    return {"n": int(row["a00"]), "n_buckets": n_buckets, "weights": [float(x) for x in w]}
+
+
+def quality_logit_learned(
+    df: DataFrame,
+    model: dict,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inference with a LEARNED model (:func:`fit_quality_classifier`'s
+    output): the same left-associated multiply-add logit shape as
+    :func:`quality_classifier`, over the hashed token features the
+    model was trained on. Returns (doc_id, logit, keep)."""
+    feats = hashed_token_features(
+        df, model["n_buckets"], id_col=id_col, text_col=text_col
+    )
+    w = model["weights"]
+    z = F.lit(float(w[0]))
+    for j in range(model["n_buckets"]):
+        z = z + F.lit(float(w[j + 1])) * F.col(f"x{j + 1}").cast("double")
+    return feats.select(
+        "doc_id",
+        z.alias("logit"),
+        (z >= F.lit(float(threshold))).cast("bigint").alias("keep"),
+    )

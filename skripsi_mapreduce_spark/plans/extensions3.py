@@ -1895,3 +1895,124 @@ def _register_recall_many() -> None:
 
 
 _register_recall_many()
+
+
+# ---------------------------------------------------------------------------
+# Trainable quality classifier (round-8): exact normal-equations least
+# squares, fit AND applied engine-side, adjudicated end to end.
+# ---------------------------------------------------------------------------
+def _register_fit_classifier() -> None:
+    from ..functions.numeric import e_int_sql
+    from ..operators.text_analysis import cramer4_sql
+    from .extensions import ASCII_TOKEN
+
+    det_a, det_j = cramer4_sql()
+    # planted e4-unit signal + deterministic md5 noise in [-1000, 1000]
+    label = (
+        "20000 + 5000 * x1 - 2500 * x2 + 1250 * x3 + "
+        "(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+        " % 2001 - 1000)"
+    )
+    weights = ", ".join(
+        f"({det_j[j]}) / ({det_a}) AS w{j}" for j in range(4)
+    )
+    infer = (
+        "w0 + w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE)"
+        " + w3 * CAST(x3 AS DOUBLE)"
+    )
+    out_w = ", ".join(e_int_sql(f"w{j} / 10000.0", 6) + f" AS w{j}_e6" for j in range(4))
+    threshold = "90000.0"
+
+    oracle = f"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN}')) AS t
+                  FROM documents),
+    bt AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 3 AS bkt
+           FROM toks),
+    cnt AS (SELECT doc_id,
+                   SUM(CASE WHEN bkt = 0 THEN 1 ELSE 0 END) AS x1,
+                   SUM(CASE WHEN bkt = 1 THEN 1 ELSE 0 END) AS x2,
+                   SUM(CASE WHEN bkt = 2 THEN 1 ELSE 0 END) AS x3
+            FROM bt GROUP BY doc_id),
+    feats AS (SELECT d.doc_id, COALESCE(x1, 0) AS x1, COALESCE(x2, 0) AS x2,
+                     COALESCE(x3, 0) AS x3
+              FROM documents d LEFT JOIN cnt USING (doc_id)),
+    lab AS (SELECT doc_id, x1, x2, x3, {label} AS y FROM feats),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS a00,
+                 CAST(SUM(x1) AS BIGINT) AS a01, CAST(SUM(x2) AS BIGINT) AS a02,
+                 CAST(SUM(x3) AS BIGINT) AS a03,
+                 CAST(SUM(x1 * x1) AS BIGINT) AS a11, CAST(SUM(x1 * x2) AS BIGINT) AS a12,
+                 CAST(SUM(x1 * x3) AS BIGINT) AS a13,
+                 CAST(SUM(x2 * x2) AS BIGINT) AS a22, CAST(SUM(x2 * x3) AS BIGINT) AS a23,
+                 CAST(SUM(x3 * x3) AS BIGINT) AS a33,
+                 CAST(SUM(y) AS BIGINT) AS b0, CAST(SUM(x1 * y) AS BIGINT) AS b1,
+                 CAST(SUM(x2 * y) AS BIGINT) AS b2, CAST(SUM(x3 * y) AS BIGINT) AS b3
+          FROM lab),
+    w AS (SELECT a00 AS n, {weights} FROM m),
+    kp AS (SELECT CAST(SUM(CASE WHEN {infer} >= {threshold} THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_keep
+           FROM lab, w)
+    SELECT n, {out_w}, n_keep FROM w, kp
+    """
+
+    @query("ta_fit_classifier", oracle)
+    def ta_fit_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Trainable quality classifier, fit AND applied engine-side in
+        one plan: regress a planted e4-unit linear signal (+ md5 noise)
+        on hashed token features (text_analysis.hashed_token_features —
+        integer counts, md5-bucketed), accumulate the normal-equation
+        moments X'X / X'y as EXACT int64 sums in one partial-aggregated
+        pass (the q44_corr_stats moment pattern at d=4), solve the 4x4
+        system with the SHARED Leibniz-expansion Cramer strings
+        (text_analysis.cramer4_sql — the identical left-associated IEEE
+        chain runs in both engines, so the SOLVE is adjudicated, not
+        just the moments), and score every doc with the LEARNED logit
+        (n_keep at a fixed threshold). Output: one row — n, the four
+        learned weights e6 in label units, n_keep. Nothing is
+        collected: the 1-row weight table cross-joins back to the
+        corpus, so the same plan at 100 TB shuffles d(d+3)/2 longs for
+        the fit and streams the inference map-side. The general-d
+        driver-solve twin (text_analysis.fit_quality_classifier) is
+        pinned against this path by test; a real pipeline refits its
+        quality filter per corpus, which the reference's fixed-literal
+        classifier (ta_quality_classifier) cannot."""
+        from ..operators.text_analysis import hashed_token_features, moment_aggs
+
+        docs = load_table(spark, sf_dir, "documents")
+        feats = hashed_token_features(docs, 3)
+        noise = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") % 2001 - 1000
+        )
+        lab = feats.select(
+            "doc_id", "x1", "x2", "x3",
+            (
+                F.lit(20000).cast("long")
+                + 5000 * F.col("x1") - 2500 * F.col("x2") + 1250 * F.col("x3")
+                + noise
+            ).alias("y"),
+        ).localCheckpoint(eager=False)
+        m = lab.agg(*moment_aggs(3, "y"))
+        w = m.select(
+            F.col("a00").alias("n"),
+            *[F.expr(f"({det_j[j]}) / ({det_a})").alias(f"w{j}") for j in range(4)],
+        )
+        kp = (
+            lab.crossJoin(F.broadcast(w))
+            .agg(
+                F.sum(
+                    F.when(F.expr(infer) >= F.expr(threshold), 1).otherwise(0)
+                ).cast("bigint").alias("n_keep")
+            )
+        )
+        return w.crossJoin(kp).select(
+            "n",
+            *[
+                e_int(F.col(f"w{j}") / F.lit(10000.0), 6).alias(f"w{j}_e6")
+                for j in range(4)
+            ],
+            "n_keep",
+        )
+
+
+_register_fit_classifier()

@@ -111,3 +111,54 @@ def test_quality_classifier_known_values(spark):
     # clean prose scores above punctuation soup
     assert out[1]["logit"] > out[2]["logit"]
     assert out[1]["keep"] == 1
+
+
+def test_fit_quality_classifier_recovers_planted_signal(spark):
+    """Exact least squares over hashed token features: labels that are
+    EXACTLY linear in the features must fit with the planted weights
+    recovered to float precision (residual-zero normal equations), by
+    both the driver-solve path and the engine-side Cramer path."""
+    from pyspark.sql import functions as F
+
+    from skripsi_mapreduce_spark.operators.text_analysis import (
+        cramer4_sql,
+        fit_quality_classifier,
+        hashed_token_features,
+        moment_aggs,
+        quality_logit_learned,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    feats = hashed_token_features(docs, 3)
+    planted = [7.0, 2.5, -1.25, 0.5]
+    lab = feats.select(
+        "doc_id", "x1", "x2", "x3",
+        (
+            F.lit(int(planted[0] * 4))
+            + F.lit(int(planted[1] * 4)) * F.col("x1")
+            + F.lit(int(planted[2] * 4)) * F.col("x2")
+            + F.lit(int(planted[3] * 4)) * F.col("x3")
+        ).cast("long").alias("y4"),  # x4 scale keeps labels integer-exact
+    ).localCheckpoint()
+    docs_lab = docs.join(lab.select("doc_id", "y4"), "doc_id")
+
+    model = fit_quality_classifier(docs_lab, "y4", n_buckets=3)
+    got = [w / 4.0 for w in model["weights"]]  # back to label units
+    assert all(abs(g - p) < 1e-9 for g, p in zip(got, planted)), got
+
+    # engine-side Cramer path agrees with the driver solve
+    det_a, det_j = cramer4_sql()
+    m = lab.withColumnRenamed("y4", "y").agg(*moment_aggs(3, "y"))
+    w_row = m.select(
+        *[F.expr(f"({det_j[j]}) / ({det_a})").alias(f"w{j}") for j in range(4)]
+    ).head()
+    cramer = [w_row[f"w{j}"] / 4.0 for j in range(4)]
+    assert all(abs(c - p) < 1e-9 for c, p in zip(cramer, planted)), cramer
+
+    # inference through the learned logit keeps exactly the docs whose
+    # planted label clears the threshold
+    thr = 4.0 * 9.0 + 0.5  # half-integer: no integer label sits ON it
+    scored = quality_logit_learned(docs_lab, model, thr)
+    got_keep = {r["doc_id"] for r in scored.filter(F.col("keep") == 1).collect()}
+    want_keep = {r["doc_id"] for r in lab.filter(F.col("y4") >= thr).collect()}
+    assert got_keep == want_keep and 0 < len(want_keep) < docs.count()
