@@ -317,11 +317,27 @@ def kmeans_fixedpoint(
     assign = None
     for p in range(max(n_assign_passes, 1)):
         if pivot:
-            # the pivot kernel collects the k-row ||c||^2 table, which
-            # executes the cent chain; checkpoint the bounded k x vocab
-            # table first so the chain runs once, not once per consumer
-            cent = cent.localCheckpoint(eager=True)
-            assign = _assign_fixedpoint_pivot(w, d2, cent)
+            # the cent chain has multiple consumers per pass (||c||^2,
+            # the dot pivot, and the pass-final action). When the k x
+            # active-vocab table is SMALL, one limit-guarded collect
+            # replaces BOTH the eager checkpoint job and the pivot
+            # kernel's ||c||^2 collect job: centroids become a literal
+            # broadcast DataFrame and ||c||^2 exact Python ints
+            # (bit-equal - same rows, same integer arithmetic; measured
+            # 2 jobs/pass off kmeans_documents at sf0.1). Past the cap
+            # the checkpoint form stands (k x vocab can be millions of
+            # rows at huge vocab - never collect unbounded state).
+            rows = cent.limit(_CENT_COLLECT_MAX + 1).collect()
+            if len(rows) <= _CENT_COLLECT_MAX:
+                cent = weights.sparkSession.createDataFrame(rows, cent.schema)
+                c2: dict[int, int] = {}
+                for r in rows:
+                    c = int(r["cluster"])
+                    c2[c] = c2.get(c, 0) + int(r["cw"]) * int(r["cw"])
+                assign = _assign_fixedpoint_pivot(w, d2, cent, c2=c2)
+            else:
+                cent = cent.localCheckpoint(eager=True)
+                assign = _assign_fixedpoint_pivot(w, d2, cent)
         else:
             assign = _assign_fixedpoint(w, d2, cent)
         if p == n_assign_passes - 1:
@@ -368,7 +384,12 @@ def kmeans_fixedpoint(
     )
 
 
-def _assign_fixedpoint_pivot(w: DataFrame, d2: DataFrame, cent: DataFrame) -> DataFrame:
+_CENT_COLLECT_MAX = 65536  # centroid rows a driver collect may hold
+
+
+def _assign_fixedpoint_pivot(
+    w: DataFrame, d2: DataFrame, cent: DataFrame, c2: dict[int, int] | None = None
+) -> DataFrame:
     """Pivot-form of the fixed-point assignment: ONE groupBy(doc_id)
     pivot produces every per-cluster dot as a column, then the argmin is
     a pure row expression over literal ‖c‖² values — replacing the
@@ -381,11 +402,20 @@ def _assign_fixedpoint_pivot(w: DataFrame, d2: DataFrame, cent: DataFrame) -> Da
     candidate — same contract as the join form's c2 cross join). Integer
     arithmetic is identical to the join form, so results are bit-equal
     (pinned by test). Right for k up to a few thousand (pivot width = k
-    columns); the join form remains the huge-k path."""
-    c2_rows = (
-        cent.groupBy("cluster").agg(F.sum(F.col("cw") * F.col("cw")).alias("c2")).collect()
-    )
-    c2 = {int(r["cluster"]): int(r["c2"]) for r in c2_rows}
+    columns); the join form remains the huge-k path.
+
+    ``c2`` lets the caller hand in the per-cluster ||c||^2 ints it
+    already derived from a collected centroid table (the small-cent
+    fast path in :func:`kmeans_fixedpoint`) — skipping this kernel's
+    own collect job; values must equal the aggregate exactly (exact
+    Python int arithmetic over the same rows guarantees it)."""
+    if c2 is None:
+        c2_rows = (
+            cent.groupBy("cluster")
+            .agg(F.sum(F.col("cw") * F.col("cw")).alias("c2"))
+            .collect()
+        )
+        c2 = {int(r["cluster"]): int(r["c2"]) for r in c2_rows}
     clusters = sorted(c2)
     dots = (
         w.join(F.broadcast(cent), "word")
