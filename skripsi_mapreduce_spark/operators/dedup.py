@@ -688,6 +688,7 @@ def minhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     cascade: bool = True,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Full D2 pipeline: shingle -> minhash -> LSH bucket-join -> exact
     verify; returns (id_a, id_b, jaccard) with jaccard >= threshold.
@@ -699,10 +700,17 @@ def minhash_near_dups(
     representatives' jaccard (the set determines it). Result is
     row-identical to the brute pipeline, but the quadratic verify work
     scales with distinct contents, not documents — exactly what saves a
-    web-scale corpus where boilerplate duplicates dominate."""
+    web-scale corpus where boilerplate duplicates dominate.
+
+    ``sh`` hands in a prebuilt (doc_id, shingle) DISTINCT-set table for
+    ``df`` (callers that already shingled — jaccard_near_dups_auto's
+    profile checkpoints one before deciding the arm); it must be what
+    :func:`shingles` produces for the same (df, shingle_size), and the
+    corpus is then never re-tokenized here."""
     # the shingle table feeds fingerprinting, signatures, AND verification
     # — pin it once instead of re-tokenizing the corpus per consumer
-    sh = shingles(df, id_col, text_col, shingle_size).localCheckpoint(eager=False)
+    if sh is None:
+        sh = shingles(df, id_col, text_col, shingle_size).localCheckpoint(eager=False)
     if not cascade:
         return _lsh_verified_pairs(sh, num_hashes, rows_per_band, threshold)
 
@@ -1486,9 +1494,12 @@ def jaccard_near_dups_auto(
             F.col("jaccard") >= threshold
         )
     else:
+        # pass the checkpointed shingle table through — the profile
+        # already materialized it, re-tokenizing the corpus for the LSH
+        # arm would double the scan (round-7 ADVICE)
         pairs = minhash_near_dups(
             df, threshold=threshold, num_hashes=num_hashes,
             rows_per_band=rows_per_band, shingle_size=shingle_size,
-            id_col=id_col, text_col=text_col,
+            id_col=id_col, text_col=text_col, sh=sh,
         )
     return pairs, prof

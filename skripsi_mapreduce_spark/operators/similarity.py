@@ -1386,6 +1386,7 @@ def pair_cosine_pandas(
     vec_col: str = "embedding",
     out_col: str = "cosine",
     max_vectors: int = 1 << 22,
+    strict: bool = False,
 ) -> DataFrame:
     """Cosine for an explicit candidate-pair stream, vectorized: the
     vector table rides as a broadcast numpy matrix and each Arrow batch
@@ -1411,14 +1412,23 @@ def pair_cosine_pandas(
     SemDeDup shape at every local sf (SCALING.md round-7 table), so the
     SemDeDup family calls :func:`pair_cosine_join` directly and this
     kernel remains for pair-dense shapes (pair multiset >> vector
-    table) and as the parity reference."""
+    table) and as the parity reference.
+
+    Caller contract — EDGE BEHAVIOR DIVERGES WITH TIER: every pair id
+    must exist in ``emb``. Below ``max_vectors`` a missing id fails
+    LOUDLY at the broadcast gather; past the bound the join tier's
+    inner joins silently DROP the orphaned pair — same call, different
+    failure mode depending on data volume. Pass ``strict=True`` to
+    pin the loud contract at every size (forwarded to
+    :func:`pair_cosine_join`, which then outer-joins + asserts; a
+    no-op on the broadcast tier, already loud)."""
     import numpy as np
 
     n = emb.count()
     if n > max_vectors:
         return pair_cosine_join(
             pairs, emb, id_a=id_a, id_b=id_b, id_col=id_col,
-            vec_col=vec_col, out_col=out_col,
+            vec_col=vec_col, out_col=out_col, strict=strict,
         )
     rows = emb.select(id_col, vec_col).collect()
     idx = {int(r[0]): j for j, r in enumerate(rows)}
@@ -1454,6 +1464,7 @@ def pair_cosine_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "cosine",
+    strict: bool = False,
 ) -> DataFrame:
     """The fully DISTRIBUTED tier of the pair-cosine kernel ladder:
     vectors reach each pair row through two plain equi-joins (pairs ⋈
@@ -1477,9 +1488,12 @@ def pair_cosine_join(
     Caller contract (same as the broadcast kernel's, different edge
     behavior): every pair id must exist in ``emb`` — here a missing id
     silently DROPS its pair at the inner join, where the broadcast
-    kernel's gather would fail on the absent key. The SemDeDup call
-    sites satisfy it by construction (pairs come from assignments over
-    the same table)."""
+    kernel's gather would fail on the absent key. ``strict=True`` makes
+    THIS tier loud too: the joins go outer and an engine-side
+    ``assert_true`` fails the job naming the first orphaned pair — no
+    extra action, one null-check per row. The SemDeDup call sites
+    satisfy the contract by construction (pairs come from assignments
+    over the same table), so they keep the cheap inner joins."""
     import numpy as np
 
     pair_cols = [f.name for f in pairs.schema.fields]
@@ -1490,7 +1504,25 @@ def pair_cosine_join(
     eb = emb.select(
         F.col(id_col).cast("long").alias(id_b), F.col(vec_col).alias(vb)
     )
-    joined = pairs.join(ea, id_a).join(eb, id_b)
+    if strict:
+        # the assert rides the FILTER predicate (coalesce(assert, true))
+        # so Catalyst cannot prune it as an unused projection; assert_true
+        # yields NULL on pass, so the coalesce keeps every surviving row
+        msg = F.concat(
+            F.lit("pair_cosine_join(strict): pair ("),
+            F.col(id_a).cast("string"),
+            F.lit(", "),
+            F.col(id_b).cast("string"),
+            F.lit(") references a vec_id missing from emb"),
+        )
+        ok = F.col(va).isNotNull() & F.col(vb).isNotNull()
+        joined = (
+            pairs.join(ea, id_a, "left")
+            .join(eb, id_b, "left")
+            .filter(F.coalesce(F.assert_true(ok, msg).cast("boolean"), F.lit(True)))
+        )
+    else:
+        joined = pairs.join(ea, id_a).join(eb, id_b)
 
     def score(batches):
         for pdf in batches:

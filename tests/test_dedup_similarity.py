@@ -1143,3 +1143,42 @@ def test_streaming_semantic_batch_twin_equals_semantic_incremental(spark):
         )
     )
     assert stream_twin == batch_op and len(stream_twin) == batch.count()
+
+
+def test_pair_cosine_join_strict_mode(spark):
+    """Round-8 (r7 ADVICE): the join tier's silent-drop edge gets an
+    opt-in loud contract — strict=True outer-joins and fails the job
+    naming the orphaned pair, matching the broadcast tier's loud gather;
+    on complete pairs strict and lenient are row-identical."""
+    import pytest
+
+    from skripsi_mapreduce_spark.operators.similarity import pair_cosine_join
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.6, 0.8]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    ok = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    bad = spark.createDataFrame([(0, 1), (0, 9)], "id_a long, id_b long")
+    lenient = sorted(map(tuple, pair_cosine_join(ok, emb).collect()))
+    strict = sorted(map(tuple, pair_cosine_join(ok, emb, strict=True).collect()))
+    assert lenient == strict and len(strict) == 2
+    assert pair_cosine_join(bad, emb).count() == 1  # silent drop, documented
+    with pytest.raises(Exception, match="missing from emb"):
+        pair_cosine_join(bad, emb, strict=True).count()
+
+
+def test_minhash_near_dups_shingle_passthrough(spark):
+    """Round-8 (r7 ADVICE): a prebuilt shingle table handed to
+    minhash_near_dups must produce row-identical output to the
+    self-shingling call (the auto-selector's LSH arm reuses its
+    profile's checkpointed shingles instead of re-tokenizing)."""
+    from skripsi_mapreduce_spark.operators.dedup import minhash_near_dups, shingles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = shingles(docs, size=1).localCheckpoint(eager=True)
+    base = sorted(map(tuple, minhash_near_dups(docs, threshold=0.9).collect()))
+    passed = sorted(
+        map(tuple, minhash_near_dups(docs, threshold=0.9, sh=sh).collect())
+    )
+    assert base == passed and len(base) > 0
