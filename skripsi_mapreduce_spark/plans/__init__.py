@@ -10,83 +10,37 @@ from . import extensions3  # noqa: F401  (registers into QUERIES/ORACLE)
 # entries in dict order (every round so far cut at exactly position 50).
 # Rotate so every entry's freshest driver-green row stays recent.
 #
-# Round 7 head (executes the r6 verdict's rotation ledger verbatim):
+# Round 8 head (executes the r7 verdict's rotation ledger verbatim):
 #  (0) entries added or kernel/oracle-changed THIS round — must be
-#      adjudicated (dedup_jaccard_autoselect + sim_recall_many_ivfpq:
-#      new; the four SemDeDup entries: pair_cosine_pandas grew the
-#      auto-selected distributed join tier, the frozen model grew the
-#      large-k DataFrame tier, and the streaming twin dropped its
-#      corpus_assign broadcast hint — the guard-only additions to the
-#      PQ/IVF-PQ seeders and ivf_recall_curve change no adjudicated
-#      plan and are not re-promoted),
-#  (a) the 34 entries whose freshest driver-green row is r4 — the
-#      stalest evidence in the repo (sketch_bloom ...
-#      q14_correlated_subquery, the whole r4 block of the r6 tail),
-#  (b) fill to EXACTLY 50 with the OLDEST r5-green entries
-#      (dedup_embedding_cosine ... sketch_kmv_intersect). A registry
+#      adjudicated (dedup_prefix_jaccard: trigram re-point + set-array
+#      verify kernel; mm_image_near_dups + ta_fit_classifier: new;
+#      kmeans_documents + emb_kmeans: the pivot kernel's small-cent
+#      collect fast path; dedup_jaccard_autoselect: LSH-arm shingle
+#      passthrough; dedup_semantic_incremental +
+#      stream_semantic_incremental: verdict tail extracted into the
+#      shared assigned_batch_verdicts),
+#  (a) the 36 entries whose freshest driver-green row is r5 — the
+#      stalest evidence in the repo (sim_topk_many_ivf ...
+#      q08_left_join, the whole r5 block of the r7 tail),
+#  (b) fill to EXACTLY 50 with the OLDEST r6-green entries
+#      (sim_topk_many_ivfpq_rerank ... q15_window_rank). A registry
 #      test pins len == 50.
 #
-# Freshness ledger after r7 (for the round-8 rotation): head-50 carry
-# r7 evidence; _TAIL lists the 36 remaining r5-green entries FIRST
-# (oldest — r8's fill pool) then the 46 r6-green entries. r8 head =
-# any r8-changed kernels + the r5 block, then r6 fill to exactly 50.
+# Freshness ledger after r8 (for the round-9 rotation): head-50 carry
+# r8 evidence; _TAIL lists the 40 remaining r6-green entries FIRST
+# (oldest — r9's fill pool) then the 44 r7-green entries. r9 head =
+# any r9-changed kernels + the r6 block, then r7 fill to exactly 50.
 _PROMOTED = [
     # (0) changed/new this round
+    "dedup_prefix_jaccard",
+    "mm_image_near_dups",
+    "ta_fit_classifier",
+    "kmeans_documents",
+    "emb_kmeans",
     "dedup_jaccard_autoselect",
-    "sim_recall_many_ivfpq",
-    "dedup_semantic",
-    "dedup_semantic_keep",
     "dedup_semantic_incremental",
     "stream_semantic_incremental",
-    # (a) last driver-green r4
-    "sketch_bloom",
-    "mix_temperature",
-    "stream_interval_join",
-    "stream_sliding",
-    "stream_dedup",
-    "graph_components",
-    "cdc_scd2",
-    "skew_salted_join",
-    "cdc_incremental_agg",
-    "q46_lateral_topk",
-    "q47_pipe_syntax",
-    "q48_variant_props",
-    "sketch_kmv_merge",
-    "graph_triangles",
-    "pipe_prepare_corpus",
-    "stream_tumbling",
-    "stream_sessionization",
-    "stream_stateful_anomalies",
-    "sim_topk_ivf",
-    "kmeans_documents",
-    "ta_trigram_lp",
-    "sketch_hist_quantiles",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "sim_topk_cosine",
-    "sim_topk_lsh",
-    "tfidf_longform",
-    "q09_semi_join",
-    "q10_anti_join",
-    "q11_range_self_join",
-    "q12_cross_join",
-    "q13_scalar_subquery",
-    "q14_correlated_subquery",
-    # (b) oldest r5-green evidence, filling the window to exactly 50
-    "dedup_embedding_cosine",
-    "emb_random_projection",
-    "dedup_incremental",
-    "emb_kmeans",
-    "sim_topk_pq_rerank",
-    "sim_recall_ivf",
-    "q49_recursive_cte",
-    "q53_zorder_layout",
-    "dedup_prefix_jaccard",
-    "sketch_kmv_intersect",
-]
-_TAIL = [
-    # green r5 — the oldest evidence outside the head (r8's fill pool)
+    # (a) last driver-green r5
     "sim_topk_many_ivf",
     "q19_set_ops",
     "q20_rollup",
@@ -123,13 +77,16 @@ _TAIL = [
     "q06_inner_join",
     "q07_tpch_q5",
     "q08_left_join",
-    # green r6 — freshest evidence, rotated out of the head
+    # (b) oldest r6-green evidence, filling the window to exactly 50
     "sim_topk_many_ivfpq_rerank",
     "mm_image_resize",
     "sim_topk_ivfpq_rerank",
     "sim_topk_ivfpq",
     "sim_topk_pq",
     "q15_window_rank",
+]
+_TAIL = [
+    # green r6 — the oldest evidence outside the head (r9's fill pool)
     "q16_window_lag",
     "q17_window_frame",
     "q18_topk",
@@ -170,6 +127,51 @@ _TAIL = [
     "stream_enrich",
     "q52_cube",
     "sim_topk_many",
+    # green r7 — freshest evidence, rotated out of the head
+    "sim_recall_many_ivfpq",
+    "dedup_semantic",
+    "dedup_semantic_keep",
+    "sketch_bloom",
+    "mix_temperature",
+    "stream_interval_join",
+    "stream_sliding",
+    "stream_dedup",
+    "graph_components",
+    "cdc_scd2",
+    "skew_salted_join",
+    "cdc_incremental_agg",
+    "q46_lateral_topk",
+    "q47_pipe_syntax",
+    "q48_variant_props",
+    "sketch_kmv_merge",
+    "graph_triangles",
+    "pipe_prepare_corpus",
+    "stream_tumbling",
+    "stream_sessionization",
+    "stream_stateful_anomalies",
+    "sim_topk_ivf",
+    "ta_trigram_lp",
+    "sketch_hist_quantiles",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "sim_topk_cosine",
+    "sim_topk_lsh",
+    "tfidf_longform",
+    "q09_semi_join",
+    "q10_anti_join",
+    "q11_range_self_join",
+    "q12_cross_join",
+    "q13_scalar_subquery",
+    "q14_correlated_subquery",
+    "dedup_embedding_cosine",
+    "emb_random_projection",
+    "dedup_incremental",
+    "sim_topk_pq_rerank",
+    "sim_recall_ivf",
+    "q49_recursive_cte",
+    "q53_zorder_layout",
+    "sketch_kmv_intersect",
 ]
 
 def _reorder(d: dict) -> dict:
