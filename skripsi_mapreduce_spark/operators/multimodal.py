@@ -652,3 +652,45 @@ def image_dhash(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "sim_hi": his, "sim_lo": los})
 
     return media.filter(F.col("kind") == "image").mapInPandas(op, DHASH_SCHEMA)
+
+
+def audio_fingerprint(media: DataFrame, n_segments: int = 65) -> DataFrame:
+    """64-bit audio fingerprint over the REAL decoded PCM stream — the
+    audio twin of :func:`image_dhash` (an energy-difference hash, the
+    shape acoustic fingerprinters like Chromaprint reduce to): decode
+    the WAV (RIFF chunk walk, PCM16 — compressed codecs stay honestly
+    gated), split the samples into ``n_segments`` integer-boundary
+    segments (start of segment s = s*n//n_segments, the same index map
+    discipline as the raster resample), take each segment's ENERGY as
+    the exact int64 sum of squared int16 samples, and set bit b iff
+    energy(b) > energy(b+1) — n_segments-1 comparisons, so the default
+    65 segments yield the 64-bit signature dedup.simhash_near_dups
+    blocks on. Pure integer math end to end; an external SQL oracle
+    restates every bit. Returns (media_id, sim_hi, sim_lo); one
+    Arrow-batched mapInPandas pass, audio bytes never leave the
+    executor, downstream blocking shuffles 24 bytes per clip."""
+    import numpy as np
+
+    if n_segments < 2 or n_segments > 65:
+        raise ValueError("n_segments must be in [2, 65] (bits = n_segments - 1)")
+    pow_lo = (1 << np.arange(32, dtype=np.int64))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                _rate, samples = _decode_wav(bytes(blob or b""))
+                x = samples.astype(np.int64)
+                n = len(x)
+                bounds = (np.arange(n_segments + 1) * n) // n_segments
+                sq = np.concatenate(([0], np.cumsum(x * x)))
+                e = sq[bounds[1:]] - sq[bounds[:-1]]  # exact int64 energies
+                bits = (e[:-1] > e[1:]).astype(np.int64)
+                flat = np.zeros(64, dtype=np.int64)
+                flat[: len(bits)] = bits
+                ids.append(mid)
+                los.append(int(flat[:32] @ pow_lo))
+                his.append(int(flat[32:] @ pow_lo))
+            yield pd.DataFrame({"media_id": ids, "sim_hi": his, "sim_lo": los})
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(op, DHASH_SCHEMA)

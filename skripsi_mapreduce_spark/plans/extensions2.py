@@ -627,6 +627,114 @@ mm_image_near_dups.__doc__ = mm_image_near_dups.__doc__.format(
 )
 
 
+# Audio fingerprint near-dedup: 65 constant-amplitude segments x 4
+# samples per clip (amplitude of segment s = md5(base:s) % 30000), every
+# doc_id % 10 == 9 a TWIN of its predecessor — byte-exact at
+# doc_id % 20 == 9, segment-0 amplitude shifted (+10000 % 30000) at
+# doc_id % 20 == 19 (moves at most the one comparison touching e0).
+_AF_SEGS, _AF_SEGLEN, _AF_AMPMOD, _AF_MAXHAM = 65, 4, 30000, 4
+
+
+@query(
+    "mm_audio_near_dups",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END AS base,
+                      doc_id % 20 = 19 AS twin
+               FROM documents),
+    amp AS (SELECT doc_id, s,
+                   CASE WHEN twin AND s = 0
+                        THEN (CAST('0x' || substr(md5(CAST(base AS VARCHAR) || ':' ||
+                                   CAST(s AS VARCHAR)), 1, 4) AS BIGINT) % {_AF_AMPMOD}
+                              + 10000) % {_AF_AMPMOD}
+                        ELSE CAST('0x' || substr(md5(CAST(base AS VARCHAR) || ':' ||
+                                  CAST(s AS VARCHAR)), 1, 4) AS BIGINT) % {_AF_AMPMOD}
+                   END AS a
+            FROM d, range({_AF_SEGS}) t(s)),
+    e AS (SELECT doc_id, s, {_AF_SEGLEN} * a * a AS e FROM amp),
+    bits AS (SELECT a.doc_id, a.s AS bit
+             FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.s = a.s + 1
+             WHERE a.e > b.e),
+    sig AS (SELECT d0.doc_id,
+                   COALESCE(SUM(CASE WHEN bit >= 32
+                                     THEN CAST(pow(2, bit - 32) AS BIGINT) END), 0) AS hi,
+                   COALESCE(SUM(CASE WHEN bit < 32
+                                     THEN CAST(pow(2, bit) AS BIGINT) END), 0) AS lo
+            FROM (SELECT doc_id FROM documents) d0
+            LEFT JOIN bits USING (doc_id) GROUP BY d0.doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {_AF_MAXHAM}
+    ORDER BY id_a, id_b
+    """,
+)
+def mm_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint AUDIO near-dedup, adjudicated end to end —
+    the audio member of the multimodal dedup family (text MinHash/
+    SimHash, embedding cosine, image dHash, now audio): every document
+    gets a PCM16 WAV of {segs} constant-amplitude segments x {seglen}
+    samples (amplitude of segment s = md5(base:s) % {mod}, encoded
+    executor-side by the real RIFF writer), with planted twins — a
+    byte-exact copy at doc_id % 20 == 9 and a segment-0
+    amplitude-shifted copy at doc_id % 20 == 19 (moves at most the one
+    energy comparison touching e0). The REAL decode path recovers the
+    samples (multimodal.audio_fingerprint via _decode_wav), segment
+    ENERGIES are exact int64 sums of squared samples, bit b =
+    energy(b) > energy(b+1) gives the 64-bit signature, and near-dup
+    pairs come from the SAME pigeonhole bit-slice blocking as text
+    SimHash and image dHash (candidates = equi-join, never all-pairs).
+    The oracle restates amplitudes, energies, bits, lanes, and Hamming
+    verdicts in closed form (constant segments make energy =
+    seglen * a^2 exactly) — the Arrow decode + hash stage is
+    hash-matched. At 100 TB: signatures are 3 longs per clip, audio
+    bytes never leave the executor; mp3/flac decode stays honestly
+    gated behind the codec tiers."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators import dedup as dd
+    from ..operators.multimodal import audio_fingerprint, make_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def wav_for(doc: int) -> bytes:
+            base = doc - 1 if doc % 10 == 9 else doc
+            amps = [
+                int(hashlib.md5(f"{base}:{s}".encode()).hexdigest()[:4], 16)
+                % _AF_AMPMOD
+                for s in range(_AF_SEGS)
+            ]
+            if doc % 20 == 19:
+                amps[0] = (amps[0] + 10000) % _AF_AMPMOD
+            samples = [a for a in amps for _ in range(_AF_SEGLEN)]
+            return make_wav(samples, _WAV_RATE)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "content": pdf["doc_id"].map(wav_for),
+                }
+            )
+
+    media = docs.mapInPandas(build, "media_id long, kind string, content binary")
+    sig = audio_fingerprint(media, n_segments=_AF_SEGS).withColumnRenamed(
+        "media_id", "doc_id"
+    )
+    return dd.simhash_near_dups(sig, max_hamming=_AF_MAXHAM).orderBy("id_a", "id_b")
+
+
+mm_audio_near_dups.__doc__ = mm_audio_near_dups.__doc__.format(
+    segs=_AF_SEGS, seglen=_AF_SEGLEN, mod=_AF_AMPMOD
+)
+
+
 @query(
     "mm_audio_decode",
     f"""

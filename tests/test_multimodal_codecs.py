@@ -404,3 +404,52 @@ def test_image_near_dups_blocked_equals_all_pairs(spark):
     assert planted <= got_pairs  # every twin found (<=2 bits can move)
     ham = {(a, b): h for a, b, h in blocked}
     assert all(ham[(i - 1, i)] == 0 for i in range(40) if i % 20 == 9)
+
+
+def test_audio_fingerprint_known_energies_and_blocking(spark):
+    """audio_fingerprint bits computed by hand for a known staircase
+    energy profile, and the blocked near-dup join must equal the
+    all-pairs verify on media with planted exact and perturbed twins."""
+    import numpy as np
+
+    from skripsi_mapreduce_spark.operators.dedup import simhash_near_dups
+    from skripsi_mapreduce_spark.operators.multimodal import (
+        audio_fingerprint,
+        make_wav,
+    )
+
+    # clip 0: amplitudes strictly decreasing -> every comparison true
+    amps_desc = list(range(65, 0, -1))
+    # clip 1: strictly increasing -> every comparison false
+    amps_asc = list(range(1, 66))
+    rows = [
+        (0, "audio", make_wav([a * 100 for a in amps_desc for _ in range(4)]), None),
+        (1, "audio", make_wav([a * 100 for a in amps_asc for _ in range(4)]), None),
+    ]
+    media = spark.createDataFrame(
+        rows, schema="media_id long, kind string, content binary, meta string"
+    )
+    got = {r["media_id"]: (r["sim_hi"], r["sim_lo"]) for r in audio_fingerprint(media).collect()}
+    assert got[0] == ((1 << 32) - 1, (1 << 32) - 1)  # all 64 bits set
+    assert got[1] == (0, 0)
+
+    rng = np.random.RandomState(5)
+    rows, prev = [], None
+    for i in range(40):
+        if i % 10 == 9 and prev is not None:
+            amps = list(prev)
+            if i % 20 == 19:
+                amps[0] = (amps[0] + 10000) % 30000
+        else:
+            amps = [int(v) for v in rng.randint(0, 30000, size=65)]
+        prev = amps
+        rows.append((i, "audio", make_wav([a for a in amps for _ in range(4)]), None))
+    media = spark.createDataFrame(
+        rows, schema="media_id long, kind string, content binary, meta string"
+    )
+    sig = audio_fingerprint(media).withColumnRenamed("media_id", "doc_id").localCheckpoint()
+    blocked = sorted(map(tuple, simhash_near_dups(sig, max_hamming=4).collect()))
+    allp = sorted(map(tuple, simhash_near_dups(sig, max_hamming=4, block=False).collect()))
+    assert blocked == allp
+    planted = {(i - 1, i) for i in range(40) if i % 10 == 9}
+    assert planted <= {(a, b) for a, b, _ in blocked}
