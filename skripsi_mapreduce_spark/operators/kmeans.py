@@ -36,6 +36,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 # The literal-centroid assign path embeds every centroid weight in the
@@ -289,20 +290,52 @@ def kmeans_fixedpoint(
         F.col(weight_col).cast("long").alias("w"),
     ).localCheckpoint(eager=True)  # feeds seeds, norms, and every pass
 
-    seed_rows = (
+    spark = weights.sparkSession
+    pivot = assign_kernel == "pivot" or (assign_kernel == "auto" and k <= 256)
+    cent_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            w.schema["word"],
+            T.StructField("cw", T.LongType()),
+        ]
+    )
+    seed_pick = (
         w.select("doc_id")
         .distinct()
         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
         .limit(k)
-        .collect()
     )
-    spark = weights.sparkSession
-    seed_df = spark.createDataFrame(
-        [(r["doc_id"], i) for i, r in enumerate(seed_rows)], "doc_id long, cluster int"
-    )
-    cent = w.join(F.broadcast(seed_df), "doc_id").select(
-        "cluster", "word", F.col("w").alias("cw")
-    )
+    # `collected`: the CURRENT centroid table as local (cluster, word,
+    # cw) rows when it is known small — the pivot fast path (see the
+    # pass loop). Seeding collects the k seed docs' weight ROWS in one
+    # job and derives the (md5, doc_id) seed order driver-side with the
+    # identical rule (hashlib md5 of the decimal string == Spark
+    # md5(cast as string)) — folding the old separate seed-id collect
+    # into pass 0's centroid collect.
+    collected: list[tuple] | None = None
+    cent = None
+    if pivot:
+        rows0 = w.join(seed_pick, "doc_id").limit(_CENT_COLLECT_MAX + 1).collect()
+        if len(rows0) <= _CENT_COLLECT_MAX:
+            import hashlib
+
+            order = sorted(
+                {int(r["doc_id"]) for r in rows0},
+                key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d),
+            )
+            cl = {d: i for i, d in enumerate(order)}
+            collected = [
+                (cl[int(r["doc_id"])], r["word"], int(r["w"])) for r in rows0
+            ]
+    if collected is None:
+        seed_rows = seed_pick.collect()
+        seed_df = spark.createDataFrame(
+            [(r["doc_id"], i) for i, r in enumerate(seed_rows)],
+            "doc_id long, cluster int",
+        )
+        cent = w.join(F.broadcast(seed_df), "doc_id").select(
+            "cluster", "word", F.col("w").alias("cw")
+        )
     # lineage cuts only pay for themselves on DEEP loops: each lazy
     # localCheckpoint costs real RDD-conversion time (measured ~0.5-1s
     # total at sf0.1) while Catalyst's ReusedExchange already serves the
@@ -313,7 +346,6 @@ def kmeans_fixedpoint(
     if deep:
         d2 = d2.localCheckpoint(eager=False)  # cached at first use, reused per pass
 
-    pivot = assign_kernel == "pivot" or (assign_kernel == "auto" and k <= 256)
     assign = None
     for p in range(max(n_assign_passes, 1)):
         if pivot:
@@ -324,16 +356,21 @@ def kmeans_fixedpoint(
             # kernel's ||c||^2 collect job: centroids become a literal
             # broadcast DataFrame and ||c||^2 exact Python ints
             # (bit-equal - same rows, same integer arithmetic; measured
-            # 2 jobs/pass off kmeans_documents at sf0.1). Past the cap
+            # 2 jobs/pass off kmeans_documents at sf0.1, plus the
+            # seed-id job folded into pass 0's collect). Past the cap
             # the checkpoint form stands (k x vocab can be millions of
             # rows at huge vocab - never collect unbounded state).
-            rows = cent.limit(_CENT_COLLECT_MAX + 1).collect()
-            if len(rows) <= _CENT_COLLECT_MAX:
-                cent = weights.sparkSession.createDataFrame(rows, cent.schema)
+            if collected is None:
+                rows = cent.limit(_CENT_COLLECT_MAX + 1).collect()
+                if len(rows) <= _CENT_COLLECT_MAX:
+                    collected = [
+                        (int(r["cluster"]), r["word"], int(r["cw"])) for r in rows
+                    ]
+            if collected is not None:
+                cent = spark.createDataFrame(collected, cent_schema)
                 c2: dict[int, int] = {}
-                for r in rows:
-                    c = int(r["cluster"])
-                    c2[c] = c2.get(c, 0) + int(r["cw"]) * int(r["cw"])
+                for c, _word, cw in collected:
+                    c2[c] = c2.get(c, 0) + cw * cw
                 assign = _assign_fixedpoint_pivot(w, d2, cent, c2=c2)
             else:
                 cent = cent.localCheckpoint(eager=True)
@@ -364,6 +401,7 @@ def kmeans_fixedpoint(
             # nonnegative TF-IDF path)
             .filter(F.col("cw") != 0)
         )
+        collected = None  # the update chain invalidates the local rows
         if deep:
             cent = cent.localCheckpoint(eager=False)  # cut per-iteration lineage
     if output == "assignments":
