@@ -527,8 +527,7 @@ def _jaccard_pairs_arrays(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     trigram prefix entry (125k candidates x ~52 shingles, sf0.1)."""
     sets = sh.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("shingle")).alias("s"),
-        F.count("*").alias("n"),
-    )
+    ).select("doc_id", "s", F.size("s").alias("n"))
     sa = sets.select(
         F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"), F.col("n").alias("na")
     )
@@ -542,8 +541,15 @@ def _jaccard_pairs_arrays(sh: DataFrame, pairs: DataFrame) -> DataFrame:
         .select(
             "id_a",
             "id_b",
+            o.alias("_o"),
             (o / (F.col("na") + F.col("nb") - o)).alias("jaccard"),
         )
+        # zero-overlap candidates are dropped, matching BOTH other
+        # backends (the bitmap kernel's o > 0 fence and the exploded
+        # equi-join, where a disjoint pair never produces a row) — the
+        # backend choice must never change the row set
+        .filter(F.col("_o") > 0)
+        .drop("_o")
     )
 
 

@@ -313,10 +313,15 @@ def kmeans_fixedpoint(
     # md5(cast as string)) — folding the old separate seed-id collect
     # into pass 0's centroid collect.
     collected: list[tuple] | None = None
+    probe_small = True  # once a probe comes back oversize, stop probing:
+    # the centroid table stays ~k x active-vocab rows across passes, so
+    # a second probe would just re-run the chain and discard it again
     cent = None
     if pivot:
         rows0 = w.join(seed_pick, "doc_id").limit(_CENT_COLLECT_MAX + 1).collect()
-        if len(rows0) <= _CENT_COLLECT_MAX:
+        if len(rows0) > _CENT_COLLECT_MAX:
+            probe_small = False
+        else:
             import hashlib
 
             order = sorted(
@@ -360,9 +365,11 @@ def kmeans_fixedpoint(
             # seed-id job folded into pass 0's collect). Past the cap
             # the checkpoint form stands (k x vocab can be millions of
             # rows at huge vocab - never collect unbounded state).
-            if collected is None:
+            if collected is None and probe_small:
                 rows = cent.limit(_CENT_COLLECT_MAX + 1).collect()
-                if len(rows) <= _CENT_COLLECT_MAX:
+                if len(rows) > _CENT_COLLECT_MAX:
+                    probe_small = False
+                else:
                     collected = [
                         (int(r["cluster"]), r["word"], int(r["cw"])) for r in rows
                     ]

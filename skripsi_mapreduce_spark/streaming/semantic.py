@@ -186,9 +186,15 @@ def serve_semantic_verdicts_foreachbatch(
         raise TimeoutError(
             f"semantic foreachBatch replay did not finish within {timeout_s}s"
         )
-    if sink_path is not None:
-        return spark.read.parquet(sink_path)
     schema = (
         "doc_id long, cluster bigint, n_dups long, max_cosine_e6 long, is_new int"
     )
+    if sink_path is not None:
+        try:
+            return spark.read.parquet(sink_path)
+        except Exception:
+            # an empty stream never fires foreachBatch, so the sink dir
+            # is never created — return the same empty verdict table the
+            # memory-sink branch produces
+            return spark.createDataFrame([], schema=schema)
     return spark.createDataFrame(rows, schema=schema)

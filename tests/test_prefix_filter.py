@@ -166,3 +166,14 @@ def test_array_verify_kernel_matches_join_verify(spark):
         a = sorted(map(tuple, via_join.collect()))
         b = sorted(map(tuple, via_arrays.collect()))
         assert a == b and len(a) > 0, (size, t, len(a), len(b))
+
+    # backend invariance on the ZERO-OVERLAP edge: a candidate pair with
+    # disjoint shingle sets must be absent from BOTH backends' output
+    # (the array kernel fences o > 0 like the bitmap kernel)
+    sh1 = shingles(docs, size=1).localCheckpoint(eager=True)
+    ids = [r["doc_id"] for r in sh1.select("doc_id").distinct().limit(2).collect()]
+    forced = spark.createDataFrame([(ids[0], ids[1]), (0, 10)], "id_a long, id_b long")
+    j = sorted(map(tuple, jaccard_pairs(sh1, pairs=forced, bitmap_max_vocab=0).collect()))
+    ar = sorted(map(tuple, jaccard_pairs(
+        sh1, pairs=forced, bitmap_max_vocab=0, verify_max_tokens=4096).collect()))
+    assert j == ar, (j, ar)

@@ -470,3 +470,17 @@ def test_stream_semantic_large_k_foreachbatch_route(spark, tmp_path):
         bstream2, corpus_assign, model, allemb, 990_000, sink_path=sink
     )
     assert sorted(map(tuple, got2_df.collect())) == want
+
+    # empty stream + parquet sink: foreachBatch never fires and the sink
+    # dir is never created — the server must return an EMPTY verdict
+    # table, not raise on the missing path (parity with the memory sink)
+    empty_src = str(tmp_path / "no_batches")
+    batch.limit(0).write.parquet(empty_src)
+    bstream3 = (
+        spark.readStream.schema(batch.schema).format("parquet").load(empty_src)
+    )
+    got3 = serve_semantic_verdicts_foreachbatch(
+        bstream3, corpus_assign, model, allemb, 990_000,
+        sink_path=str(tmp_path / "never_written"),
+    )
+    assert got3.count() == 0
