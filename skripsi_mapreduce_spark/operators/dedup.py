@@ -1141,6 +1141,65 @@ def simhash_near_dups(
     )
 
 
+def simhash_near_dups_against(
+    sim_a: DataFrame,
+    sim_b: DataFrame,
+    max_hamming: int = 3,
+    block: bool = True,
+) -> DataFrame:
+    """CROSS-SIDE pigeonhole Hamming join: pairs (id_a from ``sim_a``,
+    id_b from ``sim_b``) within ``max_hamming`` over the 64-bit
+    signature — the incremental-ingest twin of
+    :func:`simhash_near_dups` (the same relationship
+    :func:`minhash_near_dups_against` has to :func:`minhash_near_dups`):
+    a BATCH of arriving signatures checks against a static CORPUS
+    without the corpus ever joining itself. Both inputs are
+    (doc_id, sim_hi, sim_lo) — text SimHash, image dHash, or audio
+    fingerprints alike. Blocking, witness dedup, and the popcount
+    verify are the self-join's exact machinery minus the id_a < id_b
+    cut (the sides are distinct tables; ids must be disjoint across
+    them, the caller contract shared with semantic_incremental).
+    ``block=False`` is the O(|a|·|b|) audit kernel."""
+    if max_hamming >= 64:
+        block = False
+    a_cols = lambda df, side: df.select(  # noqa: E731
+        F.col("doc_id").alias(f"id_{side}"),
+        F.col("sim_hi").alias(f"h{side}_hi"),
+        F.col("sim_lo").alias(f"h{side}_lo"),
+    )
+    hamming = F.bit_count(F.col("ha_hi").bitwiseXOR(F.col("hb_hi"))) + F.bit_count(
+        F.col("ha_lo").bitwiseXOR(F.col("hb_lo"))
+    )
+    if not block:
+        npart = sim_a.sparkSession.sparkContext.defaultParallelism
+        pairs = a_cols(sim_a, "a").repartition(npart).join(a_cols(sim_b, "b"))
+        return (
+            pairs.withColumn("hamming", hamming.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+    vals, witness = _simhash_join_exprs(min(max(max_hamming + 1, 2), 64))
+    sl_a = sim_a.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sim_hi").alias("ha_hi"),
+        F.col("sim_lo").alias("ha_lo"),
+        F.posexplode(vals).alias("slice_idx", "slice_val"),
+    )
+    sl_b = sim_b.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sim_hi").alias("hb_hi"),
+        F.col("sim_lo").alias("hb_lo"),
+        F.posexplode(vals).alias("slice_idx", "slice_val"),
+    )
+    return (
+        sl_a.join(sl_b, ["slice_idx", "slice_val"])
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .filter(witness)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def semantic_near_dups(
     emb: DataFrame,
     k: int | str = "auto",

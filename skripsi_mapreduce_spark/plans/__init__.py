@@ -18,16 +18,17 @@ from . import extensions3  # noqa: F401  (registers into QUERIES/ORACLE)
 #      collect fast path; dedup_jaccard_autoselect: LSH-arm shingle
 #      passthrough; dedup_semantic_incremental +
 #      stream_semantic_incremental: verdict tail extracted into the
-#      shared assigned_batch_verdicts; mm_audio_near_dups: new),
+#      shared assigned_batch_verdicts; mm_audio_near_dups +
+#      mm_image_dedup_incremental: new),
 #  (a) the 36 entries whose freshest driver-green row is r5 — the
 #      stalest evidence in the repo (sim_topk_many_ivf ...
 #      q08_left_join, the whole r5 block of the r7 tail),
 #  (b) fill to EXACTLY 50 with the OLDEST r6-green entries
-#      (sim_topk_many_ivfpq_rerank ... sim_topk_pq). A registry
+#      (sim_topk_many_ivfpq_rerank ... sim_topk_ivfpq). A registry
 #      test pins len == 50.
 #
 # Freshness ledger after r8 (for the round-9 rotation): head-50 carry
-# r8 evidence; _TAIL lists the 41 remaining r6-green entries FIRST
+# r8 evidence; _TAIL lists the 42 remaining r6-green entries FIRST
 # (oldest — r9's fill pool) then the 44 r7-green entries. r9 head =
 # any r9-changed kernels + the r6 block, then r7 fill to exactly 50.
 _PROMOTED = [
@@ -41,6 +42,7 @@ _PROMOTED = [
     "dedup_semantic_incremental",
     "stream_semantic_incremental",
     "mm_audio_near_dups",
+    "mm_image_dedup_incremental",
     # (a) last driver-green r5
     "sim_topk_many_ivf",
     "q19_set_ops",
@@ -83,11 +85,11 @@ _PROMOTED = [
     "mm_image_resize",
     "sim_topk_ivfpq_rerank",
     "sim_topk_ivfpq",
-    "sim_topk_pq",
 ]
 _TAIL = [
     # green r6 — the oldest evidence outside the head (r9's fill pool)
     "q15_window_rank",
+    "sim_topk_pq",
     "q16_window_lag",
     "q17_window_frame",
     "q18_topk",

@@ -524,6 +524,36 @@ def _dh_px_sql(ch: str) -> str:
     )
 
 
+def _dh_blob(base_str: F.Column, twin: F.Column) -> F.Column:
+    """The {w}x{h} P6 PPM blob for an image entity as a pure column
+    expression: pixels come from md5 chunks of ``base_str`` (5 pixels
+    per chunk, 15 chunks, last truncated to 6 bytes = 216 raster
+    bytes); when ``twin`` is true, pixel 0's R and G bytes shift by
+    +128 (a strong luma move that still touches at most the 2 dHash
+    comparisons over that cell). Shared by mm_image_near_dups (self
+    near-dedup) and mm_image_dedup_incremental (batch x corpus)."""
+
+    def chunk_hex(c: int) -> F.Column:
+        return F.md5(F.concat_ws(":", base_str, F.lit(str(c))))
+
+    c0 = chunk_hex(0)
+    r0 = (F.conv(F.substring(c0, 1, 2), 16, 10).cast("long") + 128) % 256
+    g0 = (F.conv(F.substring(c0, 3, 2), 16, 10).cast("long") + 128) % 256
+    chunk0 = F.when(
+        twin,
+        F.concat(
+            F.unhex(F.lpad(F.lower(F.hex(r0)), 2, "0")),
+            F.unhex(F.lpad(F.lower(F.hex(g0)), 2, "0")),
+            F.unhex(F.substring(c0, 5, 26)),
+        ),
+    ).otherwise(F.unhex(F.substring(c0, 1, 30)))
+    parts = [chunk0]
+    parts += [F.unhex(F.substring(chunk_hex(c), 1, 30)) for c in range(1, 14)]
+    parts.append(F.unhex(F.substring(chunk_hex(14), 1, 12)))  # 6-byte tail
+    header = F.lit(f"P6\n{_DH_W} {_DH_H}\n255\n".encode())
+    return F.concat(header, *parts)
+
+
 @query(
     "mm_image_near_dups",
     f"""
@@ -587,33 +617,10 @@ def mm_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id")
     base = F.when(did % 10 == 9, did - 1).otherwise(did).cast("string")
-
-    def chunk_hex(c: int) -> F.Column:
-        return F.md5(F.concat_ws(":", base, F.lit(str(c))))
-
-    # chunk 0 carries pixel 0: perturb its R and G bytes on the
-    # near-dup twins (+128 each - a strong luma shift, so a healthy
-    # share of twins land at Hamming 1-2 instead of 0, exercising the
-    # near-dup band; still touches at most 2 dHash comparisons)
-    c0 = chunk_hex(0)
-    r0 = (F.conv(F.substring(c0, 1, 2), 16, 10).cast("long") + 128) % 256
-    g0 = (F.conv(F.substring(c0, 3, 2), 16, 10).cast("long") + 128) % 256
-    chunk0 = F.when(
-        did % 20 == 19,
-        F.concat(
-            F.unhex(F.lpad(F.lower(F.hex(r0)), 2, "0")),
-            F.unhex(F.lpad(F.lower(F.hex(g0)), 2, "0")),
-            F.unhex(F.substring(c0, 5, 26)),
-        ),
-    ).otherwise(F.unhex(F.substring(c0, 1, 30)))
-    parts = [chunk0]
-    parts += [F.unhex(F.substring(chunk_hex(c), 1, 30)) for c in range(1, 14)]
-    parts.append(F.unhex(F.substring(chunk_hex(14), 1, 12)))  # 6-byte tail
-    header = F.lit(f"P6\n{_DH_W} {_DH_H}\n255\n".encode())
     media = docs.select(
         did.alias("media_id"),
         F.lit("image").alias("kind"),
-        F.concat(header, *parts).alias("content"),
+        _dh_blob(base, did % 20 == 19).alias("content"),
         F.lit(None).cast(
             "struct<mime:string,width:int,height:int,duration_ms:int,sample_rate:int>"
         ).alias("meta"),
@@ -624,6 +631,129 @@ def mm_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 mm_image_near_dups.__doc__ = mm_image_near_dups.__doc__.format(
     w=_DH_W, h=_DH_H, k=_DH_MAXHAM
+)
+
+
+_DH_SENTINEL = 99  # "no corpus match" min_hamming, > any real distance
+
+
+@query(
+    "mm_image_dedup_incremental",
+    f"""
+    WITH mx AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+    corp AS (SELECT doc_id AS img_id, doc_id AS base, FALSE AS twin
+             FROM documents WHERE doc_id % 5 <> 0),
+    newb AS (SELECT doc_id AS img_id, doc_id AS base, FALSE AS twin
+             FROM documents WHERE doc_id % 5 = 0),
+    plant AS (SELECT doc_id + off AS img_id, doc_id AS base, TRUE AS twin
+              FROM documents, mx WHERE doc_id % 20 = 1),
+    ents AS (SELECT 'c' AS side, img_id, base, twin FROM corp
+             UNION ALL SELECT 'b', img_id, base, twin FROM newb
+             UNION ALL SELECT 'b', img_id, base, twin FROM plant),
+    px AS (SELECT side, img_id, p,
+                  CASE WHEN twin AND p = 0
+                       THEN ({_dh_px_sql('r')} + 128) % 256
+                       ELSE {_dh_px_sql('r')} END AS r,
+                  CASE WHEN twin AND p = 0
+                       THEN ({_dh_px_sql('g')} + 128) % 256
+                       ELSE {_dh_px_sql('g')} END AS g,
+                  {_dh_px_sql('b')} AS b
+           FROM ents, range({_DH_PIX}) t(p)),
+    lum AS (SELECT side, img_id, p, 299 * r + 587 * g + 114 * b AS l FROM px),
+    bits AS (SELECT a.side, a.img_id, (a.p // {_DH_W}) * 8 + (a.p % {_DH_W}) AS bit
+             FROM lum a JOIN lum b ON b.side = a.side AND b.img_id = a.img_id
+                                   AND b.p = a.p + 1
+             WHERE a.p % {_DH_W} < 8 AND a.l > b.l),
+    sig AS (SELECT e.side, e.img_id,
+                   COALESCE(SUM(CASE WHEN bit >= 32
+                                     THEN CAST(pow(2, bit - 32) AS BIGINT) END), 0) AS hi,
+                   COALESCE(SUM(CASE WHEN bit < 32
+                                     THEN CAST(pow(2, bit) AS BIGINT) END), 0) AS lo
+            FROM (SELECT DISTINCT side, img_id FROM ents) e
+            LEFT JOIN bits USING (side, img_id) GROUP BY e.side, e.img_id),
+    hits AS (SELECT b.img_id,
+                    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+             FROM sig a JOIN sig b ON a.side = 'c' AND b.side = 'b'
+             WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {_DH_MAXHAM}),
+    agg AS (SELECT img_id, CAST(COUNT(*) AS BIGINT) AS nd, MIN(hamming) AS mh
+            FROM hits GROUP BY img_id)
+    SELECT b.img_id AS doc_id,
+           COALESCE(nd, 0) AS n_dups,
+           CAST(COALESCE(mh, {_DH_SENTINEL}) AS INTEGER) AS min_hamming,
+           CAST(CASE WHEN COALESCE(nd, 0) = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_new
+    FROM (SELECT img_id FROM newb UNION ALL SELECT img_id FROM plant) b
+    LEFT JOIN agg USING (img_id)
+    ORDER BY doc_id
+    """,
+)
+def mm_image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IMAGE ingest dedup — the multimodal twin of
+    dedup_incremental: a BATCH of arriving images checks against a
+    static image CORPUS without the corpus ever joining itself. Corpus
+    = one md5-derived raster per doc_id % 5 != 0; batch = the % 5 == 0
+    docs (novel rasters) plus PLANTED arrivals — one-pixel-perturbed
+    copies of every doc_id % 20 == 1 corpus image, offset past
+    max(doc_id) so ids stay disjoint (the semantic_incremental
+    convention). Both sides hash through the REAL decode path
+    (multimodal.image_dhash) and candidates come from the CROSS-SIDE
+    pigeonhole blocking (dedup.simhash_near_dups_against — slice
+    equi-join between the two signature tables, witness dedup, popcount
+    verify; batch work is Σ bucket_a x bucket_b, never |corpus| x
+    |batch|). One verdict row per batch image: n_dups, min_hamming
+    ({sent} sentinel when no corpus image is within Hamming {k}), and
+    is_new. The oracle restates both sides' dHashes and the verdicts in
+    closed form. At 100 TB this is the image-ingest gate before
+    captioning: the corpus stays a 24-byte-per-image signature table,
+    each arriving batch pays one blocked join against it."""
+    from ..operators import dedup as dd
+    from ..operators.multimodal import image_dhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    off = docs.agg(F.max("doc_id")).head()[0] + 1
+    did = F.col("doc_id")
+    meta = F.lit(None).cast(
+        "struct<mime:string,width:int,height:int,duration_ms:int,sample_rate:int>"
+    )
+
+    def media(df, img_id: F.Column, twin: bool):
+        return df.select(
+            img_id.alias("media_id"),
+            F.lit("image").alias("kind"),
+            _dh_blob(did.cast("string"), F.lit(twin)).alias("content"),
+            meta.alias("meta"),
+        )
+
+    corp = media(docs.filter(did % 5 != 0), did, False)
+    newb = media(docs.filter(did % 5 == 0), did, False)
+    plant = media(docs.filter(did % 20 == 1), did + F.lit(int(off)), True)
+    batch = newb.unionByName(plant)
+    sig_c = image_dhash(corp).withColumnRenamed("media_id", "doc_id")
+    sig_b = image_dhash(batch).withColumnRenamed("media_id", "doc_id")
+    hits = dd.simhash_near_dups_against(sig_c, sig_b, max_hamming=_DH_MAXHAM)
+    agg = hits.groupBy("id_b").agg(
+        F.count("*").cast("bigint").alias("_nd"),
+        F.min("hamming").alias("_mh"),
+    )
+    return (
+        sig_b.select("doc_id")
+        .join(agg, sig_b["doc_id"] == agg["id_b"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_nd"), F.lit(0).cast("bigint")).alias("n_dups"),
+            F.coalesce(F.col("_mh"), F.lit(_DH_SENTINEL))
+            .cast("int")
+            .alias("min_hamming"),
+            F.when(F.coalesce(F.col("_nd"), F.lit(0)) == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_new"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+mm_image_dedup_incremental.__doc__ = mm_image_dedup_incremental.__doc__.format(
+    sent=_DH_SENTINEL, k=_DH_MAXHAM
 )
 
 

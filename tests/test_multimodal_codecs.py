@@ -453,3 +453,38 @@ def test_audio_fingerprint_known_energies_and_blocking(spark):
     assert blocked == allp
     planted = {(i - 1, i) for i in range(40) if i % 10 == 9}
     assert planted <= {(a, b) for a, b, _ in blocked}
+
+
+def test_image_incremental_cross_blocking_equals_all_pairs(spark):
+    """simhash_near_dups_against (the cross-side pigeonhole join) must
+    be row-identical to the O(|a|x|b|) audit kernel, and planted batch
+    arrivals must hit their corpus base."""
+    import numpy as np
+
+    from skripsi_mapreduce_spark.operators.dedup import simhash_near_dups_against
+    from skripsi_mapreduce_spark.operators.multimodal import image_dhash, make_ppm
+
+    rng = np.random.RandomState(3)
+    corp_rows, batch_rows, corp_px = [], [], {}
+    for i in range(30):
+        px = rng.randint(0, 256, size=(8, 9, 3)).astype(np.uint8)
+        corp_px[i] = px
+        corp_rows.append((i, "image", make_ppm(9, 8, px.tobytes()), None))
+    for j in range(10):  # batch: 5 novel + 5 perturbed twins of corpus
+        if j < 5:
+            px = rng.randint(0, 256, size=(8, 9, 3)).astype(np.uint8)
+        else:
+            px = corp_px[j].copy()
+            px[0, 0, :2] = (px[0, 0, :2].astype(int) + 128) % 256
+        batch_rows.append((100 + j, "image", make_ppm(9, 8, px.tobytes()), None))
+    schema = "media_id long, kind string, content binary, meta string"
+    sig_c = image_dhash(spark.createDataFrame(corp_rows, schema)).withColumnRenamed(
+        "media_id", "doc_id").localCheckpoint()
+    sig_b = image_dhash(spark.createDataFrame(batch_rows, schema)).withColumnRenamed(
+        "media_id", "doc_id").localCheckpoint()
+    blocked = sorted(map(tuple, simhash_near_dups_against(sig_c, sig_b, 4).collect()))
+    allp = sorted(map(tuple, simhash_near_dups_against(
+        sig_c, sig_b, 4, block=False).collect()))
+    assert blocked == allp
+    got = {(a, b) for a, b, _ in blocked}
+    assert {(j, 100 + j) for j in range(5, 10)} <= got  # twins found
