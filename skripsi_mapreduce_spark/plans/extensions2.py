@@ -525,7 +525,7 @@ def _dh_px_sql(ch: str) -> str:
 
 
 def _dh_blob(base_str: F.Column, twin: F.Column) -> F.Column:
-    """The {w}x{h} P6 PPM blob for an image entity as a pure column
+    """The 9x8 (_DH_W x _DH_H) P6 PPM blob for an image entity as a pure column
     expression: pixels come from md5 chunks of ``base_str`` (5 pixels
     per chunk, 15 chunks, last truncated to 6 bytes = 216 raster
     bytes); when ``twin`` is true, pixel 0's R and G bytes shift by
@@ -709,7 +709,8 @@ def mm_image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import image_dhash
 
     docs = load_table(spark, sf_dir, "documents")
-    off = docs.agg(F.max("doc_id")).head()[0] + 1
+    mx = docs.agg(F.max("doc_id")).head()[0]
+    off = (mx if mx is not None else -1) + 1  # empty table -> empty batch
     did = F.col("doc_id")
     meta = F.lit(None).cast(
         "struct<mime:string,width:int,height:int,duration_ms:int,sample_rate:int>"
