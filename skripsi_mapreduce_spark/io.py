@@ -88,6 +88,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_row_count(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a catalog table from parquet FOOTER metadata —
+    a driver-side pyarrow read of the file footers, no Spark job at all.
+    The reference publishes its document count N through a counter + a
+    WebHDFS side file (App.java:70-91, O12/O14); parquet footers carry
+    the same scalar for free. Returns None when the table is not plain
+    parquet on a local filesystem (caller falls back to ``df.count()``).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            return total
+    except Exception:
+        return None
+    return None
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the whole catalog; plans select from these lazily, so Catalyst
     prunes columns and pushes predicates into the parquet scans."""

@@ -284,11 +284,20 @@ def kmeans_fixedpoint(
     clusters); ``"join"`` keeps the (doc_id, cluster)-keyed join form
     for huge k. ``"auto"`` picks pivot at k ≤ 256. Both are bit-equal
     (pinned by test)."""
+    # feeds seeds, norms, and every pass. persist (not an eager
+    # localCheckpoint): the first action — pass 0's seed-rows collect —
+    # materializes the cache as a side effect, so the dedicated
+    # checkpoint job (plus its plan->RDD conversion of the whole input)
+    # disappears from the chain; every later consumer reads the
+    # in-memory columnar blocks. MEMORY_AND_DISK so a huge weights table
+    # spills instead of recomputing the upstream TF-IDF per pass.
+    from pyspark import StorageLevel
+
     w = weights.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(word_col).alias("word"),
         F.col(weight_col).cast("long").alias("w"),
-    ).localCheckpoint(eager=True)  # feeds seeds, norms, and every pass
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     spark = weights.sparkSession
     pivot = assign_kernel == "pivot" or (assign_kernel == "auto" and k <= 256)

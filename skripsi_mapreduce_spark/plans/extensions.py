@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, table_row_count
 from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators import text_analysis as ta
@@ -67,7 +67,11 @@ def _tfidf_weight_e4(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent decimal-summed L2 norm so the integers are
     engine-exact. Spark twin of ``_TFIDF_W_CTES``."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # N from the parquet footers (driver-side, no Spark job) — the
+    # reference's counter + WebHDFS side file (O12/O14) for free.
+    n_docs = table_row_count(sf_dir, "documents")
+    if n_docs is None:  # non-parquet catalog — pay the count job
+        n_docs = docs.count()
     toks = tokens_long(docs, stopwords=STOP)
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     # df = #docs containing the word = tf's group count per word — derived
