@@ -637,21 +637,86 @@ def image_dhash(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, his, los = [], [], []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                raw = bytes(blob or b"")
-                is_png = raw[:8] == PNG_SIG
-                w, h, px = (_decode_png if is_png else _decode_ppm)(raw)
-                sx = (np.arange(9) * w) // 9
-                sy = (np.arange(8) * h) // 8
-                g = px[sy][:, sx].astype(np.int64)  # (8, 9, 3) NN gather
-                luma = 299 * g[:, :, 0] + 587 * g[:, :, 1] + 114 * g[:, :, 2]
-                bits = (luma[:, :-1] > luma[:, 1:]).astype(np.int64)  # (8, 8)
-                flat = bits.reshape(-1)  # bit index = y*8 + x
+                flat = _dhash_bits(bytes(blob or b""), np)
                 ids.append(mid)
                 los.append(int(flat[:32] @ pow_lo))
                 his.append(int(flat[32:] @ pow_lo))
             yield pd.DataFrame({"media_id": ids, "sim_hi": his, "sim_lo": los})
 
     return media.filter(F.col("kind") == "image").mapInPandas(op, DHASH_SCHEMA)
+
+
+def _dhash_bits(raw: bytes, np):
+    """The 64 dHash bits of one encoded image as an int64[64] vector
+    (bit index y*8 + x) — the exact-integer kernel shared by
+    :func:`image_dhash` (one image per row) and :func:`video_dhash`
+    (per sampled frame): decode by magic bytes, NN-resample to a 9x8
+    grid (sx = ox*w//9, sy = oy*h//8 — the resize_images index map),
+    integer Rec.601 luma (299R + 587G + 114B), bit = left > right."""
+    is_png = raw[:8] == PNG_SIG
+    w, h, px = (_decode_png if is_png else _decode_ppm)(raw)
+    sx = (np.arange(9) * w) // 9
+    sy = (np.arange(8) * h) // 8
+    g = px[sy][:, sx].astype(np.int64)  # (8, 9, 3) NN gather
+    luma = 299 * g[:, :, 0] + 587 * g[:, :, 1] + 114 * g[:, :, 2]
+    bits = (luma[:, :-1] > luma[:, 1:]).astype(np.int64)  # (8, 8)
+    return bits.reshape(-1)  # bit index = y*8 + x
+
+
+def video_dhash(
+    media: DataFrame, every_n: int = 2, max_frames: int = 4
+) -> DataFrame:
+    """64-bit perceptual VIDEO signature — the video member of the
+    multimodal fingerprint family (image :func:`image_dhash`, audio
+    :func:`audio_fingerprint`): sample frames from the codec-free
+    PPM-sequence container with the SAME rule as :func:`sample_frames`
+    (frame indices ``range(0, min(n, max_frames*every_n), every_n)``),
+    compute each sampled frame's 64 dHash bits with the shared
+    :func:`_dhash_bits` kernel, and reduce them to one signature by
+    STRICT per-bit majority vote (bit set iff ``2*count > n_sampled``;
+    ties on an even frame count round to 0) — the standard
+    temporal-pooling step of published video perceptual hashes, and
+    pure integer logic an external SQL oracle can restate bit-for-bit.
+
+    Returns (media_id, sim_hi, sim_lo), the two nonnegative 32-bit
+    lanes dedup.simhash_near_dups blocks on — video near-dedup is one
+    pigeonhole-blocked join away (mm_video_near_dups entry). A video
+    with no decodable frames hashes to the all-zero signature rather
+    than erroring (same degenerate-row contract as the other lanes).
+
+    Scale: ONE mapInPandas pass; frame split, decode, per-frame hash,
+    and the majority vote all happen executor-side on the single Arrow
+    row that holds the video, so the shuffle that follows carries 24
+    bytes per video, never frames. Compressed containers (mp4/webm)
+    raise NotImplementedError from the splitter, naming the missing
+    codec — same honest gate as sample_frames."""
+    import numpy as np
+
+    pow_lo = (1 << np.arange(32, dtype=np.int64))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(blob or b"")
+                frames = _split_ppm_sequence(raw) if raw else []
+                sampled = [
+                    frames[fi]
+                    for fi in range(
+                        0, min(len(frames), max_frames * every_n), every_n
+                    )
+                ]
+                if sampled:
+                    stack = np.stack([_dhash_bits(f, np) for f in sampled])
+                    flat = (2 * stack.sum(axis=0) > len(sampled)).astype(np.int64)
+                else:
+                    flat = np.zeros(64, dtype=np.int64)
+                ids.append(mid)
+                los.append(int(flat[:32] @ pow_lo))
+                his.append(int(flat[32:] @ pow_lo))
+            yield pd.DataFrame({"media_id": ids, "sim_hi": his, "sim_lo": los})
+
+    return media.filter(F.col("kind") == "video").mapInPandas(op, DHASH_SCHEMA)
 
 
 def audio_fingerprint(media: DataFrame, n_segments: int = 65) -> DataFrame:

@@ -19,18 +19,22 @@ from . import extensions3  # noqa: F401  (registers into QUERIES/ORACLE)
 #      passthrough; dedup_semantic_incremental +
 #      stream_semantic_incremental: verdict tail extracted into the
 #      shared assigned_batch_verdicts; mm_audio_near_dups +
-#      mm_image_dedup_incremental: new),
+#      mm_image_dedup_incremental + mm_video_near_dups: new;
+#      tfidf_longform + dedup_semantic + dedup_semantic_keep: the late-r8
+#      kmeans persist + parquet-footer-N kernel touch),
 #  (a) the 36 entries whose freshest driver-green row is r5 — the
 #      stalest evidence in the repo (sim_topk_many_ivf ...
-#      q08_left_join, the whole r5 block of the r7 tail),
-#  (b) fill to EXACTLY 50 with the OLDEST r6-green entries
-#      (sim_topk_many_ivfpq_rerank ... sim_topk_ivfpq). A registry
-#      test pins len == 50.
+#      q08_left_join, the whole r5 block of the r7 tail). The (0)+(a)
+#      blocks land at EXACTLY 50, so the r6 fill pool
+#      (sim_topk_many_ivfpq_rerank ... sim_topk_ivfpq) stays in _TAIL
+#      this round. A registry test pins len == 50.
 #
 # Freshness ledger after r8 (for the round-9 rotation): head-50 carry
-# r8 evidence; _TAIL lists the 42 remaining r6-green entries FIRST
-# (oldest — r9's fill pool) then the 44 r7-green entries. r9 head =
-# any r9-changed kernels + the r6 block, then r7 fill to exactly 50.
+# r8 evidence; _TAIL lists the 46 r6-green entries FIRST (oldest —
+# r9's fill pool, led by the four sim_topk_many_ivfpq_rerank ...
+# sim_topk_ivfpq rows bumped from the r8 head by the late additions)
+# then the 41 r7-green entries. r9 head = any r9-changed kernels +
+# the r6 block, then r7 fill to exactly 50.
 _PROMOTED = [
     # (0) changed/new this round
     "dedup_prefix_jaccard",
@@ -43,6 +47,11 @@ _PROMOTED = [
     "stream_semantic_incremental",
     "mm_audio_near_dups",
     "mm_image_dedup_incremental",
+    "mm_video_near_dups",  # new: video perceptual near-dedup
+    # kernel-touched late in r8 (kmeans persist + parquet-footer N):
+    "tfidf_longform",
+    "dedup_semantic",
+    "dedup_semantic_keep",
     # (a) last driver-green r5
     "sim_topk_many_ivf",
     "q19_set_ops",
@@ -80,14 +89,13 @@ _PROMOTED = [
     "q06_inner_join",
     "q07_tpch_q5",
     "q08_left_join",
-    # (b) oldest r6-green evidence, filling the window to exactly 50
+]
+_TAIL = [
+    # green r6 — the oldest evidence outside the head (r9's fill pool)
     "sim_topk_many_ivfpq_rerank",
     "mm_image_resize",
     "sim_topk_ivfpq_rerank",
     "sim_topk_ivfpq",
-]
-_TAIL = [
-    # green r6 — the oldest evidence outside the head (r9's fill pool)
     "q15_window_rank",
     "sim_topk_pq",
     "q16_window_lag",
@@ -132,8 +140,6 @@ _TAIL = [
     "sim_topk_many",
     # green r7 — freshest evidence, rotated out of the head
     "sim_recall_many_ivfpq",
-    "dedup_semantic",
-    "dedup_semantic_keep",
     "sketch_bloom",
     "mix_temperature",
     "stream_interval_join",
@@ -160,7 +166,6 @@ _TAIL = [
     "dedup_ngram_jaccard",
     "sim_topk_cosine",
     "sim_topk_lsh",
-    "tfidf_longform",
     "q09_semi_join",
     "q10_anti_join",
     "q11_range_self_join",

@@ -488,3 +488,147 @@ def test_image_incremental_cross_blocking_equals_all_pairs(spark):
     assert blocked == allp
     got = {(a, b) for a, b, _ in blocked}
     assert {(j, 100 + j) for j in range(5, 10)} <= got  # twins found
+
+
+def test_video_dhash_majority_and_sampling_rule(spark):
+    """video_dhash's strict per-bit majority computed by hand, on a
+    frame layout that DISTINGUISHES the sample_frames sampling rule
+    from hashing every frame: with every_n=1, max_frames=4 the sampled
+    frames are 0..3; pattern A fills frames 0-2 (3 of 4 sampled -> bit
+    set) and pattern B fills frames 3-7 (1 of 4 sampled -> unset; a
+    kernel that wrongly hashed all 8 frames would flip BOTH verdicts).
+    Also pins the empty-content degenerate row to the zero signature."""
+    import numpy as np
+
+    from skripsi_mapreduce_spark.operators.multimodal import (
+        make_ppm,
+        make_ppm_video,
+        video_dhash,
+    )
+
+    px_a = np.zeros((8, 9, 3), dtype=np.uint8)
+    for y in range(8):
+        px_a[y, : y + 1, :] = 255  # dHash bit set exactly at y*8+y
+    px_b = np.zeros((8, 9, 3), dtype=np.uint8)
+    for y in range(8):
+        px_b[y, : y + 2, :] = 255  # bit set exactly at y*8+y+1 (x==y+1<=8)
+    frame_a = make_ppm(9, 8, px_a.tobytes())
+    frame_b = make_ppm(9, 8, px_b.tobytes())
+    video = make_ppm_video([frame_a, frame_a, frame_a] + [frame_b] * 5)
+    media = spark.createDataFrame(
+        [(0, "video", video, None), (1, "video", b"", None)],
+        schema="media_id long, kind string, content binary, meta string",
+    )
+    got = {
+        r["media_id"]: (r["sim_hi"], r["sim_lo"])
+        for r in video_dhash(media, every_n=1, max_frames=4).collect()
+    }
+    want_bits = {y * 8 + y for y in range(8)}  # A-majority only
+    lo = sum(1 << b for b in want_bits if b < 32)
+    hi = sum(1 << (b - 32) for b in want_bits if b >= 32)
+    assert got[0] == (hi, lo)
+    assert got[1] == (0, 0)  # empty video -> zero signature, no error
+
+
+def test_video_dhash_equals_sampled_frame_majority(spark):
+    """Composition parity: video_dhash must equal the strict per-bit
+    majority of image_dhash over the frames sample_frames(decode_stub=
+    False) selects — pinning that the video kernel shares the frame
+    sampling rule and the per-frame dHash kernel with the existing
+    operators rather than reimplementing them divergently."""
+    import numpy as np
+
+    from skripsi_mapreduce_spark.operators.multimodal import (
+        image_dhash,
+        make_ppm,
+        make_ppm_video,
+        sample_frames,
+        video_dhash,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(12):
+        n_frames = 3 + i % 6  # exercises fewer-frames-than-max too
+        frames = [
+            make_ppm(9, 8, rng.randint(0, 256, (8, 9, 3)).astype(np.uint8).tobytes())
+            for _ in range(n_frames)
+        ]
+        rows.append((i, "video", make_ppm_video(frames), None))
+    media = spark.createDataFrame(
+        rows, schema="media_id long, kind string, content binary, meta string"
+    )
+    got = {
+        r["media_id"]: (r["sim_hi"], r["sim_lo"])
+        for r in video_dhash(media, every_n=2, max_frames=4).collect()
+    }
+    frames = sample_frames(media, every_n=2, max_frames=4, decode_stub=False)
+    per_frame = image_dhash(
+        frames.selectExpr(
+            "media_id * 100 + frame_idx AS media_id",
+            "'image' AS kind",
+            "frame_bytes AS content",
+        )
+    ).collect()
+    by_video: dict[int, list[tuple[int, int]]] = {}
+    for r in per_frame:
+        by_video.setdefault(int(r["media_id"]) // 100, []).append(
+            (r["sim_hi"], r["sim_lo"])
+        )
+    for vid, sigs in by_video.items():
+        n = len(sigs)
+        bits = [
+            sum(((lo >> b) & 1 if b < 32 else (hi >> (b - 32)) & 1) for hi, lo in sigs)
+            for b in range(64)
+        ]
+        flat = [1 if 2 * c > n else 0 for c in bits]
+        lo = sum(1 << b for b in range(32) if flat[b])
+        hi = sum(1 << (b - 32) for b in range(32, 64) if flat[b])
+        assert got[vid] == (hi, lo), vid
+
+
+def test_video_near_dups_blocked_equals_all_pairs(spark):
+    """The pigeonhole-blocked video near-dup join must be row-identical
+    to the all-pairs verify on the same majority signatures, with
+    planted exact and sampled-frame-perturbed twins all found."""
+    import numpy as np
+
+    from skripsi_mapreduce_spark.operators.dedup import simhash_near_dups
+    from skripsi_mapreduce_spark.operators.multimodal import (
+        make_ppm,
+        make_ppm_video,
+        video_dhash,
+    )
+
+    rng = np.random.RandomState(17)
+    rows = []
+    base_frames = None
+    for i in range(40):
+        if i % 10 == 9 and base_frames is not None:
+            frames = list(base_frames)
+            if i % 20 == 19:  # perturb SAMPLED frame 2's pixel 0
+                px = np.frombuffer(frames[2], dtype=np.uint8)[-216:].reshape(8, 9, 3)
+                px = px.copy()
+                px[0, 0, :2] = (px[0, 0, :2].astype(int) + 128) % 256
+                frames[2] = make_ppm(9, 8, px.tobytes())
+        else:
+            frames = [
+                make_ppm(
+                    9, 8, rng.randint(0, 256, (8, 9, 3)).astype(np.uint8).tobytes()
+                )
+                for _ in range(8)
+            ]
+        base_frames = frames
+        rows.append((i, "video", make_ppm_video(frames), None))
+    media = spark.createDataFrame(
+        rows, schema="media_id long, kind string, content binary, meta string"
+    )
+    sig = video_dhash(media).withColumnRenamed("media_id", "doc_id").localCheckpoint()
+    blocked = sorted(map(tuple, simhash_near_dups(sig, max_hamming=4).collect()))
+    allp = sorted(map(tuple, simhash_near_dups(sig, max_hamming=4, block=False).collect()))
+    assert blocked == allp
+    planted = {(i - 1, i) for i in range(40) if i % 10 == 9}
+    got_pairs = {(a, b) for a, b, _ in blocked}
+    assert planted <= got_pairs
+    ham = {(a, b): h for a, b, h in blocked}
+    assert all(ham[(i - 1, i)] == 0 for i in range(40) if i % 20 == 9)
