@@ -33,7 +33,7 @@ from . import extensions3  # noqa: F401  (registers into QUERIES/ORACLE)
 # r8 evidence; _TAIL lists the 46 r6-green entries FIRST (oldest —
 # r9's fill pool, led by the four sim_topk_many_ivfpq_rerank ...
 # sim_topk_ivfpq rows bumped from the r8 head by the late additions)
-# then the 41 r7-green entries. r9 head = any r9-changed kernels +
+# then the 43 r7-green entries. r9 head = any r9-changed kernels +
 # the r6 block, then r7 fill to exactly 50.
 _PROMOTED = [
     # (0) changed/new this round
@@ -48,10 +48,12 @@ _PROMOTED = [
     "mm_audio_near_dups",
     "mm_image_dedup_incremental",
     "mm_video_near_dups",  # new: video perceptual near-dedup
-    # kernel-touched late in r8 (kmeans persist + parquet-footer N):
+    "ta_collocations",  # new: PMI collocation mining
+    "pipe_pii_scrub",  # new: PII scrub adjudicated on the strings
+    # kernel-touched late in r8 (kmeans persist + parquet-footer N;
+    # the semantic family is NOT here: its entries route through
+    # kmeans_fixedpoint_ivf, which the persist change does not touch)
     "tfidf_longform",
-    "dedup_semantic",
-    "dedup_semantic_keep",
     # (a) last driver-green r5
     "sim_topk_many_ivf",
     "q19_set_ops",
@@ -140,6 +142,8 @@ _TAIL = [
     "sim_topk_many",
     # green r7 — freshest evidence, rotated out of the head
     "sim_recall_many_ivfpq",
+    "dedup_semantic",
+    "dedup_semantic_keep",
     "sketch_bloom",
     "mix_temperature",
     "stream_interval_join",

@@ -2016,3 +2016,136 @@ def _register_fit_classifier() -> None:
 
 
 _register_fit_classifier()
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining — multiword-expression discovery (round 8)
+# ---------------------------------------------------------------------------
+from ..functions.numeric import e_int_sql as _e_int_sql  # noqa: E402
+from .extensions import ASCII_TOKEN as _ASCII_TOKEN  # noqa: E402
+
+_COLL_MIN = 5
+_PMI_EXPR = (
+    "CAST(CAST(ROUND(LN((CAST(cab.cab AS DOUBLE) / CAST(tot.b_big AS DOUBLE)) / "
+    "((CAST(ua.cw AS DOUBLE) / CAST(tot.t_tok AS DOUBLE)) * "
+    "(CAST(ub.cw AS DOUBLE) / CAST(tot.t_tok AS DOUBLE)))), 8) "
+    "AS DECIMAL(18,8)) AS DOUBLE)"
+)
+
+
+@query(
+    "ta_collocations",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{_ASCII_TOKEN}') AS t
+        FROM documents),
+    bi AS (SELECT t[i] AS a, t[i + 1] AS b
+           FROM toks, UNNEST(range(1, LEN(t))) r(i) WHERE LEN(t) >= 2),
+    cab AS (SELECT a, b, COUNT(*) AS cab FROM bi GROUP BY 1, 2),
+    cw AS (SELECT word, COUNT(*) AS cw FROM (
+        SELECT unnest(t) AS word FROM toks) GROUP BY 1),
+    tot AS (SELECT (SELECT SUM(cw) FROM cw) AS t_tok,
+                   (SELECT SUM(cab) FROM cab) AS b_big)
+    SELECT cab.a, cab.b, CAST(cab.cab AS BIGINT) AS pair_count,
+           {_e_int_sql(_PMI_EXPR)} AS pmi_e4
+    FROM cab JOIN cw ua ON ua.word = cab.a
+             JOIN cw ub ON ub.word = cab.b
+             CROSS JOIN tot
+    WHERE cab.cab >= {_COLL_MIN}
+    ORDER BY a, b
+    """,
+)
+def ta_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining over the corpus (Church & Hanks 1990;
+    operators/text_analysis.collocations) — the multiword-expression
+    discovery stage of a tokenizer/phrase pipeline: pmi(a,b) =
+    ln((c(a,b)/B) / ((c(a)/T)(c(b)/T))) for every adjacent token pair
+    occurring >= {mc} times. Selection is by INTEGER count only (the
+    float score is a value column, never a filter or rank key), the LN
+    expression tree is written identically in both engines (the LM
+    ladder's 8dp discipline), and the unigram model broadcasts onto the
+    count-filtered bigram table — one tokenization pass, no self-join."""
+    from ..operators.text_analysis import collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = collocations(docs, min_count=_COLL_MIN)
+    return out.select(
+        "a", "b", "pair_count", e_int(F.col("pmi")).alias("pmi_e4")
+    ).orderBy("a", "b")
+
+
+ta_collocations.__doc__ = ta_collocations.__doc__.format(mc=_COLL_MIN)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing adjudicated end to end (round 8)
+# ---------------------------------------------------------------------------
+def _pii_scrub_sql(col: str) -> str:
+    """Nested DuckDB regexp_replace chain applying PII_PATTERNS in the
+    SAME deterministic order as operators/pipeline.scrub_pii (dict
+    order), with the 'g' flag matching Spark's replace-all default.
+    The patterns are RE2-compatible by design (no lookarounds), so the
+    identical pattern strings run in both engines."""
+    from ..operators.pipeline import PII_PATTERNS
+
+    expr = col
+    for kind, pat in PII_PATTERNS.items():
+        esc = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{esc}', '[{kind}]', 'g')"
+    return expr
+
+
+def _register_pii_scrub() -> None:
+    planted_sql = (
+        "text || ' Contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@mail-archive.example.com or call +1 (555) 123-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+        "' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.17; SSN 123-45-6789.'"
+    )
+
+    @query(
+        "pipe_pii_scrub",
+        f"""
+        WITH planted AS (SELECT doc_id, {planted_sql} AS text FROM documents)
+        SELECT doc_id, {_pii_scrub_sql('text')} AS scrubbed
+        FROM planted ORDER BY doc_id
+        """,
+    )
+    def pipe_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PII scrubbing adjudicated END TO END on the scrubbed STRINGS
+        (operators/pipeline.scrub_pii was previously pattern-test-only):
+        every document's text gets a planted id-parameterized email,
+        phone, IPv4, and SSN appended, the typed regexp_replace chain
+        rewrites them to [email]/[phone]/[ipv4]/[ssn] placeholders, and
+        the oracle replays the identical RE2-compatible patterns in the
+        identical order with the 'g' flag — any divergence in pattern
+        semantics, replacement order, or missed span flips the hash.
+        Accidental pattern hits inside the generated prose are scrubbed
+        identically by both engines, so they strengthen the check
+        rather than weaken it. At 100 TB this is a pure scan-speed map
+        (chained JVM regexp_replace, no shuffle, no Python)."""
+        from ..operators.pipeline import scrub_pii
+
+        docs = load_table(spark, sf_dir, "documents")
+        planted = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail-archive.example.com or call +1 (555) 123-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" from 192.168."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".17; SSN 123-45-6789."),
+            ).alias("text"),
+        )
+        return (
+            scrub_pii(planted)
+            .select("doc_id", F.col("text").alias("scrubbed"))
+            .orderBy("doc_id")
+        )
+
+
+_register_pii_scrub()

@@ -162,3 +162,39 @@ def test_fit_quality_classifier_recovers_planted_signal(spark):
     got_keep = {r["doc_id"] for r in scored.filter(F.col("keep") == 1).collect()}
     want_keep = {r["doc_id"] for r in lab.filter(F.col("y4") >= thr).collect()}
     assert got_keep == want_keep and 0 < len(want_keep) < docs.count()
+
+
+def test_collocations_known_values(spark):
+    """PMI computed by hand on a corpus where 'new york' always
+    co-occurs and 'the' is everywhere: pmi(new, york) must be high and
+    exact, selection is by integer count only, and sub-threshold
+    bigrams must not appear."""
+    import math
+
+    from skripsi_mapreduce_spark.operators.text_analysis import collocations
+
+    rows = [(i, "the cat saw new york") for i in range(6)]
+    rows += [(10 + i, "the dog") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["a"], r["b"]): r for r in collocations(df, min_count=5).collect()}
+    # corpus: 6*5 + 4*2 = 38 tokens, 6*4 + 4*1 = 28 bigrams
+    assert ("new", "york") in out
+    r = out[("new", "york")]
+    assert r["pair_count"] == 6
+    want = round(math.log((6 / 28) / ((6 / 38) * (6 / 38))), 8)
+    assert abs(r["pmi"] - want) < 1e-8
+    # ('the', 'cat') appears 6 times -> present; ('the', 'dog') 4 < 5 -> absent
+    assert ("the", "cat") in out and ("the", "dog") not in out
+    # every surviving bigram meets the integer threshold
+    assert all(r["pair_count"] >= 5 for r in out.values())
+
+
+def test_collocations_degenerate_short_docs(spark):
+    """Documents with fewer than two tokens contribute no bigrams; a
+    corpus of only such docs yields an empty result, not an error."""
+    from skripsi_mapreduce_spark.operators.text_analysis import collocations
+
+    df = spark.createDataFrame(
+        [(1, "word"), (2, ""), (3, "x")], "doc_id long, text string"
+    )
+    assert collocations(df, min_count=1).count() == 0
