@@ -476,23 +476,30 @@ def bigram_logprob(
     vs corpus bytes) and broadcasts for the scoring join; the corpus is
     tokenized once, bigrams come from one array transform (no
     self-join), and T is the only driver scalar."""
-    toks = _tokens(F.col(text_col))
+    # token array materialized as a projected column BEFORE the n-gram
+    # transform: element_at then indexes an ATTRIBUTE — the inlined form
+    # re-evaluates the tokenizer regex per n-gram element (see
+    # collocations: measured 6.8s -> 0.45s at sf0.1 for the explode)
+    tk = df.select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("t")
+    )
+    t = F.col("t")
     bigrams = F.when(
-        F.size(toks) >= 2,
+        F.size(t) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
+            F.sequence(F.lit(1), F.size(t) - 1),
             lambda i: F.struct(
-                F.element_at(toks, i).alias("a"), F.element_at(toks, i + 1).alias("b")
+                F.element_at(t, i).alias("a"), F.element_at(t, i + 1).alias("b")
             ),
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    bi = df.select(F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("p")).select(
+    bi = tk.select("doc_id", F.explode(bigrams).alias("p")).select(
         "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )
     btf = bi.groupBy("doc_id", "a", "b").agg(F.count("*").alias("tf"))
     cab = btf.groupBy("a", "b").agg(F.sum("tf").alias("cab"))
     ca = cab.groupBy("a").agg(F.sum("cab").alias("ca"))
-    uni = df.select(F.explode(toks).alias("word")).groupBy("word").agg(
+    uni = tk.select(F.explode(t).alias("word")).groupBy("word").agg(
         F.count("*").alias("cw")
     )
     t_total = uni.agg(F.sum("cw")).collect()[0][0] or 0
@@ -622,19 +629,25 @@ def trigram_logprob(
     bounded (zipf-small) and broadcast for the scoring join; n-grams come
     from array transforms over ONE tokenization — no self-joins; T is the
     only driver scalar."""
-    toks = _tokens(F.col(text_col))
+    # token array as a projected column — element_at indexes an
+    # attribute instead of re-running the tokenizer regex per n-gram
+    # element (see collocations / bigram_logprob)
+    tk = df.select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("t")
+    )
+    t = F.col("t")
     tris = F.when(
-        F.size(toks) >= 3,
+        F.size(t) >= 3,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
+            F.sequence(F.lit(1), F.size(t) - 2),
             lambda i: F.struct(
-                F.element_at(toks, i).alias("a"),
-                F.element_at(toks, i + 1).alias("b"),
-                F.element_at(toks, i + 2).alias("c"),
+                F.element_at(t, i).alias("a"),
+                F.element_at(t, i + 1).alias("b"),
+                F.element_at(t, i + 2).alias("c"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string,c:string>>"))
-    tri = df.select(F.col(id_col).alias("doc_id"), F.explode(tris).alias("t")).select(
+    tri = tk.select("doc_id", F.explode(tris).alias("t")).select(
         "doc_id", F.col("t.a").alias("a"), F.col("t.b").alias("b"), F.col("t.c").alias("c")
     )
     ttf = tri.groupBy("doc_id", "a", "b", "c").agg(F.count("*").alias("tf"))
@@ -642,21 +655,21 @@ def trigram_logprob(
     cab = cabc.groupBy("a", "b").agg(F.sum("cabc").alias("cab"))
     # bigram/unigram backoff counts over the FULL corpus token stream
     bigrams = F.when(
-        F.size(toks) >= 2,
+        F.size(t) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
+            F.sequence(F.lit(1), F.size(t) - 1),
             lambda i: F.struct(
-                F.element_at(toks, i).alias("x"), F.element_at(toks, i + 1).alias("y")
+                F.element_at(t, i).alias("x"), F.element_at(t, i + 1).alias("y")
             ),
         ),
     ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
     cbc = (
-        df.select(F.explode(bigrams).alias("p"))
+        tk.select(F.explode(bigrams).alias("p"))
         .groupBy(F.col("p.x").alias("b"), F.col("p.y").alias("c"))
         .agg(F.count("*").alias("cbc"))
     )
     cb = cbc.groupBy("b").agg(F.sum("cbc").alias("cb"))
-    uni = df.select(F.explode(toks).alias("c")).groupBy("c").agg(F.count("*").alias("cw"))
+    uni = tk.select(F.explode(t).alias("c")).groupBy("c").agg(F.count("*").alias("cw"))
     t_total = uni.agg(F.sum("cw")).collect()[0][0] or 0
     p = (
         F.lit(lam3) * (F.col("cabc").cast("double") / F.col("cab").cast("double"))
