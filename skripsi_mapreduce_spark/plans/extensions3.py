@@ -2149,3 +2149,67 @@ def _register_pii_scrub() -> None:
 
 
 _register_pii_scrub()
+
+
+# ---------------------------------------------------------------------------
+# Streaming retrieval serving — the similarity family's stream twin (round 8)
+# ---------------------------------------------------------------------------
+def _register_stream_sim_topk() -> None:
+    @query("stream_sim_topk", ORACLE["sim_topk_many"])
+    def stream_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming ANN/exact-retrieval SERVING, adjudicated against the
+        batch oracle verbatim: the four query vectors arrive as a
+        four-file parquet stream (maxFilesPerTrigger=1 — four separate
+        micro-batches), and each micro-batch runs the adjudicated
+        batched kernel against the static corpus under foreachBatch
+        (streaming/serving.serve_topk_cosine_foreachbatch). Top-k
+        serving is stateless per query — a result row depends only on
+        the static corpus and the query's own vector — so stream ==
+        batch BY CONSTRUCTION and the union over any micro-batch
+        slicing is the same table (pinned by test); the oracle is
+        sim_topk_many's statement, shared verbatim. At 100 TB: the
+        corpus is scanned once per micro-batch (not per query), the
+        shuffle carries ≤ partitions × queries × k narrow rows, and the
+        static side swaps for the IVF-partitioned store
+        (write_ivf_partitioned) to prune scans by probed list — the
+        kernel is unchanged."""
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..streaming.serving import serve_topk_cosine_foreachbatch
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qdf = emb.filter(F.col("vec_id") < _MANY_NQ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        # the 4 query files are written driver-side with pyarrow (one
+        # bounded collect; float32 -> float64 -> float32 round-trips
+        # exactly) instead of 4 separate Spark write jobs
+        pa_schema = pa.schema(
+            [("query_id", pa.int64()), ("query_vec", pa.list_(pa.float32()))]
+        )
+        qdir = tempfile.mkdtemp(prefix="stream_sim_topk_")
+        for r in qdf.collect():
+            tbl = pa.table(
+                {"query_id": [r["query_id"]], "query_vec": [r["query_vec"]]},
+                schema=pa_schema,
+            )
+            pq.write_table(tbl, os.path.join(qdir, f"q{r['query_id']}.parquet"))
+        qstream = (
+            spark.readStream.schema(qdf.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .load(qdir)
+        )
+        out = serve_topk_cosine_foreachbatch(qstream, emb, k=_MANY_K)
+        return out.select(
+            "query_id", "vec_id", e_int(F.col("score"), 6).alias("score_e6")
+        ).orderBy("query_id", F.col("score_e6").desc(), "vec_id")
+
+
+_register_stream_sim_topk()

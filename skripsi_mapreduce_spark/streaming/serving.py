@@ -1,0 +1,95 @@
+"""Streaming retrieval serving: ANN/exact top-k answered per arriving
+query micro-batch.
+
+Top-k query serving is STATELESS per query — a query's neighbours
+depend only on the static corpus and its own vector, never on other
+queries or earlier batches — so the correct streaming shape is the
+batch kernel under ``foreachBatch``, not a stateful aggregation
+(a per-query streaming ``collect_list`` over corpus scores would hold
+|corpus| rows of state per in-flight query for no benefit, and window
+ranking is unsupported on streams anyway). This mirrors the SemDeDup
+serving route (streaming/semantic.serve_semantic_verdicts_foreachbatch):
+stream == batch BY CONSTRUCTION because each micro-batch runs the same
+adjudicated batch operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def serve_topk_cosine_foreachbatch(
+    query_stream: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+    sink_path: str | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Serve exact cosine top-k for a STREAM of query vectors against a
+    static corpus: each micro-batch of queries runs the adjudicated
+    batched kernel (operators/similarity.topk_cosine_many — one corpus
+    pass answers the whole batch, local top-k per query inside each
+    Arrow batch, shuffle ≤ partitions × queries × k rows), so results
+    are bit-identical to the batch entry and invariant to micro-batch
+    slicing (pinned by test).
+
+    Sink: with ``sink_path`` each micro-batch APPENDS its (query_id,
+    vec_id, score) rows as parquet — the production serving shape;
+    without it rows accumulate driver-side (the memory-sink test/audit
+    shape). Returns the accumulated results as a batch DataFrame.
+
+    Scale: the static corpus side is a plan, not data — swap it for the
+    IVF-partitioned store (similarity.write_ivf_partitioned) and probe
+    only the lists each query's coarse code touches to prune the scan;
+    the per-batch kernel is unchanged. The corpus is scanned once per
+    MICRO-BATCH (not per query), which is the amortization retrieval
+    serving needs."""
+    spark = query_stream.sparkSession
+    rows: list = []
+
+    def _serve(mb: DataFrame, _epoch: int) -> None:
+        from ..operators.similarity import topk_cosine_many
+
+        out = topk_cosine_many(
+            corpus,
+            mb,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            q_id_col=q_id_col,
+            q_vec_col=q_vec_col,
+        )
+        if sink_path is not None:
+            out.write.mode("append").parquet(sink_path)
+        else:
+            rows.extend(out.collect())
+
+    q = (
+        query_stream.writeStream.foreachBatch(_serve)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"top-k serving replay did not finish within {timeout_s}s"
+        )
+    schema = "query_id long, vec_id long, score double"
+    if sink_path is not None:
+        try:
+            return spark.read.parquet(sink_path)
+        except Exception:
+            # an empty stream never fires foreachBatch — same empty
+            # contract as the memory-sink branch
+            return spark.createDataFrame([], schema=schema)
+    if not rows:
+        return spark.createDataFrame([], schema=schema)
+    return spark.createDataFrame(rows, schema=schema)

@@ -484,3 +484,73 @@ def test_stream_semantic_large_k_foreachbatch_route(spark, tmp_path):
         sink_path=str(tmp_path / "never_written"),
     )
     assert got3.count() == 0
+
+
+def test_stream_topk_serving_matches_batch_and_slicing_invariant(spark, tmp_path):
+    """Round-8 streaming retrieval serving: the foreachBatch top-k route
+    must be bit-identical to the batch topk_cosine_many kernel, for both
+    a one-file replay and a per-query four-file slicing (top-k serving
+    is stateless per query, so any micro-batch slicing yields the same
+    union), and the parquet-append sink must equal the driver
+    accumulation."""
+    from skripsi_mapreduce_spark.io import load_table
+    from skripsi_mapreduce_spark.operators.similarity import topk_cosine_many
+    from skripsi_mapreduce_spark.streaming.serving import (
+        serve_topk_cosine_foreachbatch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    qdf = emb.filter(emb.vec_id < 3).selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    want = sorted(map(tuple, topk_cosine_many(emb, qdf, k=5).collect()))
+
+    one = str(tmp_path / "one")
+    qdf.coalesce(1).write.parquet(one)
+    many = str(tmp_path / "many")
+    qdf.repartition(3, "query_id").write.parquet(many)
+
+    def replay(src, **kw):
+        qstream = (
+            spark.readStream.schema(qdf.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .load(src)
+        )
+        return serve_topk_cosine_foreachbatch(qstream, emb, k=5, **kw)
+
+    got_one = sorted(map(tuple, replay(one).collect()))
+    got_many = sorted(map(tuple, replay(many).collect()))
+    assert got_one == want
+    assert got_many == want
+    sink = str(tmp_path / "sink")
+    got_sink = sorted(map(tuple, replay(one, sink_path=sink).collect()))
+    assert got_sink == want
+
+
+def test_stream_topk_serving_empty_stream(spark, tmp_path):
+    """An empty query stream yields the empty result table with the
+    declared schema, through both sink shapes — foreachBatch never
+    fires, and the operator must not error."""
+    from skripsi_mapreduce_spark.io import load_table
+    from skripsi_mapreduce_spark.streaming.serving import (
+        serve_topk_cosine_foreachbatch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    src = str(tmp_path / "queries")
+    emb.limit(0).selectExpr("vec_id AS query_id", "embedding AS query_vec").coalesce(
+        1
+    ).write.parquet(src)
+    qstream = (
+        spark.readStream.schema("query_id long, query_vec array<float>")
+        .format("parquet")
+        .option("pathGlobFilter", "*.parquet")
+        .load(src)
+    )
+    out = serve_topk_cosine_foreachbatch(qstream, emb, k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "vec_id", "score"]
