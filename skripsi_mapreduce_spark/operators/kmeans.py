@@ -428,6 +428,12 @@ def kmeans_fixedpoint(
         # (pair generation), and a lazy checkpoint would run the whole
         # Lloyd chain once per branch inside their first job
         return assign.localCheckpoint(eager=True)
+    if output == "assignments_lazy":
+        # same table, lazily checkpointed — for SINGLE-consumer chains
+        # (e.g. cluster labeling joins the assignments once): the
+        # dedicated materialization job disappears and the consumer's
+        # first action runs the Lloyd chain inline exactly once
+        return assign.localCheckpoint(eager=False)
     return (
         assign.groupBy("cluster")
         .agg(

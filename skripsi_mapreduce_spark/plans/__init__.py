@@ -13,15 +13,15 @@ from . import extensions3  # noqa: F401  (registers into QUERIES/ORACLE)
 # Round 8 head (executes the r7 verdict's rotation ledger verbatim):
 #  (0) entries added or kernel/oracle-changed THIS round — must be
 #      adjudicated (dedup_prefix_jaccard: trigram re-point + set-array
-#      verify kernel; mm_image_near_dups + ta_fit_classifier: new;
-#      kmeans_documents + emb_kmeans: the pivot kernel's small-cent
-#      collect fast path; dedup_jaccard_autoselect: LSH-arm shingle
-#      passthrough; dedup_semantic_incremental +
+#      verify kernel; mm_image_near_dups + ta_fit_classifier +
+#      mm_audio_near_dups + mm_image_dedup_incremental +
+#      mm_video_near_dups + ta_collocations + pipe_pii_scrub +
+#      stream_sim_topk + ta_cluster_keywords: new; kmeans_documents:
+#      the pivot kernel's small-cent collect fast path plus the late-r8
+#      persist + parquet-footer-N fold; dedup_jaccard_autoselect:
+#      LSH-arm shingle passthrough; dedup_semantic_incremental +
 #      stream_semantic_incremental: verdict tail extracted into the
-#      shared assigned_batch_verdicts; mm_audio_near_dups +
-#      mm_image_dedup_incremental + mm_video_near_dups: new;
-#      tfidf_longform + dedup_semantic + dedup_semantic_keep: the late-r8
-#      kmeans persist + parquet-footer-N kernel touch),
+#      shared assigned_batch_verdicts),
 #  (a) the 36 entries whose freshest driver-green row is r5 — the
 #      stalest evidence in the repo (sim_topk_many_ivf ...
 #      q08_left_join, the whole r5 block of the r7 tail). The (0)+(a)
@@ -33,7 +33,7 @@ from . import extensions3  # noqa: F401  (registers into QUERIES/ORACLE)
 # r8 evidence; _TAIL lists the 46 r6-green entries FIRST (oldest —
 # r9's fill pool, led by the four sim_topk_many_ivfpq_rerank ...
 # sim_topk_ivfpq rows bumped from the r8 head by the late additions)
-# then the 43 r7-green entries. r9 head = any r9-changed kernels +
+# then the 45 r7-green entries. r9 head = any r9-changed kernels +
 # the r6 block, then r7 fill to exactly 50.
 _PROMOTED = [
     # (0) changed/new this round
@@ -41,7 +41,6 @@ _PROMOTED = [
     "mm_image_near_dups",
     "ta_fit_classifier",
     "kmeans_documents",
-    "emb_kmeans",
     "dedup_jaccard_autoselect",
     "dedup_semantic_incremental",
     "stream_semantic_incremental",
@@ -51,14 +50,17 @@ _PROMOTED = [
     "ta_collocations",  # new: PMI collocation mining
     "pipe_pii_scrub",  # new: PII scrub adjudicated on the strings
     "stream_sim_topk",  # new: streaming retrieval serving
+    "ta_cluster_keywords",  # new: cluster topic keywords
     # The late-r8 kernel touches (kmeans persist-not-checkpoint +
     # parquet-footer N) are VALUE-IDENTICAL plan folds; their entries
     # (tfidf_longform, and the semantic family which routes through the
     # untouched kmeans_fixedpoint_ivf anyway) stay in the r7 tail,
     # pinned by the local oracle suite every pytest run and re-verified
     # this round via driver_sim in all four mode x SF configs.
-    # kmeans_documents / emb_kmeans carry the head slots for the
-    # touched kernel.
+    # kmeans_documents + ta_cluster_keywords carry the head slots for
+    # the touched kernel (emb_kmeans — the signed-feature twin of the
+    # same kernel, r7-green — moved to the r7 tail under the same
+    # four-config driver_sim re-verification).
     # (a) last driver-green r5
     "sim_topk_many_ivf",
     "q19_set_ops",
@@ -147,6 +149,7 @@ _TAIL = [
     "sim_topk_many",
     # green r7 — freshest evidence, rotated out of the head
     "sim_recall_many_ivfpq",
+    "emb_kmeans",
     "dedup_semantic",
     "dedup_semantic_keep",
     "tfidf_longform",

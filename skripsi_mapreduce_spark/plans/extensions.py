@@ -847,10 +847,10 @@ def etl_sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no SQL engine can replay its seeded draw, hence this md5-init twin for
 # the cross-engine gate.
 # ---------------------------------------------------------------------------
-@query(
-    "kmeans_documents",
-    f"""
-    WITH {_TFIDF_W_CTES},
+# The kmeans_documents CTE chain up to the final assignment pass (a2) —
+# shared verbatim with ta_cluster_keywords, whose oracle extends the
+# same clustering with per-cluster term counts.
+_KMEANS_A2_CTES = f"""{_TFIDF_W_CTES},
     seeds AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS INT) AS cluster
               FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
                     FROM (SELECT DISTINCT doc_id FROM w) t
@@ -885,7 +885,13 @@ def etl_sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ORDER BY d2.x2 + c1n.c2 - 2 * COALESCE(dot2.dot, 0), c1n.cluster) AS rn
             FROM d2 CROSS JOIN c1n
             LEFT JOIN dot2 ON dot2.doc_id = d2.doc_id AND dot2.cluster = c1n.cluster) t
-           WHERE rn = 1)
+           WHERE rn = 1)"""
+
+
+@query(
+    "kmeans_documents",
+    f"""
+    WITH {_KMEANS_A2_CTES}
     SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(SUM(dist2) AS BIGINT) AS sse_e8
     FROM a2 GROUP BY cluster ORDER BY cluster

@@ -2213,3 +2213,75 @@ def _register_stream_sim_topk() -> None:
 
 
 _register_stream_sim_topk()
+
+
+# ---------------------------------------------------------------------------
+# Cluster topic keywords — corpus/domain discovery over the K-Means
+# assignment (round 8)
+# ---------------------------------------------------------------------------
+def _register_cluster_keywords() -> None:
+    from .extensions import _KMEANS_A2_CTES
+
+    @query(
+        "ta_cluster_keywords",
+        f"""
+        WITH {_KMEANS_A2_CTES},
+        ct AS (SELECT a2.cluster, w.word, COUNT(*) AS n_docs
+               FROM w JOIN a2 USING (doc_id) GROUP BY 1, 2),
+        r AS (SELECT cluster, word, n_docs,
+                     ROW_NUMBER() OVER (PARTITION BY cluster
+                         ORDER BY n_docs DESC, word) AS rnk
+              FROM ct)
+        SELECT cluster, word, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(rnk AS INT) AS rnk
+        FROM r WHERE rnk <= 5 ORDER BY cluster, rnk
+        """,
+    )
+    def ta_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cluster topic keywords — the corpus/domain-discovery stage
+        (the c-TF-IDF labeling step of BERTopic-style pipelines,
+        restricted to its INTEGER core so the whole chain hash-matches):
+        documents are clustered by the adjudicated fixed-point K-Means
+        (the kmeans_documents chain verbatim — same seeds, same two
+        assignment passes), and each cluster is labeled by its top-5
+        terms by within-cluster DOCUMENT count (ties broken by term;
+        selection is integer-only, no float ever ranks a row). The
+        oracle extends the kmeans_documents CTE chain (shared verbatim
+        via _KMEANS_A2_CTES) with the term-count ranking, so the
+        clustering AND the labeling are adjudicated end to end. Scale:
+        the term table is the already-materialized TF-IDF long form
+        (doc_id, word distinct pairs); the label aggregation shuffles
+        (cluster, word, count) rows — zipf-vocabulary bounded — and the
+        top-5 window partitions by cluster (k partitions)."""
+        from ..operators.kmeans import kmeans_fixedpoint
+        from .extensions import _tfidf_weight_e4
+
+        w = _tfidf_weight_e4(spark, sf_dir).localCheckpoint(eager=False)
+        assign = kmeans_fixedpoint(
+            w, k=5, n_assign_passes=2, weight_col="weight_e4",
+            output="assignments_lazy",  # single consumer — no extra job
+        )
+        ct = (
+            w.join(assign.select("doc_id", "cluster"), "doc_id")
+            .groupBy("cluster", "word")
+            .agg(F.count("*").alias("n_docs"))
+        )
+        from pyspark.sql import Window as W
+
+        rnk = F.row_number().over(
+            W.partitionBy("cluster").orderBy(F.col("n_docs").desc(), "word")
+        )
+        return (
+            ct.withColumn("rnk", rnk)
+            .filter(F.col("rnk") <= 5)
+            .select(
+                "cluster",
+                "word",
+                F.col("n_docs").cast("bigint").alias("n_docs"),
+                F.col("rnk").cast("int").alias("rnk"),
+            )
+            .orderBy("cluster", "rnk")
+        )
+
+
+_register_cluster_keywords()

@@ -5,6 +5,7 @@ iteration count, and convergence flag; empty-cluster shrink semantics."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from skripsi_mapreduce_spark.operators.kmeans import init_centroid_ids, kmeans
 from skripsi_mapreduce_spark.operators.tfidf import tfidf_long
@@ -244,3 +245,22 @@ def test_ivf_model_distributed_tier_bit_equal_to_fused(spark):
     bf = sorted(map(tuple, assign_with_model(dense(batch), m_f).collect()))
     bd = sorted(map(tuple, assign_with_model(dense(batch), m_d).collect()))
     assert bf == bd and len(bf) == 40
+
+
+def test_assignments_lazy_equals_eager(spark):
+    """output='assignments_lazy' must return the identical (doc_id,
+    cluster, dist2) table as output='assignments' — the only difference
+    is WHEN the Lloyd chain materializes (no dedicated checkpoint job
+    for single-consumer chains)."""
+    from skripsi_mapreduce_spark.functions.numeric import e_int
+    from skripsi_mapreduce_spark.io import load_table
+    from skripsi_mapreduce_spark.operators.kmeans import kmeans_fixedpoint
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    w = emb.limit(200).select(
+        emb.vec_id.alias("doc_id"),
+        F.posexplode("embedding").alias("word", "x"),
+    ).select("doc_id", "word", e_int(F.col("x").cast("double"), 4).alias("w_e4"))
+    eager = kmeans_fixedpoint(w, k=3, n_assign_passes=2, output="assignments")
+    lazy = kmeans_fixedpoint(w, k=3, n_assign_passes=2, output="assignments_lazy")
+    assert sorted(map(tuple, eager.collect())) == sorted(map(tuple, lazy.collect()))
