@@ -1210,6 +1210,59 @@ def write_ivf_partitioned(
     return centroids
 
 
+def ivf_append_partitioned(
+    batch: DataFrame,
+    path: str,
+    centroids: dict[int, list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fixed_point: bool = True,
+    kernel: str = "numpy",
+) -> None:
+    """Incremental IVF index MAINTENANCE: assign an arriving vector batch
+    with the FROZEN centroid table (the index built by
+    :func:`write_ivf_partitioned` — never re-trained, never re-read) and
+    APPEND the rows into the store's ``list_id`` partition directories.
+
+    This is how a 100 TB deployment absorbs new vectors between index
+    rebuilds: assignment is map-side against the n_list × dim centroid
+    closure (the same fixed-point kernel as write time, so an appended
+    vector lands in exactly the list a full rebuild with these centroids
+    would give it), the append touches only the partitions the batch
+    hits, and existing data is never rewritten. Probes through
+    :func:`probe_ivf_partitioned` see corpus + appended rows with the
+    same partition pruning — adjudicated end to end by the
+    sim_index_incremental entry."""
+    sel = batch.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+    if fixed_point and kernel == "numpy":
+        indexed = _ivf_assign_numpy(sel, centroids, vec_col)
+    else:
+        # reuse the write-time HOF/double assignment paths via ivf_index's
+        # candidate expressions — rebuilt here against the FROZEN table
+        cand = []
+        for lid in sorted(centroids):
+            c = centroids[lid]
+            if fixed_point:
+                key = F.lit(float(_py_dot_i64(c, c))) - 2 * _dot_i64(
+                    F.col(vec_col), F.lit(c).cast("array<double>")
+                ).cast("double")
+            else:
+                c2 = sum(x * x for x in c)
+                dot = F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.lit(c).cast("array<double>"),
+                        lambda x, s: x.cast("double") * s,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                key = F.lit(c2) - 2 * dot
+            cand.append(F.struct(key.alias("key"), F.lit(lid).alias("lid")))
+        indexed = sel.withColumn("list_id", F.array_min(F.array(*cand))["lid"])
+    indexed.write.mode("append").partitionBy("list_id").parquet(path)
+
+
 def probe_ivf_partitioned(
     spark,
     path: str,

@@ -16,12 +16,14 @@ from . import extensions3  # noqa: F401  (registers into QUERIES/ORACLE)
 #      verify kernel; mm_image_near_dups + ta_fit_classifier +
 #      mm_audio_near_dups + mm_image_dedup_incremental +
 #      mm_video_near_dups + ta_collocations + pipe_pii_scrub +
-#      stream_sim_topk + ta_cluster_keywords: new; kmeans_documents:
+#      stream_sim_topk + ta_cluster_keywords +
+#      sim_index_incremental: new; kmeans_documents:
 #      the pivot kernel's small-cent collect fast path plus the late-r8
 #      persist + parquet-footer-N fold; dedup_jaccard_autoselect:
-#      LSH-arm shingle passthrough; dedup_semantic_incremental +
-#      stream_semantic_incremental: verdict tail extracted into the
-#      shared assigned_batch_verdicts),
+#      LSH-arm shingle passthrough; dedup_semantic_incremental:
+#      verdict tail extracted into the
+#      shared assigned_batch_verdicts, its stream twin re-verified
+#      out-of-window),
 #  (a) the 36 entries whose freshest driver-green row is r5 — the
 #      stalest evidence in the repo (sim_topk_many_ivf ...
 #      q08_left_join, the whole r5 block of the r7 tail). The (0)+(a)
@@ -33,7 +35,7 @@ from . import extensions3  # noqa: F401  (registers into QUERIES/ORACLE)
 # r8 evidence; _TAIL lists the 46 r6-green entries FIRST (oldest —
 # r9's fill pool, led by the four sim_topk_many_ivfpq_rerank ...
 # sim_topk_ivfpq rows bumped from the r8 head by the late additions)
-# then the 45 r7-green entries. r9 head = any r9-changed kernels +
+# then the 46 r7-green entries. r9 head = any r9-changed kernels +
 # the r6 block, then r7 fill to exactly 50.
 _PROMOTED = [
     # (0) changed/new this round
@@ -43,7 +45,6 @@ _PROMOTED = [
     "kmeans_documents",
     "dedup_jaccard_autoselect",
     "dedup_semantic_incremental",
-    "stream_semantic_incremental",
     "mm_audio_near_dups",
     "mm_image_dedup_incremental",
     "mm_video_near_dups",  # new: video perceptual near-dedup
@@ -51,6 +52,7 @@ _PROMOTED = [
     "pipe_pii_scrub",  # new: PII scrub adjudicated on the strings
     "stream_sim_topk",  # new: streaming retrieval serving
     "ta_cluster_keywords",  # new: cluster topic keywords
+    "sim_index_incremental",  # new: incremental IVF index maintenance
     # The late-r8 kernel touches (kmeans persist-not-checkpoint +
     # parquet-footer N) are VALUE-IDENTICAL plan folds; their entries
     # (tfidf_longform, and the semantic family which routes through the
@@ -60,7 +62,11 @@ _PROMOTED = [
     # kmeans_documents + ta_cluster_keywords carry the head slots for
     # the touched kernel (emb_kmeans — the signed-feature twin of the
     # same kernel, r7-green — moved to the r7 tail under the same
-    # four-config driver_sim re-verification).
+    # four-config driver_sim re-verification; stream_semantic_incremental
+    # likewise — its r8 change is the shared assigned_batch_verdicts
+    # extraction, adjudicated via dedup_semantic_incremental which stays
+    # in the head, with stream==batch bit-identity pinned by the slicing
+    # tests and a fresh four-config driver_sim pass).
     # (a) last driver-green r5
     "sim_topk_many_ivf",
     "q19_set_ops",
@@ -149,6 +155,7 @@ _TAIL = [
     "sim_topk_many",
     # green r7 — freshest evidence, rotated out of the head
     "sim_recall_many_ivfpq",
+    "stream_semantic_incremental",
     "emb_kmeans",
     "dedup_semantic",
     "dedup_semantic_keep",

@@ -1182,3 +1182,50 @@ def test_minhash_near_dups_shingle_passthrough(spark):
         map(tuple, minhash_near_dups(docs, threshold=0.9, sh=sh).collect())
     )
     assert base == passed and len(base) > 0
+
+
+def test_ivf_append_partitioned_matches_rebuild_probe(spark, tmp_path):
+    """Round-8 incremental index maintenance: appending a batch with the
+    FROZEN centroids must leave the store probe-equivalent to assigning
+    the union inline with the same centroids — and the appended rows
+    must land in exactly the list a rebuild with those centroids gives
+    them, with pruning intact."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf_store")
+    cents = sim.write_ivf_partitioned(corpus, path, n_list=8)
+    sim.ivf_append_partitioned(batch, path, cents)
+    # every appended row sits in its frozen-assignment list
+    stored = {r["vec_id"]: r["list_id"] for r in spark.read.parquet(path).collect()}
+    want = {
+        r["vec_id"]: r["list_id"]
+        for r in sim._ivf_assign_numpy(emb, cents, "embedding")
+        .select("vec_id", "list_id")
+        .collect()
+    }
+    assert stored == want
+    # probe over the merged store == exact top-k restricted to the
+    # probed lists of the union (the same contract the entry adjudicates)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    probed = sim.probe_ivf_partitioned(spark, path, cents, q, k=10, n_probe=2)
+    probe_ids = sorted(
+        sorted(cents),
+        key=lambda lid: (
+            float(
+                sim._py_dot_i64(cents[lid], cents[lid])
+                - 2 * sim._py_dot_i64(q, cents[lid])
+            ),
+            lid,
+        ),
+    )[:2]
+    inline = sim.topk_cosine(
+        sim._ivf_assign_numpy(emb, cents, "embedding").filter(
+            F.col("list_id").isin(probe_ids)
+        ),
+        q,
+        10,
+    )
+    assert [tuple(r) for r in probed.collect()] == [tuple(r) for r in inline.collect()]
+    # batch members appear in the store (append really happened)
+    assert any(v % 5 == 0 for v in stored)
