@@ -103,11 +103,19 @@ def table_row_count(sf_dir: str, name: str) -> int | None:
         if os.path.isfile(path):
             return pq.ParquetFile(path).metadata.num_rows
         if os.path.isdir(path):
+            # mirror Spark's file-selection rule exactly: skip HIDDEN
+            # entries (names starting with '_' or '.', e.g. _SUCCESS,
+            # _temporary staging trees) and read every other data file
+            # regardless of extension — a divergence here would feed a
+            # silently wrong N into the TF-IDF chain instead of the
+            # loud df.count() fallback
             total = 0
-            for root, _dirs, files in os.walk(path):
+            for root, dirs, files in os.walk(path):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
                 for f in files:
-                    if f.endswith(".parquet"):
-                        total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                    if f.startswith(("_", ".")) or f.endswith(".crc"):
+                        continue
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
             return total
     except Exception:
         return None

@@ -250,6 +250,7 @@ def kmeans_fixedpoint(
     weight_col: str = "w_e4",
     output: str = "summary",
     assign_kernel: str = "auto",
+    persist_weights: bool = True,
 ) -> DataFrame:
     """Oracle-exact Lloyd over FIXED-POINT features — every number in the
     whole algorithm is an int64, so a SQL oracle (DuckDB) reproduces it
@@ -291,13 +292,23 @@ def kmeans_fixedpoint(
     # disappears from the chain; every later consumer reads the
     # in-memory columnar blocks. MEMORY_AND_DISK so a huge weights table
     # spills instead of recomputing the upstream TF-IDF per pass.
+    # Lifetime note: the cache is registered in CacheManager for the
+    # session (the returned DataFrame is lazy, so this function cannot
+    # unpersist); long-lived sessions cycling many corpora should
+    # unpersist via spark.catalog.clearCache() between runs, or pass
+    # ``persist_weights=False`` when the caller already cached the
+    # (doc_id, word, weight) projection itself (the pass chain then
+    # reads the caller's cache through a trivial projection instead of
+    # holding a second copy of the same rows).
     from pyspark import StorageLevel
 
     w = weights.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(word_col).alias("word"),
         F.col(weight_col).cast("long").alias("w"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persist_weights:
+        w = w.persist(StorageLevel.MEMORY_AND_DISK)
 
     spark = weights.sparkSession
     pivot = assign_kernel == "pivot" or (assign_kernel == "auto" and k <= 256)

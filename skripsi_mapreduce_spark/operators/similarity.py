@@ -1214,7 +1214,6 @@ def ivf_append_partitioned(
     batch: DataFrame,
     path: str,
     centroids: dict[int, list[float]],
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     fixed_point: bool = True,
     kernel: str = "numpy",
@@ -1232,8 +1231,13 @@ def ivf_append_partitioned(
     hits, and existing data is never rewritten. Probes through
     :func:`probe_ivf_partitioned` see corpus + appended rows with the
     same partition pruning — adjudicated end to end by the
-    sim_index_incremental entry."""
-    sel = batch.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+    sim_index_incremental entry.
+
+    The batch keeps its FULL schema: write_ivf_partitioned stores every
+    input column + list_id, so appending a projected subset would leave
+    the store's file footers schema-inconsistent and silently drop
+    payload columns from appended rows."""
+    sel = batch
     if fixed_point and kernel == "numpy":
         indexed = _ivf_assign_numpy(sel, centroids, vec_col)
     else:

@@ -534,7 +534,6 @@ def bigram_logprob(
 
 def collocations(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 5,
 ) -> DataFrame:

@@ -2188,11 +2188,19 @@ def _register_stream_sim_topk() -> None:
         )
         # the 4 query files are written driver-side with pyarrow (one
         # bounded collect; float32 -> float64 -> float32 round-trips
-        # exactly) instead of 4 separate Spark write jobs
+        # exactly) instead of 4 separate Spark write jobs. The dir is
+        # FIXED per process and rebuilt per invocation — bench's
+        # best-of-N re-runs overwrite instead of accumulating /tmp copies
         pa_schema = pa.schema(
             [("query_id", pa.int64()), ("query_vec", pa.list_(pa.float32()))]
         )
-        qdir = tempfile.mkdtemp(prefix="stream_sim_topk_")
+        import shutil
+
+        qdir = os.path.join(
+            tempfile.gettempdir(), f"stream_sim_topk_{os.getpid()}"
+        )
+        shutil.rmtree(qdir, ignore_errors=True)
+        os.makedirs(qdir)
         for r in qdf.collect():
             tbl = pa.table(
                 {"query_id": [r["query_id"]], "query_vec": [r["query_vec"]]},
@@ -2257,12 +2265,15 @@ def _register_cluster_keywords() -> None:
         from .extensions import _tfidf_weight_e4
 
         # persist, not localCheckpoint: the lazy-checkpoint handle pays a
-        # ~2s plan->RDD conversion at construction; the columnar cache
-        # serves both the kmeans chain and the labeling join
+        # ~2s plan->RDD conversion at construction; ONE columnar cache
+        # serves both the kmeans chain (persist_weights=False — its pass
+        # chain reads this cache through a trivial projection) and the
+        # labeling join
         w = _tfidf_weight_e4(spark, sf_dir).persist()
         assign = kmeans_fixedpoint(
             w, k=5, n_assign_passes=2, weight_col="weight_e4",
             output="assignments_lazy",  # single consumer — no extra job
+            persist_weights=False,
         )
         ct = (
             w.join(assign.select("doc_id", "cluster"), "doc_id")
@@ -2360,6 +2371,7 @@ def _register_index_incremental() -> None:
         store absorbs vectors between rebuilds: appends touch only the
         partitions the batch hits, probes keep their n_probe/n_list
         pruning over old and new rows alike."""
+        import os
         import tempfile
 
         from ..operators.similarity import (
@@ -2371,7 +2383,13 @@ def _register_index_incremental() -> None:
         emb = load_table(spark, sf_dir, "embeddings")
         corpus = emb.filter(F.col("vec_id") % 5 != 0)
         batch = emb.filter(F.col("vec_id") % 5 == 0)
-        store = tempfile.mkdtemp(prefix="sim_index_incr_")
+        # fixed per-process store, rebuilt per invocation: the corpus
+        # write's overwrite mode clears the whole table dir (static
+        # partitionOverwriteMode), so bench's re-runs stay bounded at
+        # one store copy instead of accumulating mkdtemp dirs in /tmp
+        store = os.path.join(
+            tempfile.gettempdir(), f"sim_index_incr_{os.getpid()}"
+        )
         cents = write_ivf_partitioned(
             corpus, store, n_list=_IVF_NLIST, fixed_point=True
         )

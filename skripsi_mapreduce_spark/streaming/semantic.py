@@ -190,11 +190,14 @@ def serve_semantic_verdicts_foreachbatch(
         "doc_id long, cluster bigint, n_dups long, max_cosine_e6 long, is_new int"
     )
     if sink_path is not None:
-        try:
-            return spark.read.parquet(sink_path)
-        except Exception:
+        import os
+
+        if not os.path.exists(sink_path):
             # an empty stream never fires foreachBatch, so the sink dir
             # is never created — return the same empty verdict table the
-            # memory-sink branch produces
+            # memory-sink branch produces. Any OTHER read failure
+            # (corrupt footer, permission) propagates loudly instead of
+            # masquerading as an empty verdict set.
             return spark.createDataFrame([], schema=schema)
+        return spark.read.parquet(sink_path)
     return spark.createDataFrame(rows, schema=schema)

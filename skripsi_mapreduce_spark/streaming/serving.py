@@ -84,12 +84,15 @@ def serve_topk_cosine_foreachbatch(
         )
     schema = "query_id long, vec_id long, score double"
     if sink_path is not None:
-        try:
-            return spark.read.parquet(sink_path)
-        except Exception:
-            # an empty stream never fires foreachBatch — same empty
-            # contract as the memory-sink branch
+        import os
+
+        if not os.path.exists(sink_path):
+            # an empty stream never fires foreachBatch, so the sink dir
+            # is never created — same empty contract as the memory-sink
+            # branch. Any OTHER read failure (corrupt footer, permission)
+            # propagates loudly instead of masquerading as zero matches.
             return spark.createDataFrame([], schema=schema)
+        return spark.read.parquet(sink_path)
     if not rows:
         return spark.createDataFrame([], schema=schema)
     return spark.createDataFrame(rows, schema=schema)
