@@ -1,8 +1,11 @@
-r"""Round-4 extension surface: batched multi-query retrieval, the IVF-PQ
+r"""Round-4+ extension surface: batched multi-query retrieval, the IVF-PQ
 composition, a SQL-replayable Bloom filter, temperature-scaled domain
 mixing, and three more Structured-Streaming adjudications (interval
 join, sliding window, streaming dedup) — each hash-matched against a
-DuckDB oracle stating the same arithmetic.
+DuckDB oracle stating the same arithmetic. Later rounds accrete here:
+round 5-7 retrieval/recall entries, and round 8's trainable quality
+classifier, PMI collocations, adjudicated PII scrub, streaming top-k
+serving, cluster topic keywords, and incremental IVF maintenance.
 
 Shares every cross-engine convention with plans/extensions.py /
 extensions2.py: md5 integer draws for randomness, e8 fixed-point dot
