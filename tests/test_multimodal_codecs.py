@@ -632,3 +632,34 @@ def test_video_near_dups_blocked_equals_all_pairs(spark):
     assert planted <= got_pairs
     ham = {(a, b): h for a, b, h in blocked}
     assert all(ham[(i - 1, i)] == 0 for i in range(40) if i % 20 == 9)
+
+
+def test_video_dhash_single_frame_equals_image_dhash(spark):
+    """A one-frame video's majority signature IS that frame's dHash
+    (majority of one = the frame's bits) — pins the video kernel to the
+    image kernel on the degenerate frame count."""
+    import numpy as np
+
+    from skripsi_mapreduce_spark.operators.multimodal import (
+        image_dhash,
+        make_ppm,
+        make_ppm_video,
+        video_dhash,
+    )
+
+    rng = np.random.RandomState(23)
+    frames = {
+        i: make_ppm(9, 8, rng.randint(0, 256, (8, 9, 3)).astype(np.uint8).tobytes())
+        for i in range(6)
+    }
+    vmedia = spark.createDataFrame(
+        [(i, "video", make_ppm_video([f]), None) for i, f in frames.items()],
+        schema="media_id long, kind string, content binary, meta string",
+    )
+    imedia = spark.createDataFrame(
+        [(i, "image", f, None) for i, f in frames.items()],
+        schema="media_id long, kind string, content binary, meta string",
+    )
+    v = {r["media_id"]: (r["sim_hi"], r["sim_lo"]) for r in video_dhash(vmedia).collect()}
+    im = {r["media_id"]: (r["sim_hi"], r["sim_lo"]) for r in image_dhash(imedia).collect()}
+    assert v == im

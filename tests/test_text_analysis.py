@@ -198,3 +198,41 @@ def test_collocations_degenerate_short_docs(spark):
         [(1, "word"), (2, ""), (3, "x")], "doc_id long, text string"
     )
     assert collocations(df, min_count=1).count() == 0
+
+
+def test_collocations_mass_conservation_and_symmetric_pair(spark):
+    """At min_count=1 the pair counts must sum to the corpus's total
+    bigram count, and a bigram whose two words occur ONLY together has
+    the closed-form pmi ln((c/B) / ((c/T)^2))."""
+    import math
+
+    from skripsi_mapreduce_spark.operators.text_analysis import collocations
+
+    rows = [(i, "alpha beta gamma delta") for i in range(4)]
+    rows += [(10 + i, "zig zag") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = collocations(df, min_count=1).collect()
+    total_bigrams = 4 * 3 + 3 * 1
+    assert sum(r["pair_count"] for r in out) == total_bigrams
+    total_tokens = 4 * 4 + 3 * 2
+    zz = next(r for r in out if (r["a"], r["b"]) == ("zig", "zag"))
+    want = round(
+        math.log((3 / total_bigrams) / ((3 / total_tokens) * (3 / total_tokens))), 8
+    )
+    assert abs(zz["pmi"] - want) < 1e-8
+
+
+def test_pii_scrub_idempotent_and_typed(spark):
+    """Scrubbing twice equals scrubbing once (placeholders contain no
+    scrubbable spans), and each planted kind maps to its own typed
+    placeholder."""
+    from skripsi_mapreduce_spark.operators.pipeline import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-y.org call +1 (555) 123-4567 ip 10.0.0.7 ssn 123-45-6789 end")],
+        "doc_id long, text string",
+    )
+    once = scrub_pii(df).head()["text"]
+    twice = scrub_pii(scrub_pii(df)).head()["text"]
+    assert once == twice
+    assert once == "mail [email] call [phone] ip [ipv4] ssn [ssn] end"
