@@ -368,6 +368,13 @@ def prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     and the choice is :func:`jaccard_generator_profile`, one groupBy
     away (:func:`jaccard_near_dups_auto` automates it)."""
     prefix, _ = _prefix_table(sh, threshold)
+    return _prefix_self_join(prefix)
+
+
+def _prefix_self_join(prefix: DataFrame) -> DataFrame:
+    """The candidate self-join over an already-built prefix table —
+    shared by :func:`prefix_candidates` and the auto-router's prefix arm
+    (which reuses the checkpointed table the profile was sized from)."""
     a = prefix.alias("pa")
     b = prefix.alias("pb")
     return (
@@ -1506,6 +1513,17 @@ def jaccard_generator_profile(
     # table once instead of re-tokenizing the corpus per branch
     sh = sh.localCheckpoint(eager=False)
     prefix, freq = _prefix_table(sh, threshold)
+    return _profile_counts(sh, prefix, freq, budget_factor)
+
+
+def _profile_counts(
+    sh: DataFrame, prefix: DataFrame, freq: DataFrame, budget_factor: int
+) -> dict:
+    """The counting tail of :func:`jaccard_generator_profile`, split out
+    so :func:`jaccard_near_dups_auto` can size the candidate join from
+    the SAME prefix table its prefix arm then self-joins (one build, one
+    checkpoint — the profile is otherwise pure overhead on the arm that
+    proceeds to use the table anyway)."""
     cand_df = (
         prefix.groupBy("shingle")
         .agg(F.count("*").alias("pdf"))
@@ -1539,6 +1557,8 @@ def jaccard_near_dups_auto(
     rows_per_band: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bitmap_max_vocab: int = BITMAP_MAX_VOCAB,
+    verify_max_tokens: int = 0,
 ) -> tuple[DataFrame, dict]:
     """Exact-verified Jaccard near-dups with the CANDIDATE GENERATOR
     auto-selected per corpus (:func:`jaccard_generator_profile`):
@@ -1550,14 +1570,30 @@ def jaccard_near_dups_auto(
     profile records the decision and its statistic. Both arms verify
     with the same exact kernel, so on any corpus where both achieve
     full recall the outputs are identical (pinned on both corpus
-    shapes by test)."""
+    shapes by test).
+
+    The prefix table is built and checkpointed ONCE: the profile sizes
+    Σ C(prefix_df, 2) from it, and the prefix arm self-joins the same
+    materialized table — so on corpora where the prefix filter wins,
+    the routing decision costs one counting aggregate, not a second
+    window pass. ``bitmap_max_vocab`` / ``verify_max_tokens`` pass
+    through to the prefix arm's :func:`jaccard_pairs` verify (callers
+    with large shingle vocabularies set ``bitmap_max_vocab=0`` to skip
+    the doomed dense-dictionary probe, exactly as they would calling
+    the kernel directly)."""
     sh = shingles(df, id_col, text_col, shingle_size).localCheckpoint(eager=False)
-    prof = jaccard_generator_profile(sh, threshold, budget_factor)
+    prefix, freq = _prefix_table(sh, threshold)
+    prefix = prefix.localCheckpoint(eager=False)
+    prof = _profile_counts(sh, prefix, freq, budget_factor)
     if prof["generator"] == "prefix":
-        cands = prefix_candidates(sh, threshold)
-        pairs = jaccard_pairs(sh, pairs=cands, min_jaccard=threshold).filter(
-            F.col("jaccard") >= threshold
-        )
+        cands = _prefix_self_join(prefix)
+        pairs = jaccard_pairs(
+            sh,
+            pairs=cands,
+            bitmap_max_vocab=bitmap_max_vocab,
+            min_jaccard=threshold,
+            verify_max_tokens=verify_max_tokens,
+        ).filter(F.col("jaccard") >= threshold)
     else:
         # pass the checkpointed shingle table through — the profile
         # already materialized it, re-tokenizing the corpus for the LSH

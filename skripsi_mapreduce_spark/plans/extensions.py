@@ -248,17 +248,37 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH: no probabilistic recall, prefixes shrinking as the
     threshold rises (zipf corpus, 25k docs, t=0.9: 6.4s vs the LSH
     cascade's 13.3s, identical pairs, recall 1.0 — SCALING.md round-6
-    table, reproduced by tools/prefix_vs_lsh.py)."""
+    table, reproduced by tools/prefix_vs_lsh.py).
+
+    SELF-ROUTING (round 9): the entry runs dedup.jaccard_near_dups_auto,
+    so the prefix join only executes after the profile's exact
+    Σ C(prefix_df, 2) count says it is within 30·n_docs — on corpora
+    where the shingle space saturates (the synthetic generator's
+    31-word vocabulary fills its 31³ trigram space somewhere past
+    sf0.5, and Σ C(df,2) then grows n²/|vocab| — the measured
+    2.7s→65s blowup in SCALING.md round 8) the candidates come from
+    the LSH cascade instead, restoring a near-linear curve. At every
+    adjudicated scale (sf0.001–0.1) the trigram space is long-tail,
+    the profile picks 'prefix', and the output is the lossless exact
+    join the brute-force oracle restates; on LSH-routed corpora recall
+    is probabilistic in principle but this fixture's nearest
+    non-duplicate pair sits below J=0.4 against a t=0.8 gate, far
+    outside any banding miss window (16 hashes / 4 rows per band).
+    The prefix table is built ONCE — the profile sizes the same
+    checkpointed table the prefix arm self-joins.
+
+    bitmap_max_vocab=0: the trigram space grows with the corpus (27k
+    distinct at sf0.1), so probing for a dense <=4096-bit dictionary
+    is a guaranteed-wasted job; verify through the set-array kernel
+    instead (docs are short — bounded distinct trigrams per doc)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = dd.shingles(docs, size=3).localCheckpoint(eager=False)
-    cands = dd.prefix_candidates(sh, threshold=0.8)
-    # bitmap_max_vocab=0: the trigram space grows with the corpus (27k
-    # distinct at sf0.1), so probing for a dense <=4096-bit dictionary
-    # is a guaranteed-wasted job; verify through the set-array kernel
-    # instead (docs are short — bounded distinct trigrams per doc).
-    pairs = dd.jaccard_pairs(
-        sh, pairs=cands, bitmap_max_vocab=0, min_jaccard=0.8, verify_max_tokens=4096
-    ).filter(F.col("jaccard") >= 0.8)
+    pairs, _prof = dd.jaccard_near_dups_auto(
+        docs,
+        threshold=0.8,
+        shingle_size=3,
+        bitmap_max_vocab=0,
+        verify_max_tokens=4096,
+    )
     sym = pairs.select(F.col("id_a").alias("doc_id"), "jaccard").unionByName(
         pairs.select(F.col("id_b").alias("doc_id"), "jaccard")
     )

@@ -15,6 +15,12 @@ def main() -> None:
     names = [a for a in sys.argv[1:] if not a.isdigit()]
     n_runs = int(next((a for a in sys.argv[1:] if a.isdigit()), "5"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # warm against the smallest sibling SF of the timed dir (falls back
+    # to the timed dir itself) so a machine without /root/testdata still
+    # runs — round-8 ADVICE: the hardcoded warm dir crashed elsewhere
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
     from skripsi_mapreduce_spark.plans import QUERIES
     from skripsi_mapreduce_spark.session import get_spark
 
@@ -24,7 +30,7 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for name in names:
         for _ in range(2):
-            QUERIES[name](spark, "/root/testdata/sf0.001").count()
+            QUERIES[name](spark, warm_dir).count()
         runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
