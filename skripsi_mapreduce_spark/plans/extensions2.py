@@ -11,6 +11,8 @@ ASCII token regex in the oracle dialect.
 
 from __future__ import annotations
 
+import struct
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -772,6 +774,45 @@ mm_image_dedup_incremental.__doc__ = mm_image_dedup_incremental.__doc__.format(
 _AF_SEGS, _AF_SEGLEN, _AF_AMPMOD, _AF_MAXHAM = 65, 4, 30000, 4
 
 
+def _af_amp(base_str: F.Column, s: int, twin: F.Column) -> F.Column:
+    """Segment s's amplitude as a long column: md5(base:s)'s leading 4
+    hex digits mod the amplitude modulus, +10000 (mod again) on the
+    twin's segment 0."""
+    a = F.conv(
+        F.substring(F.md5(F.concat_ws(":", base_str, F.lit(str(s)))), 1, 4), 16, 10
+    ).cast("long") % _AF_AMPMOD
+    if s == 0:
+        a = F.when(twin, (a + 10000) % _AF_AMPMOD).otherwise(a)
+    return a
+
+
+def _af_wav_blob(base_str: F.Column, twin: F.Column) -> F.Column:
+    """The fixture clip for an audio entity as a pure column expression,
+    byte-identical to ``make_wav`` over seglen copies of each segment's
+    amplitude (pinned by test): amplitudes are positive int16 (< 2^15), so each
+    sample's little-endian encoding is lo-byte, hi-byte with no sign
+    handling; each segment contributes its 4-hex-char sample pattern
+    repeated seglen times, the concatenated hex string unhexes to the
+    PCM payload, and the RIFF header is a constant literal (fixed
+    sample count and rate)."""
+    n_samples = _AF_SEGS * _AF_SEGLEN
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + 2 * n_samples, b"WAVE",
+        b"fmt ", 16, 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16,
+        b"data", 2 * n_samples,
+    )
+    seg_hex = []
+    for s in range(_AF_SEGS):
+        a = _af_amp(base_str, s, twin)
+        pair = F.concat(
+            F.lpad(F.lower(F.hex(a.bitwiseAND(F.lit(255)))), 2, "0"),
+            F.lpad(F.lower(F.hex(F.shiftright(a, 8))), 2, "0"),
+        )
+        seg_hex.append(F.repeat(pair, _AF_SEGLEN))
+    return F.concat(F.lit(hdr), F.unhex(F.concat(*seg_hex)))
+
+
 @query(
     "mm_audio_near_dups",
     f"""
@@ -826,41 +867,32 @@ def mm_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     seglen * a^2 exactly) — the Arrow decode + hash stage is
     hash-matched. At 100 TB: signatures are 3 longs per clip, audio
     bytes never leave the executor; mp3/flac decode stays honestly
-    gated behind the codec tiers."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
+    gated behind the codec tiers. The fixture WAV is built from pure
+    COLUMN expressions (the mm_image pattern — md5/conv/hex string
+    arithmetic, byte-identical to multimodal.make_wav by test), so blob
+    construction is engine-side scan work, not a per-doc Python loop;
+    round-8's linear scaling curve measured the old fixture loop (65
+    hashlib calls per doc), never the operator."""
     from ..operators import dedup as dd
-    from ..operators.multimodal import audio_fingerprint, make_wav
+    from ..operators.multimodal import audio_fingerprint
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
-        def wav_for(doc: int) -> bytes:
-            base = doc - 1 if doc % 10 == 9 else doc
-            amps = [
-                int(hashlib.md5(f"{base}:{s}".encode()).hexdigest()[:4], 16)
-                % _AF_AMPMOD
-                for s in range(_AF_SEGS)
-            ]
-            if doc % 20 == 19:
-                amps[0] = (amps[0] + 10000) % _AF_AMPMOD
-            samples = [a for a in amps for _ in range(_AF_SEGLEN)]
-            return make_wav(samples, _WAV_RATE)
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["doc_id"],
-                    "kind": "audio",
-                    "content": pdf["doc_id"].map(wav_for),
-                }
-            )
-
-    media = docs.mapInPandas(build, "media_id long, kind string, content binary")
+    # repartition the 8-byte id projection to the session's parallelism
+    # BEFORE the blob build: the source parquet is a handful of files, so
+    # without it the md5-expression encode + Python decode chain runs on
+    # 1-2 cores (measured: the whole round-8 "linear" curve was scan
+    # underparallelization, not operator cost)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    did = F.col("doc_id")
+    base = F.when(did % 10 == 9, did - 1).otherwise(did).cast("string")
+    media = docs.select(
+        did.alias("media_id"),
+        F.lit("audio").alias("kind"),
+        _af_wav_blob(base, did % 20 == 19).alias("content"),
+    )
     # lazy checkpoint: the blocking self-join would otherwise re-run the
     # WAV encode + decode chain once per join side (see mm_video_near_dups)
     sig = (
@@ -886,6 +918,25 @@ mm_audio_near_dups.__doc__ = mm_audio_near_dups.__doc__.format(
 # the 2/3 boundary, so the twin stays within the Hamming gate.
 _VH_FRAMES, _VH_EVERY, _VH_MAXF, _VH_TWIN_FRAME = 8, 2, 4, 2
 _VH_SAMPLED = tuple(range(0, _VH_MAXF * _VH_EVERY, _VH_EVERY))
+
+
+def _vh_video_blob(base_str: F.Column, twin: F.Column) -> F.Column:
+    """The fixture PPM-sequence video as a pure column expression:
+    frame f is exactly :func:`_dh_blob` with the frame index folded
+    into the md5 base string (chunk c of frame f hashes "base:f:c"),
+    the twin perturbation applies only to the sampled twin frame, and
+    the container is the frames' plain concatenation (the
+    make_ppm_video layout). Byte-identical to the per-doc Python
+    builder (pinned by test)."""
+    return F.concat(
+        *[
+            _dh_blob(
+                F.concat_ws(":", base_str, F.lit(str(f))),
+                twin if f == _VH_TWIN_FRAME else F.lit(False),
+            )
+            for f in range(_VH_FRAMES)
+        ]
+    )
 
 
 def _dhv_px_sql(ch: str) -> str:
@@ -964,49 +1015,32 @@ def mm_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     each), signatures are 3 longs per video, and the blocked join is
     the measured-scalable SimHash plan — the video-dedup-before-
     captioning stage of a multimodal pipeline, with mp4/webm decode
-    honestly gated behind the codec tiers."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
+    honestly gated behind the codec tiers. The fixture video is built
+    from pure COLUMN expressions: each frame is the image entry's
+    _dh_blob with the frame index folded into the md5 base string, and
+    the PPM-sequence container is their plain concatenation
+    (make_ppm_video's byte layout — parity with the per-doc Python
+    builder pinned by test), so blob construction is engine-side scan
+    work; round-8's linear scaling curve measured the old fixture loop
+    (120 hashlib calls per doc), never the operator."""
     from ..operators import dedup as dd
-    from ..operators.multimodal import make_ppm_video, video_dhash
+    from ..operators.multimodal import video_dhash
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
-        header = f"P6\n{_DH_W} {_DH_H}\n255\n".encode()
-
-        def video_for(doc: int) -> bytes:
-            base = doc - 1 if doc % 10 == 9 else doc
-            twin = doc % 20 == 19
-            frames = []
-            for f in range(_VH_FRAMES):
-                chunks = [
-                    hashlib.md5(f"{base}:{f}:{c}".encode()).digest()
-                    for c in range(15)
-                ]
-                raster = bytearray(
-                    b"".join(c[:15] for c in chunks[:14]) + chunks[14][:6]
-                )
-                if twin and f == _VH_TWIN_FRAME:
-                    raster[0] = (raster[0] + 128) % 256
-                    raster[1] = (raster[1] + 128) % 256
-                frames.append(header + bytes(raster))
-            return make_ppm_video(frames)
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["doc_id"],
-                    "kind": "video",
-                    "content": pdf["doc_id"].map(video_for),
-                }
-            )
-
-    media = docs.mapInPandas(build, "media_id long, kind string, content binary")
+    # id projection repartitioned before the blob build — see
+    # mm_audio_near_dups (1-2 scan partitions otherwise serialize the
+    # 128-md5 encode and the per-frame Python decode)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    did = F.col("doc_id")
+    base = F.when(did % 10 == 9, did - 1).otherwise(did).cast("string")
+    media = docs.select(
+        did.alias("media_id"),
+        F.lit("video").alias("kind"),
+        _vh_video_blob(base, did % 20 == 19).alias("content"),
+    )
     # lazy checkpoint: the pigeonhole blocking SELF-joins the signature
     # table, and without the lineage cut each side would re-run the
     # whole Python build+hash chain (measured 2x the entry's wall time);

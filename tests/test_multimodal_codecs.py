@@ -663,3 +663,72 @@ def test_video_dhash_single_frame_equals_image_dhash(spark):
     v = {r["media_id"]: (r["sim_hi"], r["sim_lo"]) for r in video_dhash(vmedia).collect()}
     im = {r["media_id"]: (r["sim_hi"], r["sim_lo"]) for r in image_dhash(imedia).collect()}
     assert v == im
+
+
+def test_engine_side_fixture_blobs_match_python_builders(spark):
+    """The round-9 engine-side fixture builders (_af_wav_blob /
+    _vh_video_blob — pure column expressions) must be BYTE-IDENTICAL to
+    the per-doc Python builders they replaced: the adjudicated entries'
+    correctness rests on the oracle restating these exact bytes'
+    decode, so fixture construction may never drift from the closed
+    form. Covers base docs, byte-exact twins (% 20 == 9), and perturbed
+    twins (% 20 == 19)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from skripsi_mapreduce_spark.operators.multimodal import make_ppm_video, make_wav
+    from skripsi_mapreduce_spark.plans.extensions2 import (
+        _AF_AMPMOD,
+        _AF_SEGLEN,
+        _AF_SEGS,
+        _DH_H,
+        _DH_W,
+        _VH_FRAMES,
+        _VH_TWIN_FRAME,
+        _WAV_RATE,
+        _af_wav_blob,
+        _vh_video_blob,
+    )
+
+    ids = [0, 1, 8, 9, 19, 28, 29, 39, 100, 119]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    did = F.col("doc_id")
+    base = F.when(did % 10 == 9, did - 1).otherwise(did).cast("string")
+    rows = df.select(
+        "doc_id",
+        _af_wav_blob(base, did % 20 == 19).alias("wav"),
+        _vh_video_blob(base, did % 20 == 19).alias("vid"),
+    ).collect()
+
+    def wav_for(doc: int) -> bytes:
+        b = doc - 1 if doc % 10 == 9 else doc
+        amps = [
+            int(hashlib.md5(f"{b}:{s}".encode()).hexdigest()[:4], 16) % _AF_AMPMOD
+            for s in range(_AF_SEGS)
+        ]
+        if doc % 20 == 19:
+            amps[0] = (amps[0] + 10000) % _AF_AMPMOD
+        return make_wav([a for a in amps for _ in range(_AF_SEGLEN)], _WAV_RATE)
+
+    def video_for(doc: int) -> bytes:
+        b = doc - 1 if doc % 10 == 9 else doc
+        twin = doc % 20 == 19
+        header = f"P6\n{_DH_W} {_DH_H}\n255\n".encode()
+        frames = []
+        for f in range(_VH_FRAMES):
+            chunks = [
+                hashlib.md5(f"{b}:{f}:{c}".encode()).digest() for c in range(15)
+            ]
+            raster = bytearray(
+                b"".join(c[:15] for c in chunks[:14]) + chunks[14][:6]
+            )
+            if twin and f == _VH_TWIN_FRAME:
+                raster[0] = (raster[0] + 128) % 256
+                raster[1] = (raster[1] + 128) % 256
+            frames.append(header + bytes(raster))
+        return make_ppm_video(frames)
+
+    for r in rows:
+        assert bytes(r["wav"]) == wav_for(r["doc_id"]), r["doc_id"]
+        assert bytes(r["vid"]) == video_for(r["doc_id"]), r["doc_id"]
