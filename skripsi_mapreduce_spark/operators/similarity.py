@@ -1247,9 +1247,12 @@ def ivf_append_partitioned(
         for lid in sorted(centroids):
             c = centroids[lid]
             if fixed_point:
-                key = F.lit(float(_py_dot_i64(c, c))) - 2 * _dot_i64(
+                # pure int64 key, mirroring ivf_index's fixed-point HOF
+                # path exactly — a double key here could diverge from a
+                # rebuild for |e8 values| > 2^53 (round-8 ADVICE)
+                key = F.lit(_py_dot_i64(c, c)) - 2 * _dot_i64(
                     F.col(vec_col), F.lit(c).cast("array<double>")
-                ).cast("double")
+                )
             else:
                 c2 = sum(x * x for x in c)
                 dot = F.aggregate(
@@ -1295,6 +1298,140 @@ def probe_ivf_partitioned(
     stored = spark.read.parquet(path)
     cands = stored.filter(F.col("list_id").isin([int(i) for i in probe_ids]))
     return topk_cosine(cands, query_vec, k, id_col, vec_col)
+
+
+def write_ivfpq_partitioned(
+    emb: DataFrame,
+    path: str,
+    n_list: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[dict[int, list[float]], dict[int, list[float]]]:
+    """Materialize the FULL production ANN store — IVF-partitioned
+    parquet whose rows carry write-time PQ ``codes`` — and return the
+    two frozen model tables ``(ivf_cents, pq_cents)`` that ARE the
+    index (n_list × dim + n_codes × dim floats; persist them next to
+    the data). Seeding matches :func:`ivfpq_topk` exactly: one md5-min
+    draw of max(n_list, n_codes) rows, the first n_list as coarse
+    centroids, the first n_codes as the shared PQ codebook — so the
+    stored artifact is the same index the adjudicated batch entries
+    compute inline.
+
+    Rows keep their full schema INCLUDING the raw vector: the exact
+    re-rank tier reads vectors for the shortlist only, and at 100 TB a
+    deployment that externalizes vectors to a separate row store swaps
+    that one join — codes (m small ints) remain the scan payload."""
+    seed_rows = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), "_id")
+        .limit(max(n_list, n_codes))
+        .collect()
+    )
+    if len(seed_rows) < max(n_list, n_codes):
+        raise ValueError(
+            f"corpus holds {len(seed_rows)} vectors but the index needs "
+            f"max(n_list={n_list}, n_codes={n_codes}) distinct seed rows"
+        )
+    seeds = {i: [float(x) for x in r["_v"]] for i, r in enumerate(seed_rows)}
+    ivf_cents = {i: seeds[i] for i in range(n_list)}
+    pq_cents = {i: seeds[i] for i in range(n_codes)}
+    indexed = _ivf_assign_numpy(emb, ivf_cents, vec_col)
+    encoded = pq_encode(indexed, pq_cents, m, id_col, vec_col)
+    encoded.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    return ivf_cents, pq_cents
+
+
+def ivfpq_append_partitioned(
+    batch: DataFrame,
+    path: str,
+    ivf_cents: dict[int, list[float]],
+    pq_cents: dict[int, list[float]],
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance of a :func:`write_ivfpq_partitioned`
+    store: coarse-assign an arriving batch with the FROZEN centroid
+    table AND PQ-encode it with the FROZEN codebook, then append into
+    the hit ``list_id`` partition directories. This closes the gap
+    :func:`ivf_append_partitioned` left at the flat tier — without
+    write-time encoding, appended rows would carry no ``codes`` column
+    and the ADC scan would degrade to flat reads (or fail outright) on
+    the appended fraction of an append-heavy store.
+
+    Both models are closures computed at build time, so assignment and
+    encoding are map-side (one Arrow pass each, no shuffle, no driver
+    state beyond (n_list + n_codes) × dim floats) and an appended
+    vector lands in exactly the partition, with exactly the codes, a
+    full rebuild under the same seeds would give it (append == rebuild
+    pinned by test)."""
+    indexed = _ivf_assign_numpy(batch, ivf_cents, vec_col)
+    encoded = pq_encode(indexed, pq_cents, m, id_col, vec_col)
+    encoded.write.mode("append").partitionBy("list_id").parquet(path)
+
+
+def probe_ivfpq_partitioned(
+    spark,
+    path: str,
+    ivf_cents: dict[int, list[float]],
+    pq_cents: dict[int, list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    rerank_mult: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-three-tier probe against a :func:`write_ivfpq_partitioned`
+    store: the ``n_probe`` nearest lists are picked driver-side
+    (partition pruning — ``list_id IN (...)`` is a directory filter),
+    the ADC table over the frozen codebook ranks the pruned scan's
+    WRITE-TIME codes (m integer lookups per row, vectors untouched),
+    and the exact e8 cosine kernel re-scores only the
+    ``rerank_mult · k`` shortlist. Scores are identical to
+    :func:`topk_cosine` on the same candidates — precision 1.0, recall
+    = probe ceiling × shortlist containment, the same calibration as
+    :func:`ivfpq_rerank_topk`."""
+
+    def _key(c: list[float]) -> int:
+        return _py_dot_i64(c, c) - 2 * _py_dot_i64(query_vec, c)
+
+    probe_ids = sorted(
+        sorted(ivf_cents), key=lambda lid: (_key(ivf_cents[lid]), lid)
+    )[:n_probe]
+    dim = len(query_vec)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    n_codes = len(pq_cents)
+    table: list[list[int]] = []
+    for s in range(m):
+        qs = query_vec[s * d_sub : (s + 1) * d_sub]
+        q2 = _py_dot_i64(qs, qs)
+        row = []
+        for c in range(n_codes):
+            cs = pq_cents[c][s * d_sub : (s + 1) * d_sub]
+            row.append(q2 + _py_dot_i64(cs, cs) - 2 * _py_dot_i64(qs, cs))
+        table.append(row)
+    stored = spark.read.parquet(path)
+    pruned = stored.filter(F.col("list_id").isin([int(i) for i in probe_ids]))
+    adc = sum(
+        (
+            F.element_at(F.lit(table[s]).cast("array<long>"), F.col("codes")[s] + 1)
+            for s in range(m)
+        ),
+        F.lit(0).cast("long"),
+    )
+    shortlist = (
+        pruned.select(id_col, vec_col, adc.alias("_adc"))
+        .orderBy("_adc", id_col)
+        .limit(rerank_mult * k)
+        .drop("_adc")
+    )
+    return topk_cosine(shortlist, query_vec, k, id_col, vec_col)
 
 
 def embedding_near_dups(

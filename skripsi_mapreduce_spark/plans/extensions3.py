@@ -2410,3 +2410,149 @@ def _register_index_incremental() -> None:
 
 
 _register_index_incremental()
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF-PQ index maintenance — frozen-codebook encoding of
+# appended batches (round 9: completes sim_index_incremental's flat tier
+# with the production store's PQ tier)
+# ---------------------------------------------------------------------------
+def _register_index_incremental_pq() -> None:
+    from .extensions2 import _IVF_NLIST
+
+    k, n_probe, rr, qid = 10, 4, 4, 0
+    m, n_codes = _IP_M, _IP_CODES
+    d_sub = 64 // m
+
+    sql = f"""
+    WITH seeds AS (
+        SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                            AS INT) AS sid
+        FROM embeddings WHERE vec_id % 5 <> 0
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {max(_IVF_NLIST, n_codes)}),
+    cx AS (SELECT s.sid AS lid, generate_subscripts(e.embedding, 1) AS i,
+                  CAST(unnest(e.embedding) AS DOUBLE) AS c
+           FROM embeddings e JOIN seeds s USING (vec_id) WHERE s.sid < {_IVF_NLIST}),
+    c2 AS (SELECT lid, SUM(CAST(ROUND(c * c * {_E8}) AS BIGINT)) AS c2 FROM cx GROUP BY lid),
+    ex AS MATERIALIZED (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+    dots AS (SELECT e.vec_id, c.lid, SUM(CAST(ROUND(e.x * c.c * {_E8}) AS BIGINT)) AS dot
+             FROM ex e JOIN cx c USING (i) GROUP BY 1, 2),
+    assign AS (SELECT vec_id, lid FROM (
+        SELECT d.vec_id, d.lid,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY c2.c2 - 2 * d.dot, d.lid) AS rn
+        FROM dots d JOIN c2 USING (lid)) t WHERE rn = 1),
+    probes AS (SELECT lid FROM (
+        SELECT q.lid, ROW_NUMBER() OVER (ORDER BY c2.c2 - 2 * q.dot, q.lid) AS rn
+        FROM (SELECT lid, dot FROM dots WHERE vec_id = {qid}) q JOIN c2 USING (lid)) t
+        WHERE rn <= {n_probe}),
+    cand AS (SELECT a.vec_id FROM assign a JOIN probes p USING (lid)),
+    pcx AS MATERIALIZED (
+        SELECT s.sid AS c, (generate_subscripts(e.embedding, 1) - 1) // ({d_sub}) AS sub,
+               generate_subscripts(e.embedding, 1) AS i,
+               CAST(unnest(e.embedding) AS DOUBLE) AS cv
+        FROM embeddings e JOIN seeds s USING (vec_id) WHERE s.sid < {n_codes}),
+    pc2 AS (SELECT c, sub, SUM(CAST(ROUND(cv * cv * {_E8}) AS BIGINT)) AS c2
+            FROM pcx GROUP BY 1, 2),
+    cex AS MATERIALIZED (
+        SELECT e.vec_id, e.x, e.i, (e.i - 1) // ({d_sub}) AS sub
+        FROM ex e JOIN cand USING (vec_id)),
+    pdots AS (SELECT e.vec_id, p.c, e.sub,
+                     SUM(CAST(ROUND(e.x * p.cv * {_E8}) AS BIGINT)) AS dot
+              FROM cex e JOIN pcx p ON p.i = e.i GROUP BY 1, 2, 3),
+    codes AS (SELECT vec_id, sub, c FROM (
+        SELECT d.vec_id, d.sub, d.c,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
+                                  ORDER BY p2.c2 - 2 * d.dot, d.c) AS rn
+        FROM pdots d JOIN pc2 p2 ON p2.c = d.c AND p2.sub = d.sub) t WHERE rn = 1),
+    qx AS (SELECT (generate_subscripts(embedding, 1) - 1) // ({d_sub}) AS sub,
+                  generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS q
+           FROM embeddings WHERE vec_id = {qid}),
+    q2 AS (SELECT sub, SUM(CAST(ROUND(q * q * {_E8}) AS BIGINT)) AS q2 FROM qx GROUP BY 1),
+    qdots AS (SELECT p.c, p.sub, SUM(CAST(ROUND(q.q * p.cv * {_E8}) AS BIGINT)) AS qdot
+              FROM qx q JOIN pcx p ON p.i = q.i GROUP BY 1, 2),
+    adc AS (SELECT qd.c, qd.sub, q2.q2 + p2.c2 - 2 * qd.qdot AS cell
+            FROM qdots qd JOIN q2 USING (sub) JOIN pc2 p2 ON p2.c = qd.c AND p2.sub = qd.sub),
+    short AS (SELECT k2.vec_id FROM (
+        SELECT k1.vec_id, SUM(a.cell) AS adc_e8
+        FROM codes k1 JOIN adc a ON a.sub = k1.sub AND a.c = k1.c GROUP BY 1) k2
+        ORDER BY k2.adc_e8, k2.vec_id LIMIT {rr * k}),
+    sx AS (SELECT e.vec_id, e.x, e.i FROM ex e JOIN short s ON s.vec_id = e.vec_id),
+    sdots AS (SELECT c.vec_id, SUM(CAST(ROUND(c.x * q.q * {_E8}) AS BIGINT)) AS dot
+              FROM sx c JOIN qx q USING (i) GROUP BY 1),
+    nrms AS (SELECT vec_id,
+                    SQRT(CAST(SUM(CAST(ROUND(x * x * {_E8}) AS BIGINT)) AS DOUBLE) / {_E8}) AS nrm
+             FROM sx GROUP BY vec_id),
+    qn AS (SELECT SQRT(CAST(SUM(CAST(ROUND(q * q * {_E8}) AS BIGINT)) AS DOUBLE) / {_E8}) AS qnrm
+           FROM qx)
+    SELECT d.vec_id,
+           CAST(ROUND(ROUND((CAST(d.dot AS DOUBLE) / {_E8}) / (n.nrm * qn.qnrm), 6) * 1000000)
+                AS BIGINT) AS score_e6
+    FROM sdots d JOIN nrms n USING (vec_id) CROSS JOIN qn
+    ORDER BY score_e6 DESC, vec_id LIMIT {k}
+    """
+
+    @query("sim_index_incremental_pq", sql)
+    def sim_index_incremental_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incremental IVF-PQ index maintenance adjudicated end to end —
+        the PQ tier sim_index_incremental's flat store left open: the
+        production store is BUILT on the corpus (vec_id % 5 != 0;
+        md5-min seed draw feeds BOTH the coarse centroids and the PQ
+        codebook, rows written parquet-partitioned by list_id with
+        their write-time codes), an arriving batch (vec_id % 5 == 0) is
+        coarse-assigned with the FROZEN centroid table AND PQ-encoded
+        with the FROZEN codebook before appending
+        (similarity.ivfpq_append_partitioned — without write-time
+        encoding, an append-heavy store degrades to flat scans on the
+        appended fraction), and a batch-member query probes the merged
+        store through all three tiers (probe_ivfpq_partitioned:
+        partition-pruned scan of 4/16 lists, ADC over stored codes to a
+        40-row shortlist, exact e8 re-rank). Because both models are
+        frozen corpus-seeded closures, append-then-probe is EQUAL BY
+        CONSTRUCTION to encode-everything-then-probe — which is exactly
+        what the oracle restates (corpus-only seed draw, frozen
+        assignment and code argmins for every vector, probe pick, ADC
+        cells, shortlist, exact re-rank — every number an e8 int64).
+        At 100 TB this is the live production ANN store: appends touch
+        only the hit partitions, stay PQ-compressed (m small ints per
+        vector on the scan path), and probes keep their n_probe/n_list
+        pruning over old and new rows alike; append == rebuild is
+        additionally pinned code-level by test."""
+        import os
+        import tempfile
+
+        from ..operators.similarity import (
+            ivfpq_append_partitioned,
+            probe_ivfpq_partitioned,
+            write_ivfpq_partitioned,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") % 5 != 0)
+        batch = emb.filter(F.col("vec_id") % 5 == 0)
+        # fixed per-process store, rebuilt per invocation (the corpus
+        # write's overwrite clears the dir) — bench re-runs stay bounded
+        store = os.path.join(
+            tempfile.gettempdir(), f"sim_index_incr_pq_{os.getpid()}"
+        )
+        ivf_c, pq_c = write_ivfpq_partitioned(
+            corpus, store, n_list=_IVF_NLIST, m=m, n_codes=n_codes
+        )
+        ivfpq_append_partitioned(batch, store, ivf_c, pq_c, m=m)
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).head()["embedding"]
+        ]
+        out = probe_ivfpq_partitioned(
+            spark, store, ivf_c, pq_c, qvec, k=k, rerank_mult=rr,
+            n_probe=n_probe, m=m,
+        )
+        return out.select(
+            "vec_id", e_int(F.col("score"), 6).alias("score_e6")
+        ).orderBy(F.col("score_e6").desc(), "vec_id")
+
+
+_register_index_incremental_pq()

@@ -1229,3 +1229,72 @@ def test_ivf_append_partitioned_matches_rebuild_probe(spark, tmp_path):
     assert [tuple(r) for r in probed.collect()] == [tuple(r) for r in inline.collect()]
     # batch members appear in the store (append really happened)
     assert any(v % 5 == 0 for v in stored)
+
+
+def test_ivfpq_append_partitioned_matches_rebuild(spark, tmp_path):
+    """Round-9 PQ-tier incremental maintenance: appending a batch with
+    the FROZEN coarse centroids + FROZEN PQ codebook must leave the
+    store row-identical (list_id AND codes) to a full rebuild over the
+    union under the same seeds, and the three-tier probe over the
+    appended store must equal the probe over the rebuilt store."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    path_a = str(tmp_path / "ivfpq_append")
+    path_r = str(tmp_path / "ivfpq_rebuild")
+    ivf_c, pq_c = sim.write_ivfpq_partitioned(
+        corpus, path_a, n_list=8, m=8, n_codes=8
+    )
+    sim.ivfpq_append_partitioned(batch, path_a, ivf_c, pq_c, m=8)
+    # rebuild = assign + encode the UNION with the same frozen models
+    # (write_ivfpq_partitioned would re-seed from the union, which is a
+    # different index; the maintenance contract is frozen-model parity)
+    rebuilt = sim.pq_encode(
+        sim._ivf_assign_numpy(emb, ivf_c, "embedding"), pq_c, 8
+    )
+    rebuilt.write.mode("overwrite").partitionBy("list_id").parquet(path_r)
+    got = {
+        r["vec_id"]: (r["list_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(path_a).collect()
+    }
+    want = {
+        r["vec_id"]: (r["list_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(path_r).collect()
+    }
+    assert got == want and any(v % 5 == 0 for v in got)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    probed_a = sim.probe_ivfpq_partitioned(
+        spark, path_a, ivf_c, pq_c, q, k=10, rerank_mult=4, n_probe=2, m=8
+    )
+    probed_r = sim.probe_ivfpq_partitioned(
+        spark, path_r, ivf_c, pq_c, q, k=10, rerank_mult=4, n_probe=2, m=8
+    )
+    assert [tuple(r) for r in probed_a.collect()] == [
+        tuple(r) for r in probed_r.collect()
+    ]
+
+
+def test_ivf_append_hof_fallback_matches_numpy(spark, tmp_path):
+    """Round-8 ADVICE: ivf_append_partitioned's non-numpy fixed-point
+    fallback must assign bit-identically to the numpy kernel (the key
+    is now a pure int64 expression mirroring ivf_index's HOF path —
+    previously an untested double-typed branch)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf_store_hof")
+    cents = sim.write_ivf_partitioned(corpus, path, n_list=8)
+    sim.ivf_append_partitioned(batch, path, cents, kernel="hof")
+    stored = {
+        r["vec_id"]: r["list_id"]
+        for r in spark.read.parquet(path)
+        .join(batch.select("vec_id"), "vec_id", "semi")
+        .collect()
+    }
+    want = {
+        r["vec_id"]: r["list_id"]
+        for r in sim._ivf_assign_numpy(batch, cents, "embedding")
+        .select("vec_id", "list_id")
+        .collect()
+    }
+    assert stored == want and len(stored) > 0
