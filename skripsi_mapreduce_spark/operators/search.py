@@ -12,6 +12,16 @@ postings — a broadcast semi-join on word — so query cost scales with
 the posting lists, not the corpus; top-k plans as
 TakeOrderedAndProject.
 
+Round 9 makes the lexical MODEL a maintained artifact instead of a
+per-query recomputation: :func:`bm25_model` materializes the two model
+tables (postings + per-doc lengths), :func:`bm25_update_model` absorbs
+a document delta (new docs and replacements) with the CDC merge
+pattern (anti-join the changed keys, union the recomputed rows — the
+monoid discipline cdc.merge_aggregates documents), and
+:func:`bm25_topk` / :func:`bm25_topk_many` score any query against the
+model. Retrieval pipelines reindex continuously; a from-scratch df/avgdl
+pass per index refresh is exactly the cost this kills.
+
 Cross-engine exactness (the DuckDB oracle reproduces scores
 bit-for-bit): per-term idf and the per-(doc, term) partial score are
 rounded to 8dp and summed as DECIMAL — order-independent — and every
@@ -38,34 +48,88 @@ def _tf(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
 
 
-def bm25_topk(
-    docs: DataFrame,
-    query_terms: list[str],
-    k: int = 20,
-    k1: float = 1.2,
-    b: float = 0.75,
+def bm25_model(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The BM25 lexical model as two maintainable tables:
+    ``(postings, doclen)`` — postings is (doc_id, word, tf), doclen is
+    (doc_id, dl) with one row per CORPUS document (dl = 0 for
+    token-less docs, so ``doclen.count()`` is the corpus N and no
+    separate scalar state exists). Everything a query needs — df,
+    avgdl, N — derives from these two tables at query time, touching
+    only the query terms' posting lists."""
+    tf = _tf(docs, id_col, text_col)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    doclen = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(dl, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("dl"), F.lit(0).cast("bigint")).alias("dl"))
+    )
+    return tf, doclen
+
+
+def bm25_update_model(
+    postings: DataFrame,
+    doclen: DataFrame,
+    delta_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> DataFrame:
-    """Top-``k`` documents by BM25 for a bag of query terms (classic
-    Robertson/Sparck-Jones idf in its non-negative Lucene form,
-    ``ln(1 + (N - df + 0.5)/(df + 0.5))``). Returns (doc_id, score_e6),
-    ties broken by doc_id ascending.
+) -> tuple[DataFrame, DataFrame]:
+    """Absorb a document DELTA into the lexical model without touching
+    unchanged docs' rows: delta doc_ids' old postings/length rows are
+    anti-joined away and the recomputed rows unioned in — the CDC
+    upsert shape (cdc.apply_changes / merge_aggregates), covering both
+    NEW documents and REPLACEMENTS of existing ones. The updated model
+    is row-identical to :func:`bm25_model` over the post-delta corpus
+    (pinned by test and adjudicated by ta_bm25_incremental, whose
+    oracle is the from-scratch statement), so scores after an update
+    can never drift from a reindex.
 
-    Documents matching no query term score 0 and are not returned."""
-    terms = sorted({t.lower() for t in query_terms})
-    tf = _tf(docs, id_col, text_col)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).localCheckpoint(eager=False)
+    At 100 TB: the anti-join keys are the delta's doc_ids (broadcast at
+    any sane batch size), the recompute tokenizes ONLY the delta, and
+    with both model tables stored partitioned/bucketed by their keys
+    the merge rewrites only touched partitions."""
+    changed = delta_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    d_tf, d_len = bm25_model(delta_docs, id_col, text_col)
+    new_postings = postings.join(F.broadcast(changed), "doc_id", "anti").unionByName(
+        d_tf
+    )
+    new_doclen = doclen.join(F.broadcast(changed), "doc_id", "anti").unionByName(
+        d_len
+    )
+    return new_postings, new_doclen
+
+
+def _score_from_model(
+    postings: DataFrame,
+    doclen: DataFrame,
+    terms: list[str] | DataFrame,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """(doc_id, word, p): the 8dp-decimal per-(doc, term) partial BM25
+    scores for one term set — the shared scoring tail of
+    :func:`bm25_topk` and :func:`bm25_topk_many`. df/idf/avgdl are
+    query-INDEPENDENT given the term set, so the many-query kernel
+    computes them once over the union of all queries' terms. ``terms``
+    is a literal list (single-query path) or a 1-column DataFrame of
+    distinct words (batched path — broadcast semi-join, nothing
+    collected)."""
     # two scalar driver reductions, same convention as TF-IDF's N (O14)
-    n_docs = docs.count()
-    tot = dl.agg(F.sum("dl")).head()[0] or 0
+    row = doclen.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tot")
+    ).head()
+    n_docs, tot = row["n"], row["tot"]
     # `or 1.0`: an empty / all-empty-text corpus has tot == 0, and a zero
     # avgdl would turn the length norm into a division by zero (Inf/NaN
     # scores); with no terms anywhere the qtf join is empty regardless,
     # so the substitute value never reaches a real score
     avgdl = float(tot) / float(max(n_docs, 1)) or 1.0
 
-    qtf = tf.filter(F.col("word").isin(terms))
+    if isinstance(terms, DataFrame):
+        qtf = postings.join(F.broadcast(terms.select("word").distinct()), "word", "semi")
+    else:
+        qtf = postings.filter(F.col("word").isin(terms))
     dfreq = qtf.groupBy("word").agg(F.count("*").alias("df"))
     idf = F.round(
         F.log(
@@ -82,14 +146,104 @@ def bm25_topk(
     part = F.round(
         F.col("idf").cast("double") * (F.col("tf") * F.lit(k1 + 1.0)) / norm, 8
     ).cast("decimal(18,8)")
-    scored = (
+    return (
         qtf.join(F.broadcast(model), "word")
-        .join(dl, "doc_id")
-        .groupBy("doc_id")
-        .agg(F.sum(part).alias("score"))
+        .join(doclen, "doc_id")
+        .select("doc_id", "word", part.alias("p"))
     )
+
+
+def bm25_topk_from_model(
+    postings: DataFrame,
+    doclen: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 against a materialized
+    (:func:`bm25_model` / :func:`bm25_update_model`) lexical model.
+    Returns (doc_id, score_e6), ties broken by doc_id ascending;
+    documents matching no query term score 0 and are not returned."""
+    terms = sorted({t.lower() for t in query_terms})
+    parts = _score_from_model(postings, doclen, terms, k1, b)
+    scored = parts.groupBy("doc_id").agg(F.sum("p").alias("score"))
     return (
         scored.select("doc_id", e_int(F.col("score").cast("double"), 6).alias("score_e6"))
         .orderBy(F.col("score_e6").desc(), "doc_id")
         .limit(k)
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 for a bag of query terms (classic
+    Robertson/Sparck-Jones idf in its non-negative Lucene form,
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``). Returns (doc_id, score_e6),
+    ties broken by doc_id ascending.
+
+    Documents matching no query term score 0 and are not returned.
+    Builds the model inline; serving deployments materialize it once
+    with :func:`bm25_model` and score via
+    :func:`bm25_topk_from_model`."""
+    postings, doclen = bm25_model(docs, id_col, text_col)
+    return bm25_topk_from_model(postings, doclen, query_terms, k, k1, b)
+
+
+def bm25_topk_many(
+    postings: DataFrame,
+    doclen: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    q_id_col: str = "query_id",
+    q_terms_col: str = "terms",
+) -> DataFrame:
+    """Batched BM25: N queries (``(query_id, terms array<string>)``)
+    answered in ONE pass over the union of their posting lists —
+    returns (query_id, doc_id, score_e6), top-k per query, scores
+    BIT-IDENTICAL to :func:`bm25_topk_from_model` run per query
+    (pinned by test; df/idf/avgdl are query-independent, so sharing
+    them across queries changes nothing but the pass count). The
+    query→term table is small (bounded query batch) and broadcasts;
+    per-query ranking is a window top-k over candidate rows only.
+
+    This is the per-micro-batch kernel of streaming search serving
+    (streaming/serving.serve_bm25_topk_foreachbatch)."""
+    from pyspark.sql import Window
+
+    qterms = queries.select(
+        F.col(q_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(F.transform(F.col(q_terms_col), F.lower))
+        ).alias("word"),
+    )
+    parts = _score_from_model(postings, doclen, qterms, k1, b)
+    scored = (
+        parts.join(F.broadcast(qterms), "word")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("p").alias("score"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("score_e6").desc(), F.col("doc_id")
+        )
+    )
+    return (
+        scored.select(
+            "query_id",
+            "doc_id",
+            e_int(F.col("score").cast("double"), 6).alias("score_e6"),
+        )
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )

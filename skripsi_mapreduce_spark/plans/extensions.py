@@ -514,8 +514,13 @@ _BM25_TERMS = ["hash", "join", "spark", "stream"]
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-def _bm25_oracle_sql() -> str:
-    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+def _bm25_oracle_sql(terms_list: list[str] | None = None, k: int = 20) -> str:
+    """The from-scratch BM25 statement over ``documents``, with the term
+    set and k parameterized: the ta_bm25_topk artifact (defaults), the
+    ta_bm25_incremental oracle (an incrementally maintained model must
+    equal a reindex, so the oracle IS this statement verbatim), and the
+    per-query arm of stream_bm25_topk's union."""
+    terms = ", ".join(f"'{t}'" for t in (terms_list or _BM25_TERMS))
     # literals via repr of the SAME python-computed doubles the Spark plan
     # embeds — repr round-trips, so both engines parse identical IEEE bits
     k1, k1p1, one_minus_b, b = (
@@ -543,7 +548,7 @@ def _bm25_oracle_sql() -> str:
              FROM qtf q JOIN model m USING (word) JOIN dl d USING (doc_id) CROSS JOIN av)
     SELECT doc_id, {e_int_sql('SUM(p)', 6)} AS score_e6
     FROM part GROUP BY doc_id
-    ORDER BY score_e6 DESC, doc_id LIMIT 20
+    ORDER BY score_e6 DESC, doc_id LIMIT {k}
     """
 
 

@@ -2556,3 +2556,137 @@ def _register_index_incremental_pq() -> None:
 
 
 _register_index_incremental_pq()
+
+
+# ---------------------------------------------------------------------------
+# Incremental BM25 model maintenance + streaming search serving (round 9)
+# ---------------------------------------------------------------------------
+_BM25_STREAM_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["hash", "join", "spark", "stream"]),  # the ta_bm25_topk query
+    (1, ["filter", "group", "sort", "window"]),
+    (2, ["table", "query", "scan", "merge"]),
+]
+
+
+def _register_bm25_incremental() -> None:
+    from .extensions import _BM25_B, _BM25_K1, _BM25_TERMS, _bm25_oracle_sql
+
+    @query("ta_bm25_incremental", _bm25_oracle_sql())
+    def ta_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incrementally MAINTAINED BM25 model, adjudicated against a
+        reindex: the lexical model (postings + per-doc lengths,
+        operators/search.bm25_model) is first built on a STALE corpus —
+        the doc_id % 5 == 0 documents missing entirely and every
+        doc_id % 20 == 3 document carrying placeholder text — then a
+        delta of arrivals (the % 5 == 0 docs) and replacements (the
+        % 20 == 3 docs' true text) is absorbed by
+        search.bm25_update_model: anti-join the changed doc_ids' rows
+        out, union the delta's recomputed rows in — the CDC upsert
+        monoid (cdc.apply_changes / merge_aggregates), tokenizing ONLY
+        the delta. The oracle is the from-scratch BM25 statement over
+        the current corpus VERBATIM (ta_bm25_topk's SQL), so
+        "maintained model == reindex" is itself the adjudicated claim —
+        df, avgdl, N, idf, and the top-20 scores must all come out
+        bit-identical through the incremental path. At 100 TB this is
+        how a retrieval index absorbs continuous recrawls: per-batch
+        cost is the delta's tokenization + two key-pruned merges, never
+        a corpus-wide df/avgdl recomputation."""
+        from ..operators.search import (
+            bm25_model,
+            bm25_topk_from_model,
+            bm25_update_model,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        did = F.col("doc_id")
+        stale = docs.filter(did % 5 != 0).withColumn(
+            "text",
+            F.when(did % 20 == 3, F.lit("stale placeholder text")).otherwise(
+                F.col("text")
+            ),
+        )
+        delta = docs.filter((did % 5 == 0) | (did % 20 == 3))
+        postings, doclen = bm25_model(stale)
+        # pin the stale model the way a serving deployment stores it —
+        # the update must not silently re-read the true corpus through
+        # lineage (localCheckpoint cuts it)
+        postings = postings.localCheckpoint(eager=False)
+        doclen = doclen.localCheckpoint(eager=False)
+        postings, doclen = bm25_update_model(postings, doclen, delta)
+        return bm25_topk_from_model(
+            postings, doclen, _BM25_TERMS, k=20, k1=_BM25_K1, b=_BM25_B
+        )
+
+
+_register_bm25_incremental()
+
+
+def _register_stream_bm25_topk() -> None:
+    from .extensions import _bm25_oracle_sql
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST({qid} AS BIGINT) AS query_id, a.doc_id, a.score_e6\n"
+        f"FROM ({_bm25_oracle_sql(terms)}) a"
+        for qid, terms in _BM25_STREAM_QUERIES
+    )
+    sql = f"SELECT * FROM ({arms}) u ORDER BY query_id, score_e6 DESC, doc_id"
+
+    @query("stream_bm25_topk", sql)
+    def stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming lexical-search SERVING, adjudicated against the
+        batch oracle per query: three term-bag queries arrive as a
+        three-file parquet stream (maxFilesPerTrigger=1 — three
+        separate micro-batches) and each micro-batch runs the batched
+        BM25 kernel against the STATIC materialized model under
+        foreachBatch (streaming/serving.serve_bm25_topk_foreachbatch →
+        operators/search.bm25_topk_many: one pass over the union of the
+        batch's posting lists answers every query; df/idf/avgdl are
+        query-independent so sharing them is exact). Lexical serving is
+        stateless per query, so stream == batch BY CONSTRUCTION and the
+        result is invariant to micro-batch slicing (pinned by test).
+        The oracle unions the from-scratch single-query BM25 statement
+        once per streamed query — every streamed row is hash-matched,
+        not just the ta_bm25_topk query's. At 100 TB: the model tables
+        are the serving index (maintained under deltas by
+        bm25_update_model — the ta_bm25_incremental claim), each
+        micro-batch touches only its terms' posting lists, and the
+        per-query ranking is a window over candidate rows only."""
+        import os
+        import shutil
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..operators.search import bm25_model
+        from ..streaming.serving import serve_bm25_topk_foreachbatch
+
+        docs = load_table(spark, sf_dir, "documents")
+        postings, doclen = bm25_model(docs)
+        # one materialization of the model for all three micro-batches
+        # (each foreachBatch invocation re-consumes both tables)
+        postings = postings.localCheckpoint(eager=False)
+        doclen = doclen.localCheckpoint(eager=False)
+        pa_schema = pa.schema(
+            [("query_id", pa.int64()), ("terms", pa.list_(pa.string()))]
+        )
+        qdir = os.path.join(
+            tempfile.gettempdir(), f"stream_bm25_topk_{os.getpid()}"
+        )
+        shutil.rmtree(qdir, ignore_errors=True)
+        os.makedirs(qdir)
+        for qid, terms in _BM25_STREAM_QUERIES:
+            tbl = pa.table({"query_id": [qid], "terms": [terms]}, schema=pa_schema)
+            pq.write_table(tbl, os.path.join(qdir, f"q{qid}.parquet"))
+        qstream = (
+            spark.readStream.schema("query_id long, terms array<string>")
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .load(qdir)
+        )
+        out = serve_bm25_topk_foreachbatch(qstream, postings, doclen, k=20)
+        return out.orderBy("query_id", F.col("score_e6").desc(), "doc_id")
+
+
+_register_stream_bm25_topk()

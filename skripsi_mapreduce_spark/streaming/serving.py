@@ -42,6 +42,10 @@ def serve_topk_cosine_foreachbatch(
     vec_id, score) rows as parquet — the production serving shape;
     without it rows accumulate driver-side (the memory-sink test/audit
     shape). Returns the accumulated results as a batch DataFrame.
+    ``sink_path`` must be FRESH per logical run: append mode means a
+    reused directory returns earlier invocations' rows alongside the
+    new ones (round-8 ADVICE) — namespace the path per run id, or clear
+    it before starting the stream.
 
     Scale: the static corpus side is a plan, not data — swap it for the
     IVF-partitioned store (similarity.write_ivf_partitioned) and probe
@@ -91,6 +95,79 @@ def serve_topk_cosine_foreachbatch(
             # is never created — same empty contract as the memory-sink
             # branch. Any OTHER read failure (corrupt footer, permission)
             # propagates loudly instead of masquerading as zero matches.
+            return spark.createDataFrame([], schema=schema)
+        return spark.read.parquet(sink_path)
+    if not rows:
+        return spark.createDataFrame([], schema=schema)
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def serve_bm25_topk_foreachbatch(
+    query_stream: DataFrame,
+    postings: DataFrame,
+    doclen: DataFrame,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    q_id_col: str = "query_id",
+    q_terms_col: str = "terms",
+    sink_path: str | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Serve BM25 top-k for a STREAM of term-bag queries against a
+    static lexical model (operators/search.bm25_model /
+    bm25_update_model — the maintained postings + doclen tables): each
+    micro-batch of queries runs the batched kernel
+    (operators/search.bm25_topk_many — ONE pass over the union of the
+    batch's posting lists answers every query; df/idf/avgdl are
+    query-independent so sharing them is exact), making results
+    bit-identical to the batch entry and invariant to micro-batch
+    slicing (pinned by test). Lexical search serving is stateless per
+    query — a result row depends only on the model and the query's own
+    terms — so the correct streaming shape is foreachBatch over the
+    adjudicated batch kernel, exactly like the ANN serving route
+    (:func:`serve_topk_cosine_foreachbatch`).
+
+    Sink contract matches the ANN route: ``sink_path`` appends each
+    micro-batch's (query_id, doc_id, score_e6) as parquet (production
+    shape; the path must be FRESH per logical run — a reused directory
+    returns earlier runs' rows); without it rows accumulate driver-side
+    (audit shape). At 100 TB the model tables are the serving index —
+    maintained incrementally under document deltas (bm25_update_model),
+    scanned only on the arriving terms' posting lists per batch."""
+    spark = query_stream.sparkSession
+    rows: list = []
+
+    def _serve(mb: DataFrame, _epoch: int) -> None:
+        from ..operators.search import bm25_topk_many
+
+        out = bm25_topk_many(
+            postings, doclen, mb, k=k, k1=k1, b=b,
+            q_id_col=q_id_col, q_terms_col=q_terms_col,
+        )
+        if sink_path is not None:
+            out.write.mode("append").parquet(sink_path)
+        else:
+            rows.extend(out.collect())
+
+    q = (
+        query_stream.writeStream.foreachBatch(_serve)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"bm25 serving replay did not finish within {timeout_s}s"
+        )
+    schema = "query_id long, doc_id long, score_e6 long"
+    if sink_path is not None:
+        import os
+
+        if not os.path.exists(sink_path):
             return spark.createDataFrame([], schema=schema)
         return spark.read.parquet(sink_path)
     if not rows:

@@ -75,3 +75,118 @@ def test_bm25_empty_and_all_empty_corpus(spark):
     assert bm25_topk(df, ["anything"], k=5).count() == 0
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert bm25_topk(empty, ["anything"], k=5).count() == 0
+
+
+def test_bm25_update_model_equals_reindex(spark):
+    """Round-9 incremental model maintenance: absorbing a delta of new
+    docs AND replacements via bm25_update_model must leave the model
+    tables ROW-IDENTICAL to bm25_model over the post-delta corpus (the
+    ta_bm25_incremental claim, pinned code-level), and scores through
+    either model must match."""
+    from pyspark.sql import functions as F
+
+    from skripsi_mapreduce_spark.operators.search import (
+        bm25_model,
+        bm25_topk_from_model,
+        bm25_update_model,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    did = F.col("doc_id")
+    stale = docs.filter(did % 5 != 0).withColumn(
+        "text",
+        F.when(did % 20 == 3, F.lit("stale placeholder text")).otherwise(
+            F.col("text")
+        ),
+    )
+    delta = docs.filter((did % 5 == 0) | (did % 20 == 3))
+    p0, l0 = bm25_model(stale)
+    p1, l1 = bm25_update_model(p0, l0, delta)
+    pw, lw = bm25_model(docs)
+    assert sorted(map(tuple, p1.collect())) == sorted(map(tuple, pw.collect()))
+    assert sorted(map(tuple, l1.collect())) == sorted(map(tuple, lw.collect()))
+    terms = ["hash", "join", "spark", "stream"]
+    got = [tuple(r) for r in bm25_topk_from_model(p1, l1, terms, k=10).collect()]
+    want = [tuple(r) for r in bm25_topk_from_model(pw, lw, terms, k=10).collect()]
+    assert got == want and len(got) == 10
+
+
+def test_bm25_topk_many_matches_per_query(spark):
+    """The batched kernel must be bit-identical to per-query scoring:
+    df/idf/avgdl are query-independent, so one pass over the union of
+    posting lists changes nothing but the pass count. Also pins
+    term-dedup and case-folding inside the terms array."""
+    from skripsi_mapreduce_spark.operators.search import (
+        bm25_model,
+        bm25_topk_from_model,
+        bm25_topk_many,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    postings, doclen = bm25_model(docs)
+    queries = [
+        (0, ["hash", "join", "spark", "stream"]),
+        (1, ["filter", "group", "sort", "window"]),
+        (2, ["Table", "table", "QUERY", "scan", "merge"]),  # dup + case
+    ]
+    qdf = spark.createDataFrame(queries, "query_id long, terms array<string>")
+    got = sorted(
+        map(tuple, bm25_topk_many(postings, doclen, qdf, k=7).collect())
+    )
+    want = sorted(
+        (qid, r["doc_id"], r["score_e6"])
+        for qid, terms in queries
+        for r in bm25_topk_from_model(postings, doclen, terms, k=7).collect()
+    )
+    assert got == want and len(got) == 21
+
+
+def test_stream_bm25_serving_matches_batch_and_slicing_invariant(spark, tmp_path):
+    """Round-9 streaming lexical serving: the foreachBatch BM25 route
+    must be bit-identical to the batch bm25_topk_many kernel for both a
+    one-file replay and a per-query slicing (stateless per query), and
+    the parquet-append sink must equal the driver accumulation."""
+    from skripsi_mapreduce_spark.operators.search import bm25_model, bm25_topk_many
+    from skripsi_mapreduce_spark.streaming.serving import (
+        serve_bm25_topk_foreachbatch,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    postings, doclen = bm25_model(docs)
+    postings = postings.localCheckpoint(eager=True)
+    doclen = doclen.localCheckpoint(eager=True)
+    queries = [
+        (0, ["hash", "join"]),
+        (1, ["filter", "window"]),
+        (2, ["table", "scan"]),
+    ]
+    qdf = spark.createDataFrame(queries, "query_id long, terms array<string>")
+    want = sorted(
+        map(tuple, bm25_topk_many(postings, doclen, qdf, k=5).collect())
+    )
+    one = str(tmp_path / "one")
+    qdf.coalesce(1).write.parquet(one)
+    many = str(tmp_path / "many")
+    qdf.repartition(3, "query_id").write.parquet(many)
+
+    def replay(src, **kw):
+        qstream = (
+            spark.readStream.schema(qdf.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .load(src)
+        )
+        return serve_bm25_topk_foreachbatch(qstream, postings, doclen, k=5, **kw)
+
+    assert sorted(map(tuple, replay(one).collect())) == want
+    assert sorted(map(tuple, replay(many).collect())) == want
+    sink = str(tmp_path / "sink")
+    assert sorted(map(tuple, replay(one, sink_path=sink).collect())) == want
+    # empty stream: foreachBatch never fires, schema'd empty table back
+    empty = str(tmp_path / "empty")
+    import os
+
+    os.makedirs(empty)
+    qdf.limit(0).coalesce(1).write.mode("overwrite").parquet(empty)
+    assert replay(empty).count() == 0
