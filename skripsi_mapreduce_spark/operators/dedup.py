@@ -1604,3 +1604,94 @@ def jaccard_near_dups_auto(
             id_col=id_col, text_col=text_col, sh=sh,
         )
     return pairs, prof
+
+
+# ---------------------------------------------------------------------------
+# Unified near-dup facade (round 9): one signature-table contract across
+# the four 64-bit-fingerprint lanes
+# ---------------------------------------------------------------------------
+NEAR_DUP_MODALITIES = ("text", "image", "audio", "video")
+
+
+def near_dup_signatures(
+    df: DataFrame,
+    modality: str = "text",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_segments: int = 65,
+    every_n: int = 2,
+    max_frames: int = 4,
+) -> DataFrame:
+    """The shared SIGNATURE-TABLE contract — ``(doc_id, sim_hi, sim_lo)``,
+    a 64-bit fingerprint as two nonnegative 32-bit lanes — produced by
+    whichever lane matches the input modality: text SimHash
+    (:func:`simhash64` over ``(id_col, text_col)`` rows), image dHash /
+    audio energy fingerprint / video majority dHash (the
+    operators.multimodal kernels over ``(media_id, kind, content)``
+    media rows — each lane filters its own ``kind``, so a mixed media
+    table routes cleanly, and the id column comes back renamed to the
+    contract's ``doc_id``). Every lane's output feeds the SAME
+    pigeonhole blocking (:func:`simhash_near_dups` /
+    :func:`simhash_near_dups_against`); this facade is the one place
+    the lane signatures are allowed to differ."""
+    if modality == "text":
+        return simhash64(df, id_col, text_col)
+    from .multimodal import audio_fingerprint, image_dhash, video_dhash
+
+    if modality == "image":
+        sig = image_dhash(df)
+    elif modality == "audio":
+        sig = audio_fingerprint(df, n_segments=n_segments)
+    elif modality == "video":
+        sig = video_dhash(df, every_n=every_n, max_frames=max_frames)
+    else:
+        raise ValueError(
+            f"modality must be one of {NEAR_DUP_MODALITIES}, got {modality!r}"
+        )
+    return sig.withColumnRenamed("media_id", "doc_id")
+
+
+def near_dups(
+    df: DataFrame,
+    modality: str = "text",
+    max_hamming: int = 4,
+    against: DataFrame | None = None,
+    block: bool = True,
+    salt_buckets: int = 1,
+    **lane_kwargs,
+) -> DataFrame:
+    """Near-duplicate pairs for ANY of the four fingerprint lanes
+    through ONE call signature — the dispatcher the per-modality
+    entries compose by hand (mm_image_near_dups, mm_audio_near_dups,
+    mm_video_near_dups, dedup_simhash, mm_image_dedup_incremental are
+    all one facade call each; parity pinned by test, entries
+    unchanged). Returns ``(id_a, id_b, hamming)`` with
+    ``hamming <= max_hamming``.
+
+    ``against=None``: self near-dedup — the signature table feeds the
+    pigeonhole-blocked SELF-join (:func:`simhash_near_dups`).
+    ``against=corpus_df``: incremental ingest — ``df`` is the arriving
+    batch, signatures of BOTH sides feed the cross-side blocking
+    (:func:`simhash_near_dups_against`; ``id_a`` from the corpus,
+    ``id_b`` from the batch; the corpus never self-joins).
+
+    Media-lane signatures (Arrow/numpy mapInPandas chains) are
+    lazy-localCheckpointed before the join — without the lineage cut
+    each join side re-runs the whole Python build+hash chain (measured
+    2× the entry wall time); the text lane deliberately is NOT — both
+    sides of its blocking join share the signature aggregation's
+    shuffle via ReusedExchange, which beats materializing (measured,
+    see the dedup_simhash entry). ``lane_kwargs`` pass through to
+    :func:`near_dup_signatures` (id_col/text_col, n_segments,
+    every_n/max_frames)."""
+    sig = near_dup_signatures(df, modality, **lane_kwargs)
+    if modality != "text":
+        sig = sig.localCheckpoint(eager=False)
+    if against is not None:
+        sig_c = near_dup_signatures(against, modality, **lane_kwargs)
+        if modality != "text":
+            sig_c = sig_c.localCheckpoint(eager=False)
+        return simhash_near_dups_against(sig_c, sig, max_hamming, block=block)
+    return simhash_near_dups(
+        sig, max_hamming, block=block, salt_buckets=salt_buckets
+    )

@@ -284,7 +284,16 @@ def kmeans_fixedpoint(
     a row expression (k columns wide — right up to a few thousand
     clusters); ``"join"`` keeps the (doc_id, cluster)-keyed join form
     for huge k. ``"auto"`` picks pivot at k ≤ 256. Both are bit-equal
-    (pinned by test)."""
+    (pinned by test).
+
+    ``persist_weights=True`` (the default) registers a
+    MEMORY_AND_DISK cache of the weights projection for the SESSION'S
+    lifetime — the returned DataFrame is lazy, so this function cannot
+    know when the last consumer has run and never unpersists. A
+    long-lived session cycling many corpora should
+    ``spark.catalog.clearCache()`` between runs, or pass
+    ``persist_weights=False`` when the caller already caches the
+    (doc_id, word, weight) projection itself."""
     # feeds seeds, norms, and every pass. persist (not an eager
     # localCheckpoint): the first action — pass 0's seed-rows collect —
     # materializes the cache as a side effect, so the dedicated

@@ -1298,3 +1298,84 @@ def test_ivf_append_hof_fallback_matches_numpy(spark, tmp_path):
         .collect()
     }
     assert stored == want and len(stored) > 0
+
+
+def test_near_dups_facade_parity_all_lanes(spark):
+    """Round-9 facade (dedup.near_dups): one call signature per lane
+    must reproduce the hand-composed pipelines row-identically — text
+    (simhash64 + blocked join), image/audio/video (the multimodal
+    fingerprint kernels + the same join), and the incremental
+    batch-vs-corpus route (cross-side blocking). Entries stay
+    hand-composed; this pins the dispatcher against drift."""
+    from pyspark.sql import functions as F
+
+    from skripsi_mapreduce_spark.operators import dedup as dd
+    from skripsi_mapreduce_spark.operators import multimodal as mm
+    from skripsi_mapreduce_spark.plans.extensions2 import (
+        _af_wav_blob,
+        _dh_blob,
+        _vh_video_blob,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # text lane
+    want = sorted(
+        map(
+            tuple,
+            dd.simhash_near_dups(dd.simhash64(docs), max_hamming=8).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, dd.near_dups(docs, "text", max_hamming=8).collect())
+    )
+    assert got == want and len(got) > 0
+
+    # media lanes: the adjudicated entries' fixture blobs
+    did = F.col("doc_id")
+    base = F.when(did % 10 == 9, did - 1).otherwise(did).cast("string")
+    twin = did % 20 == 19
+    small = docs.select("doc_id").filter(did < 120)
+    for kind, blob, kern, kw in [
+        ("image", _dh_blob(base, twin), mm.image_dhash, {}),
+        ("audio", _af_wav_blob(base, twin), mm.audio_fingerprint, {}),
+        ("video", _vh_video_blob(base, twin), mm.video_dhash, {}),
+    ]:
+        media = small.select(
+            did.alias("media_id"), F.lit(kind).alias("kind"), blob.alias("content")
+        )
+        sig = kern(media).withColumnRenamed("media_id", "doc_id")
+        want = sorted(
+            map(tuple, dd.simhash_near_dups(sig, max_hamming=4).collect())
+        )
+        got = sorted(
+            map(tuple, dd.near_dups(media, kind, max_hamming=4).collect())
+        )
+        assert got == want and len(got) > 0, kind
+
+    # incremental route (image lane): facade == cross-side blocking
+    corp = small.filter(did % 5 != 0).select(
+        did.alias("media_id"), F.lit("image").alias("kind"),
+        _dh_blob(did.cast("string"), F.lit(False)).alias("content"),
+    )
+    batch = small.filter(did % 20 == 1).select(
+        (did + 1000).alias("media_id"), F.lit("image").alias("kind"),
+        _dh_blob(did.cast("string"), F.lit(True)).alias("content"),
+    )
+    sc = mm.image_dhash(corp).withColumnRenamed("media_id", "doc_id")
+    sb = mm.image_dhash(batch).withColumnRenamed("media_id", "doc_id")
+    want = sorted(
+        map(tuple, dd.simhash_near_dups_against(sc, sb, max_hamming=4).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            dd.near_dups(batch, "image", max_hamming=4, against=corp).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    # unknown modality fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="modality"):
+        dd.near_dup_signatures(docs, "hologram")
