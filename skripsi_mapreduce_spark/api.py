@@ -76,6 +76,29 @@ class _Text:
 
         return bm25_topk(df, query_terms, k=k, **kw)
 
+    def bm25_model(self, df: DataFrame, **kw):
+        """Materialize the maintainable lexical model (postings,
+        doclen) — serve with bm25_query, maintain with bm25_update."""
+        from .operators.search import bm25_model
+
+        return bm25_model(df, **kw)
+
+    def bm25_update(self, postings: DataFrame, doclen: DataFrame, delta: DataFrame, **kw):
+        """Absorb a document delta (new docs + replacements) into the
+        lexical model; row-identical to a reindex (adjudicated)."""
+        from .operators.search import bm25_update_model
+
+        return bm25_update_model(postings, doclen, delta, **kw)
+
+    def bm25_query(
+        self, postings: DataFrame, doclen: DataFrame, query_terms: list[str],
+        k: int = 20, **kw,
+    ) -> DataFrame:
+        """Top-k against a materialized model (bm25_model/bm25_update)."""
+        from .operators.search import bm25_topk_from_model
+
+        return bm25_topk_from_model(postings, doclen, query_terms, k=k, **kw)
+
 
 class _Cluster:
     def __init__(self, eng: "Engine"):
@@ -137,6 +160,22 @@ class _Dedup:
         from .operators.similarity import embedding_near_dups
 
         return embedding_near_dups(emb, threshold=threshold, **kw)
+
+    def near_dups(
+        self,
+        df: DataFrame,
+        modality: str = "text",
+        max_hamming: int = 4,
+        against: DataFrame | None = None,
+        **kw,
+    ) -> DataFrame:
+        """One near-dup call across the four fingerprint lanes (text /
+        image / audio / video) and both routes (self near-dedup, or
+        batch-vs-corpus incremental via ``against``) — see
+        operators/dedup.near_dups."""
+        from .operators.dedup import near_dups
+
+        return near_dups(df, modality, max_hamming, against=against, **kw)
 
 
 class _Sim:

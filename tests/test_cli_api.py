@@ -183,3 +183,26 @@ def test_cli_corpus_prep_and_bpe_stages(spark, tmp_path):
     merges = spark.read.parquet(f"{out}/bpe_merges")
     counts = spark.read.parquet(f"{out}/bpe_token_counts")
     assert merges.count() == 5 and counts.count() == 3
+
+
+def test_engine_facade_round9_surfaces(spark):
+    """The round-9 public surfaces ride the Engine facade: unified
+    near-dups dispatch and the maintainable BM25 model triple."""
+    eng = Engine(spark)
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash join hash join"),
+            (2, "hash join hash join hash join"),
+            (3, "window sort filter group"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = eng.dedup.near_dups(docs, "text", max_hamming=4).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    postings, doclen = eng.text.bm25_model(docs)
+    delta = spark.createDataFrame(
+        [(4, "hash join spark stream")], "doc_id long, text string"
+    )
+    postings, doclen = eng.text.bm25_update(postings, doclen, delta)
+    top = eng.text.bm25_query(postings, doclen, ["spark", "stream"], k=2).collect()
+    assert [r["doc_id"] for r in top] == [4]
