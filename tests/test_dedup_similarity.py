@@ -1379,3 +1379,28 @@ def test_near_dups_facade_parity_all_lanes(spark):
 
     with pytest.raises(ValueError, match="modality"):
         dd.near_dup_signatures(docs, "hologram")
+
+
+def test_ivfpq_partitioned_store_prunes_and_matches_inline(spark, tmp_path):
+    """Round-9 PQ store: the three-tier probe's scan plans a list_id
+    partition filter (directory pruning is real, not aspirational) and
+    the served top-k equals the inline ivfpq_rerank_topk path under the
+    same seeds/knobs — store-and-serve changes nothing but the layout."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq_store")
+    ivf_c, pq_c = sim.write_ivfpq_partitioned(emb, path, n_list=8, m=8, n_codes=8)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    probed = sim.probe_ivfpq_partitioned(
+        spark, path, ivf_c, pq_c, q, k=10, rerank_mult=4, n_probe=2, m=8
+    )
+    plan = probed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and any("list_id" in l for l in part_lines), plan
+    inline = sim.ivfpq_rerank_topk(
+        emb, q, k=10, rerank_mult=4, n_list=8, n_probe=2, m=8, n_codes=8
+    )
+    assert [tuple(r) for r in probed.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
