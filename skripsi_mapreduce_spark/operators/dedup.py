@@ -1688,6 +1688,13 @@ def near_dups(
     if modality != "text":
         sig = sig.localCheckpoint(eager=False)
     if against is not None:
+        if salt_buckets != 1:
+            raise ValueError(
+                "salt_buckets applies to the self-join route only; the "
+                "cross-side blocking (against=...) has no salting "
+                "support — a silently dropped knob would leave the "
+                "straggler bucket unchanged with no signal why"
+            )
         sig_c = near_dup_signatures(against, modality, **lane_kwargs)
         if modality != "text":
             sig_c = sig_c.localCheckpoint(eager=False)

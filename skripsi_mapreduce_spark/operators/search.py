@@ -74,6 +74,8 @@ def bm25_update_model(
     delta_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    seq_col: str | None = None,
+    assume_unique: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Absorb a document DELTA into the lexical model without touching
     unchanged docs' rows: delta doc_ids' old postings/length rows are
@@ -85,10 +87,42 @@ def bm25_update_model(
     oracle is the from-scratch statement), so scores after an update
     can never drift from a reindex.
 
+    The delta must resolve to ONE row per doc_id before the recompute —
+    a multi-version batch would otherwise merge both versions' tokens
+    into one doc's postings AND double its doclen row (inflating N and
+    duplicating score rows, silently). Three contracts, CDC-style:
+    ``seq_col`` names a version column and the highest version per
+    doc_id wins (ties by the later text, deterministically — the
+    apply_changes discipline); without it, duplicate delta ids raise
+    (one counting job over the DELTA only); ``assume_unique=True``
+    skips that guard job for hot paths whose upstream already dedupes.
+
     At 100 TB: the anti-join keys are the delta's doc_ids (broadcast at
     any sane batch size), the recompute tokenizes ONLY the delta, and
     with both model tables stored partitioned/bucketed by their keys
     the merge rewrites only touched partitions."""
+    if seq_col is not None:
+        delta_docs = (
+            delta_docs.groupBy(F.col(id_col))
+            .agg(
+                F.max(F.struct(F.col(seq_col), F.col(text_col))).alias("_v")
+            )
+            .select(F.col(id_col), F.col(f"_v.{text_col}").alias(text_col))
+        )
+    elif not assume_unique:
+        dup = (
+            delta_docs.groupBy(F.col(id_col))
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > 1)
+            .head(1)
+        )
+        if dup:
+            raise ValueError(
+                f"delta carries {dup[0]['_n']} rows for {id_col}="
+                f"{dup[0][id_col]}; pass seq_col to resolve multi-version "
+                "batches latest-wins, or dedupe upstream (assume_unique=True "
+                "skips this guard)"
+            )
     changed = delta_docs.select(F.col(id_col).alias("doc_id")).distinct()
     d_tf, d_len = bm25_model(delta_docs, id_col, text_col)
     new_postings = postings.join(F.broadcast(changed), "doc_id", "anti").unionByName(
@@ -100,12 +134,23 @@ def bm25_update_model(
     return new_postings, new_doclen
 
 
+def bm25_model_scalars(doclen: DataFrame) -> tuple[int, int]:
+    """(n_docs, total_dl): the model's two driver scalars in one job —
+    compute once per MODEL, not per query, when serving a static model
+    (the streaming route hoists this out of the micro-batch loop)."""
+    row = doclen.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tot")
+    ).head()
+    return int(row["n"]), int(row["tot"])
+
+
 def _score_from_model(
     postings: DataFrame,
     doclen: DataFrame,
     terms: list[str] | DataFrame,
     k1: float,
     b: float,
+    scalars: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(doc_id, word, p): the 8dp-decimal per-(doc, term) partial BM25
     scores for one term set — the shared scoring tail of
@@ -114,12 +159,12 @@ def _score_from_model(
     computes them once over the union of all queries' terms. ``terms``
     is a literal list (single-query path) or a 1-column DataFrame of
     distinct words (batched path — broadcast semi-join, nothing
-    collected)."""
+    collected). ``scalars`` = precomputed :func:`bm25_model_scalars`
+    (n_docs, total_dl) — serving loops over a STATIC model pass it so
+    the per-call scalar job disappears (the streaming route computes it
+    once per stream, not once per micro-batch)."""
     # two scalar driver reductions, same convention as TF-IDF's N (O14)
-    row = doclen.agg(
-        F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tot")
-    ).head()
-    n_docs, tot = row["n"], row["tot"]
+    n_docs, tot = scalars if scalars is not None else bm25_model_scalars(doclen)
     # `or 1.0`: an empty / all-empty-text corpus has tot == 0, and a zero
     # avgdl would turn the length norm into a division by zero (Inf/NaN
     # scores); with no terms anywhere the qtf join is empty regardless,
@@ -160,13 +205,16 @@ def bm25_topk_from_model(
     k: int = 20,
     k1: float = 1.2,
     b: float = 0.75,
+    scalars: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Top-``k`` documents by BM25 against a materialized
     (:func:`bm25_model` / :func:`bm25_update_model`) lexical model.
     Returns (doc_id, score_e6), ties broken by doc_id ascending;
-    documents matching no query term score 0 and are not returned."""
+    documents matching no query term score 0 and are not returned.
+    Pass ``scalars`` (:func:`bm25_model_scalars`) when querying a
+    static model repeatedly."""
     terms = sorted({t.lower() for t in query_terms})
-    parts = _score_from_model(postings, doclen, terms, k1, b)
+    parts = _score_from_model(postings, doclen, terms, k1, b, scalars)
     scored = parts.groupBy("doc_id").agg(F.sum("p").alias("score"))
     return (
         scored.select("doc_id", e_int(F.col("score").cast("double"), 6).alias("score_e6"))
@@ -194,6 +242,12 @@ def bm25_topk(
     with :func:`bm25_model` and score via
     :func:`bm25_topk_from_model`."""
     postings, doclen = bm25_model(docs, id_col, text_col)
+    # lazy checkpoints: the scalar action materializes doclen and the
+    # scoring job materializes postings, so the corpus tokenizes ONCE —
+    # unpinned, the scalar pass, the qtf filter, and the dl join would
+    # each re-run the tokenize+aggregate chain (round-9 review finding)
+    postings = postings.localCheckpoint(eager=False)
+    doclen = doclen.localCheckpoint(eager=False)
     return bm25_topk_from_model(postings, doclen, query_terms, k, k1, b)
 
 
@@ -206,6 +260,7 @@ def bm25_topk_many(
     b: float = 0.75,
     q_id_col: str = "query_id",
     q_terms_col: str = "terms",
+    scalars: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Batched BM25: N queries (``(query_id, terms array<string>)``)
     answered in ONE pass over the union of their posting lists —
@@ -226,7 +281,7 @@ def bm25_topk_many(
             F.array_distinct(F.transform(F.col(q_terms_col), F.lower))
         ).alias("word"),
     )
-    parts = _score_from_model(postings, doclen, qterms, k1, b)
+    parts = _score_from_model(postings, doclen, qterms, k1, b, scalars)
     scored = (
         parts.join(F.broadcast(qterms), "word")
         .groupBy("query_id", "doc_id")

@@ -394,6 +394,33 @@ def _py_dot_i64(a: list[float], b: list[float]) -> int:
     )
 
 
+def _md5_seed_vectors(
+    emb, n: int, id_col: str, vec_col: str, needed: str | None = None
+) -> dict[int, list[float]]:
+    """The engine's ONE deterministic seed draw: the ``n`` vectors with
+    the smallest ``(md5(id), id)`` as a {0..n-1: vector} table — shared
+    by every index/codebook builder (ivf_index, pq_topk, ivfpq_topk,
+    ivfpq_rerank_topk_many, write_ivfpq_partitioned) so the ordering,
+    the tie-break, and the cast can never drift between them (oracle
+    parity and append==rebuild both depend on all sites staying in
+    lockstep — round-9 review finding). ``needed`` (a description of
+    the requirement) turns a short corpus into a loud ValueError; None
+    keeps the historical ivf_index behavior of returning fewer rows."""
+    seed_rows = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), "_id")
+        .limit(n)
+        .collect()
+    )
+    if needed is not None and len(seed_rows) < n:
+        raise ValueError(
+            f"corpus holds {len(seed_rows)} vectors but the index needs "
+            f"{needed} distinct seed rows; shrink the codebook/list knobs "
+            "or grow the corpus"
+        )
+    return {i: [float(x) for x in r["_v"]] for i, r in enumerate(seed_rows)}
+
+
 def ivf_index(
     emb: DataFrame,
     n_list: int = 16,
@@ -432,13 +459,7 @@ def ivf_index(
     pass against the n_list x dim centroid matrix, bit-identical to the
     HOF fold (pinned by test); ``"hof"`` keeps the pure-JVM expression
     path for audits and zero-Python deployments."""
-    seed_rows = (
-        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy(F.md5(F.col("_id").cast("string")), "_id")
-        .limit(n_list)
-        .collect()
-    )
-    centroids = {i: [float(x) for x in r["_v"]] for i, r in enumerate(seed_rows)}
+    centroids = _md5_seed_vectors(emb, n_list, id_col, vec_col)
     if fixed_point:
         if kernel == "numpy":
             return _ivf_assign_numpy(emb, centroids, vec_col), centroids
@@ -764,13 +785,7 @@ def pq_topk(
     survivors) is the standard follow-up; here the ADC ranking itself is
     the adjudicated surface (every number int64)."""
     if centroids is None:
-        seed_rows = (
-            emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-            .orderBy(F.md5(F.col("_id").cast("string")), "_id")
-            .limit(n_codes)
-            .collect()
-        )
-        centroids = {i: [float(x) for x in r["_v"]] for i, r in enumerate(seed_rows)}
+        centroids = _md5_seed_vectors(emb, n_codes, id_col, vec_col)
     dim = len(query_vec)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -983,19 +998,10 @@ def ivfpq_topk(
 
     At 100 TB: scan cost = (n_probe/n_list) × (m bytes/vector); the two
     tiers compose because both are computed at write time."""
-    seed_rows = (
-        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy(F.md5(F.col("_id").cast("string")), "_id")
-        .limit(max(n_list, n_codes))
-        .collect()
+    seeds = _md5_seed_vectors(
+        emb, max(n_list, n_codes), id_col, vec_col,
+        needed=f"max(n_list={n_list}, n_codes={n_codes})",
     )
-    if len(seed_rows) < max(n_list, n_codes):
-        raise ValueError(
-            f"corpus holds {len(seed_rows)} vectors but the index needs "
-            f"max(n_list={n_list}, n_codes={n_codes}) distinct seed rows; "
-            "shrink the codebook/list knobs or grow the corpus"
-        )
-    seeds = {i: [float(x) for x in r["_v"]] for i, r in enumerate(seed_rows)}
     pq_cents = {i: seeds[i] for i in range(n_codes)}
     indexed, ivf_cents = ivf_index(emb, n_list, id_col, vec_col, fixed_point=True)
 
@@ -1082,19 +1088,10 @@ def ivfpq_rerank_topk_many(
     only lists SOME query probes are touched (partition pruning on a
     write_ivf_partitioned store via the probed-list union), and the
     shuffles carry candidate/shortlist rows only."""
-    seed_rows = (
-        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy(F.md5(F.col("_id").cast("string")), "_id")
-        .limit(max(n_list, n_codes))
-        .collect()
+    seeds = _md5_seed_vectors(
+        emb, max(n_list, n_codes), id_col, vec_col,
+        needed=f"max(n_list={n_list}, n_codes={n_codes})",
     )
-    if len(seed_rows) < max(n_list, n_codes):
-        raise ValueError(
-            f"corpus holds {len(seed_rows)} vectors but the index needs "
-            f"max(n_list={n_list}, n_codes={n_codes}) distinct seed rows; "
-            "shrink the codebook/list knobs or grow the corpus"
-        )
-    seeds = {i: [float(x) for x in r["_v"]] for i, r in enumerate(seed_rows)}
     pq_cents = {i: seeds[i] for i in range(n_codes)}
     indexed, ivf_cents = ivf_index(emb, n_list, id_col, vec_col, fixed_point=True)
     encoded = pq_encode(indexed, pq_cents, m, id_col, vec_col)
@@ -1323,18 +1320,10 @@ def write_ivfpq_partitioned(
     re-rank tier reads vectors for the shortlist only, and at 100 TB a
     deployment that externalizes vectors to a separate row store swaps
     that one join — codes (m small ints) remain the scan payload."""
-    seed_rows = (
-        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy(F.md5(F.col("_id").cast("string")), "_id")
-        .limit(max(n_list, n_codes))
-        .collect()
+    seeds = _md5_seed_vectors(
+        emb, max(n_list, n_codes), id_col, vec_col,
+        needed=f"max(n_list={n_list}, n_codes={n_codes})",
     )
-    if len(seed_rows) < max(n_list, n_codes):
-        raise ValueError(
-            f"corpus holds {len(seed_rows)} vectors but the index needs "
-            f"max(n_list={n_list}, n_codes={n_codes}) distinct seed rows"
-        )
-    seeds = {i: [float(x) for x in r["_v"]] for i, r in enumerate(seed_rows)}
     ivf_cents = {i: seeds[i] for i in range(n_list)}
     pq_cents = {i: seeds[i] for i in range(n_codes)}
     indexed = _ivf_assign_numpy(emb, ivf_cents, vec_col)

@@ -135,15 +135,21 @@ def serve_bm25_topk_foreachbatch(
     (audit shape). At 100 TB the model tables are the serving index —
     maintained incrementally under document deltas (bm25_update_model),
     scanned only on the arriving terms' posting lists per batch."""
+    from ..operators.search import bm25_model_scalars
+
     spark = query_stream.sparkSession
     rows: list = []
+    # N/avgdl are properties of the STATIC model — one scalar job per
+    # stream here, not one per micro-batch (round-9 review finding);
+    # this also materializes a lazily-checkpointed doclen up front
+    scalars = bm25_model_scalars(doclen)
 
     def _serve(mb: DataFrame, _epoch: int) -> None:
         from ..operators.search import bm25_topk_many
 
         out = bm25_topk_many(
             postings, doclen, mb, k=k, k1=k1, b=b,
-            q_id_col=q_id_col, q_terms_col=q_terms_col,
+            q_id_col=q_id_col, q_terms_col=q_terms_col, scalars=scalars,
         )
         if sink_path is not None:
             out.write.mode("append").parquet(sink_path)

@@ -1404,3 +1404,15 @@ def test_ivfpq_partitioned_store_prunes_and_matches_inline(spark, tmp_path):
     assert [tuple(r) for r in probed.collect()] == [
         tuple(r) for r in inline.collect()
     ]
+
+
+def test_near_dups_against_rejects_salt(spark):
+    """salt_buckets has no cross-side implementation; the facade must
+    refuse it loudly on the against route instead of dropping it."""
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="salt_buckets"):
+        from skripsi_mapreduce_spark.operators.dedup import near_dups
+
+        near_dups(docs, "text", against=docs, salt_buckets=8)

@@ -190,3 +190,39 @@ def test_stream_bm25_serving_matches_batch_and_slicing_invariant(spark, tmp_path
     os.makedirs(empty)
     qdf.limit(0).coalesce(1).write.mode("overwrite").parquet(empty)
     assert replay(empty).count() == 0
+
+
+def test_bm25_update_model_multi_version_delta(spark):
+    """Round-9 review finding: a multi-version delta batch must never
+    silently corrupt the model. Without seq_col duplicate delta ids
+    raise; with seq_col the highest version wins and the model equals
+    a reindex over the resolved corpus; assume_unique skips the guard."""
+    import pytest
+
+    from skripsi_mapreduce_spark.operators.search import (
+        bm25_model,
+        bm25_update_model,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "hash join"), (2, "sort scan")], "doc_id long, text string"
+    )
+    p0, l0 = bm25_model(base)
+    dup_delta = spark.createDataFrame(
+        [(2, "old version", 1), (2, "sort scan merge", 2), (3, "spark stream", 1)],
+        "doc_id long, text string, seq long",
+    )
+    with pytest.raises(ValueError, match="rows for doc_id=2"):
+        bm25_update_model(p0, l0, dup_delta)
+    p1, l1 = bm25_update_model(p0, l0, dup_delta, seq_col="seq")
+    resolved = spark.createDataFrame(
+        [(1, "hash join"), (2, "sort scan merge"), (3, "spark stream")],
+        "doc_id long, text string",
+    )
+    pw, lw = bm25_model(resolved)
+    assert sorted(map(tuple, p1.collect())) == sorted(map(tuple, pw.collect()))
+    assert sorted(map(tuple, l1.collect())) == sorted(map(tuple, lw.collect()))
+    # assume_unique skips the guard (caller's contract)
+    clean = dup_delta.filter("seq = 2 OR doc_id = 3").drop("seq")
+    p2, l2 = bm25_update_model(p0, l0, clean, assume_unique=True)
+    assert sorted(map(tuple, p2.collect())) == sorted(map(tuple, pw.collect()))
