@@ -226,3 +226,22 @@ def test_bm25_update_model_multi_version_delta(spark):
     clean = dup_delta.filter("seq = 2 OR doc_id = 3").drop("seq")
     p2, l2 = bm25_update_model(p0, l0, clean, assume_unique=True)
     assert sorted(map(tuple, p2.collect())) == sorted(map(tuple, pw.collect()))
+
+
+def test_bm25_update_model_empty_delta_is_identity(spark):
+    """An empty delta must leave the model row-identical (the no-op
+    micro-batch edge of continuous reindexing)."""
+    from skripsi_mapreduce_spark.operators.search import (
+        bm25_model,
+        bm25_update_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hash join"), (2, "")], "doc_id long, text string"
+    )
+    p0, l0 = bm25_model(docs)
+    p1, l1 = bm25_update_model(p0, l0, docs.limit(0))
+    assert sorted(map(tuple, p1.collect())) == sorted(map(tuple, p0.collect()))
+    assert sorted(map(tuple, l1.collect())) == sorted(map(tuple, l0.collect()))
+    # token-less doc 2 still counts toward N through doclen
+    assert l1.count() == 2
