@@ -245,3 +245,34 @@ def test_bm25_update_model_empty_delta_is_identity(spark):
     assert sorted(map(tuple, l1.collect())) == sorted(map(tuple, l0.collect()))
     # token-less doc 2 still counts toward N through doclen
     assert l1.count() == 2
+
+
+def test_bm25_results_partition_invariant(spark):
+    """Scores and top-k membership must not depend on physical layout:
+    the decimal-sum discipline makes per-doc scores order-independent,
+    so any repartitioning of docs or model tables yields identical
+    results (the shuffle-proof claim, pinned)."""
+    from skripsi_mapreduce_spark.operators.search import (
+        bm25_model,
+        bm25_topk,
+        bm25_topk_many,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["hash", "join", "spark", "stream"]
+    a = [tuple(r) for r in bm25_topk(docs, terms, k=15).collect()]
+    b = [tuple(r) for r in bm25_topk(docs.repartition(17), terms, k=15).collect()]
+    assert a == b and len(a) == 15
+    p, d = bm25_model(docs)
+    qdf = spark.createDataFrame([(0, terms)], "query_id long, terms array<string>")
+    m1 = sorted(map(tuple, bm25_topk_many(p, d, qdf, k=15).collect()))
+    m2 = sorted(
+        map(
+            tuple,
+            bm25_topk_many(
+                p.repartition(13), d.repartition(5), qdf, k=15
+            ).collect(),
+        )
+    )
+    assert m1 == m2
+    assert {(doc, s) for _q, doc, s in m1} == set(a)
