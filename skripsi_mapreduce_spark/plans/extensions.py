@@ -264,8 +264,10 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     is probabilistic in principle but this fixture's nearest
     non-duplicate pair sits below J=0.4 against a t=0.8 gate, far
     outside any banding miss window (16 hashes / 4 rows per band).
-    The prefix table is built ONCE — the profile sizes the same
-    checkpointed table the prefix arm self-joins.
+    Cost shape: the shingle table checkpoints once; the prefix window
+    deliberately re-runs per action (cheaper than checkpointing it —
+    measured in jaccard_near_dups_auto's docstring), so self-routing
+    costs one ~1s counting action over the unconditional join.
 
     bitmap_max_vocab=0: the trigram space grows with the corpus (27k
     distinct at sf0.1), so probing for a dense <=4096-bit dictionary
