@@ -122,6 +122,51 @@ def table_row_count(sf_dir: str, name: str) -> int | None:
     return None
 
 
+def table_column_max(sf_dir: str, name: str, column: str) -> int | None:
+    """Exact MAX of an integer column from parquet ROW-GROUP statistics —
+    a driver-side pyarrow footer read, no Spark job (the column-stats
+    twin of :func:`table_row_count`; the incremental-ingest entries use
+    it for their id-offset scalar). Returns None — caller falls back to
+    ``df.agg(max(...))`` — when the table is not plain local parquet,
+    the column is absent, or ANY row group lacks trustworthy min/max
+    stats (a None here can only cost a Spark job, never a wrong
+    scalar)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(path):
+            files = [path]
+        elif os.path.isdir(path):
+            files = []
+            for root, dirs, fnames in os.walk(path):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                files.extend(
+                    os.path.join(root, f)
+                    for f in fnames
+                    if not f.startswith(("_", ".")) and not f.endswith(".crc")
+                )
+        else:
+            return None
+        mx = None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            try:
+                ci = md.schema.to_arrow_schema().get_field_index(column)
+            except Exception:
+                return None
+            if ci < 0:
+                return None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mx = st.max if mx is None else max(mx, st.max)
+        return mx
+    except Exception:
+        return None
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the whole catalog; plans select from these lazily, so Catalyst
     prunes columns and pushes predicates into the parquet scans."""

@@ -49,7 +49,10 @@ def _tf(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def bm25_model(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The BM25 lexical model as two maintainable tables:
     ``(postings, doclen)`` — postings is (doc_id, word, tf), doclen is
@@ -57,8 +60,17 @@ def bm25_model(
     token-less docs, so ``doclen.count()`` is the corpus N and no
     separate scalar state exists). Everything a query needs — df,
     avgdl, N — derives from these two tables at query time, touching
-    only the query terms' posting lists."""
+    only the query terms' posting lists.
+
+    ``checkpoint=True`` pins the postings plan with a lazy
+    localCheckpoint BEFORE doclen derives from it, so the corpus
+    tokenizes exactly ONCE no matter how many actions later touch
+    either table (checkpointing the two returned plans separately
+    tokenizes twice: doclen's lineage re-runs the tf chain — round-10
+    finding). Use it whenever the model is materialized for serving."""
     tf = _tf(docs, id_col, text_col)
+    if checkpoint:
+        tf = tf.localCheckpoint(eager=False)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     doclen = (
         docs.select(F.col(id_col).alias("doc_id"))
@@ -76,16 +88,23 @@ def bm25_update_model(
     text_col: str = "text",
     seq_col: str | None = None,
     assume_unique: bool = False,
+    deleted_ids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Absorb a document DELTA into the lexical model without touching
     unchanged docs' rows: delta doc_ids' old postings/length rows are
     anti-joined away and the recomputed rows unioned in — the CDC
-    upsert shape (cdc.apply_changes / merge_aggregates), covering both
-    NEW documents and REPLACEMENTS of existing ones. The updated model
-    is row-identical to :func:`bm25_model` over the post-delta corpus
-    (pinned by test and adjudicated by ta_bm25_incremental, whose
-    oracle is the from-scratch statement), so scores after an update
-    can never drift from a reindex.
+    upsert shape (cdc.apply_changes / merge_aggregates), covering NEW
+    documents, REPLACEMENTS of existing ones, and DELETIONS
+    (``deleted_ids``: a 1-column DataFrame of doc ids to drop — their
+    rows are anti-joined out of BOTH tables with nothing unioned back,
+    so N, avgdl and df all shrink exactly as a reindex over the
+    post-delete corpus would; continuous-recrawl pipelines drop
+    documents as often as they add them). A doc id in both the delta
+    and ``deleted_ids`` is a replace-then-delete conflict and raises.
+    The updated model is row-identical to :func:`bm25_model` over the
+    post-delta corpus (pinned by test and adjudicated by
+    ta_bm25_incremental, whose oracle is the from-scratch statement),
+    so scores after an update can never drift from a reindex.
 
     The delta must resolve to ONE row per doc_id before the recompute —
     a multi-version batch would otherwise merge both versions' tokens
@@ -97,10 +116,13 @@ def bm25_update_model(
     (one counting job over the DELTA only); ``assume_unique=True``
     skips that guard job for hot paths whose upstream already dedupes.
 
-    At 100 TB: the anti-join keys are the delta's doc_ids (broadcast at
-    any sane batch size), the recompute tokenizes ONLY the delta, and
-    with both model tables stored partitioned/bucketed by their keys
-    the merge rewrites only touched partitions."""
+    At 100 TB: the anti-join keys are the changed/deleted doc_ids
+    (AQE converts the anti-join to broadcast at runtime for any sane
+    batch size, and falls back to a shuffled anti-join for a
+    million-doc recrawl wave rather than OOMing a forced broadcast —
+    round-9 ADVICE), the recompute tokenizes ONLY the delta, and with
+    both model tables stored partitioned/bucketed by their keys the
+    merge rewrites only touched partitions."""
     if seq_col is not None:
         delta_docs = (
             delta_docs.groupBy(F.col(id_col))
@@ -124,13 +146,22 @@ def bm25_update_model(
                 "skips this guard)"
             )
     changed = delta_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    removed = changed
+    if deleted_ids is not None:
+        dels = deleted_ids.select(
+            F.col(deleted_ids.columns[0]).alias("doc_id")
+        ).distinct()
+        conflict = changed.join(dels, "doc_id", "semi").head(1)
+        if conflict:
+            raise ValueError(
+                f"doc_id={conflict[0]['doc_id']} appears in both the delta "
+                "and deleted_ids — resolve upsert-vs-delete upstream (a "
+                "delete of a doc this batch also rewrites is ambiguous)"
+            )
+        removed = changed.unionByName(dels)
     d_tf, d_len = bm25_model(delta_docs, id_col, text_col)
-    new_postings = postings.join(F.broadcast(changed), "doc_id", "anti").unionByName(
-        d_tf
-    )
-    new_doclen = doclen.join(F.broadcast(changed), "doc_id", "anti").unionByName(
-        d_len
-    )
+    new_postings = postings.join(removed, "doc_id", "anti").unionByName(d_tf)
+    new_doclen = doclen.join(removed, "doc_id", "anti").unionByName(d_len)
     return new_postings, new_doclen
 
 
@@ -241,13 +272,13 @@ def bm25_topk(
     Builds the model inline; serving deployments materialize it once
     with :func:`bm25_model` and score via
     :func:`bm25_topk_from_model`."""
-    postings, doclen = bm25_model(docs, id_col, text_col)
-    # lazy checkpoints: the scalar action materializes doclen and the
-    # scoring job materializes postings, so the corpus tokenizes ONCE —
-    # unpinned, the scalar pass, the qtf filter, and the dl join would
-    # each re-run the tokenize+aggregate chain (round-9 review finding)
-    postings = postings.localCheckpoint(eager=False)
-    doclen = doclen.localCheckpoint(eager=False)
+    # checkpoint=True pins the tf plan BEFORE doclen derives from it:
+    # the scalar pass, the qtf filter, and the dl join then all reuse
+    # one tokenize+aggregate run instead of re-running the chain per
+    # consumer (round-9 review finding, tightened round 10 — the old
+    # checkpoint-both-outputs form still tokenized twice because
+    # doclen's lineage predated the postings checkpoint)
+    postings, doclen = bm25_model(docs, id_col, text_col, checkpoint=True)
     return bm25_topk_from_model(postings, doclen, query_terms, k, k1, b)
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table, table_row_count
+from ..io import load_table, table_column_max, table_row_count
 from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators import text_analysis as ta
@@ -496,7 +496,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    off = emb.agg(F.max("vec_id")).head()[0] + 1
+    _mx = table_column_max(sf_dir, "embeddings", "vec_id")
+    if _mx is None:
+        _mx = emb.agg(F.max("vec_id")).head()[0]
+    off = _mx + 1
     twins = emb.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + F.lit(int(off))).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.02)).alias("embedding"),

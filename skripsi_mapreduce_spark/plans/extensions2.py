@@ -16,7 +16,7 @@ import struct
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, table_column_max
 from ..functions.text import TOKEN_PATTERN
 from .extensions import ASCII_TOKEN, _BPE_MERGES, _bpe_ctes
 from .relational import ORACLE, QUERIES, e_int_sql, query  # noqa: F401
@@ -717,7 +717,9 @@ def mm_image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import image_dhash
 
     docs = load_table(spark, sf_dir, "documents")
-    mx = docs.agg(F.max("doc_id")).head()[0]
+    mx = table_column_max(sf_dir, "documents", "doc_id")
+    if mx is None:
+        mx = docs.agg(F.max("doc_id")).head()[0]
     off = (mx if mx is not None else -1) + 1  # empty table -> empty batch
     did = F.col("doc_id")
     meta = F.lit(None).cast(
@@ -1871,7 +1873,10 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    off = emb.agg(F.max("vec_id")).head()[0] + 1
+    _mx = table_column_max(sf_dir, "embeddings", "vec_id")
+    if _mx is None:
+        _mx = emb.agg(F.max("vec_id")).head()[0]
+    off = _mx + 1
     twins = emb.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + F.lit(int(off))).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.02)).alias("embedding"),
@@ -1993,7 +1998,10 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    off = emb.agg(F.max("vec_id")).head()[0] + 1
+    _mx = table_column_max(sf_dir, "embeddings", "vec_id")
+    if _mx is None:
+        _mx = emb.agg(F.max("vec_id")).head()[0]
+    off = _mx + 1
     corpus = emb.filter(F.col("vec_id") % 5 != 0)
     twins = emb.filter(F.col("vec_id") % 20 == 1).select(
         (F.col("vec_id") + F.lit(int(off))).alias("vec_id"),
@@ -2034,7 +2042,10 @@ def stream_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    off = emb.agg(F.max("vec_id")).head()[0] + 1
+    _mx = table_column_max(sf_dir, "embeddings", "vec_id")
+    if _mx is None:
+        _mx = emb.agg(F.max("vec_id")).head()[0]
+    off = _mx + 1
     corpus = emb.filter(F.col("vec_id") % 5 != 0)
     k = max(2, -(-corpus.count() // _SEM_TARGET))
     w = corpus.select(

@@ -2217,7 +2217,9 @@ def _register_stream_sim_topk() -> None:
             .option("pathGlobFilter", "*.parquet")
             .load(qdir)
         )
-        out = serve_topk_cosine_foreachbatch(qstream, emb, k=_MANY_K)
+        out = serve_topk_cosine_foreachbatch(
+            qstream, emb, k=_MANY_K, memory_sink=True
+        )
         return out.select(
             "query_id", "vec_id", e_int(F.col("score"), 6).alias("score_e6")
         ).orderBy("query_id", F.col("score_e6").desc(), "vec_id")
@@ -2576,43 +2578,65 @@ def _register_bm25_incremental() -> None:
         """Incrementally MAINTAINED BM25 model, adjudicated against a
         reindex: the lexical model (postings + per-doc lengths,
         operators/search.bm25_model) is first built on a STALE corpus —
-        the doc_id % 5 == 0 documents missing entirely and every
-        doc_id % 20 == 3 document carrying placeholder text — then a
-        delta of arrivals (the % 5 == 0 docs) and replacements (the
-        % 20 == 3 docs' true text) is absorbed by
-        search.bm25_update_model: anti-join the changed doc_ids' rows
-        out, union the delta's recomputed rows in — the CDC upsert
-        monoid (cdc.apply_changes / merge_aggregates), tokenizing ONLY
-        the delta. The oracle is the from-scratch BM25 statement over
-        the current corpus VERBATIM (ta_bm25_topk's SQL), so
-        "maintained model == reindex" is itself the adjudicated claim —
-        df, avgdl, N, idf, and the top-20 scores must all come out
-        bit-identical through the incremental path. At 100 TB this is
-        how a retrieval index absorbs continuous recrawls: per-batch
-        cost is the delta's tokenization + two key-pruned merges, never
-        a corpus-wide df/avgdl recomputation."""
+        the doc_id % 5 == 0 documents missing entirely, every
+        doc_id % 20 == 3 document carrying placeholder text, and
+        PHANTOM documents (every % 20 == 7 doc's text re-keyed past
+        max(doc_id)) that the true corpus does not contain — then one
+        maintenance batch absorbs arrivals (the % 5 == 0 docs),
+        replacements (the % 20 == 3 docs' true text), and DELETIONS
+        (the phantom ids) via search.bm25_update_model: anti-join the
+        changed+deleted doc_ids' rows out of both tables, union the
+        delta's recomputed rows in — the CDC upsert monoid
+        (cdc.apply_changes / merge_aggregates), tokenizing ONLY the
+        delta. The oracle is the from-scratch BM25 statement over the
+        current corpus VERBATIM (ta_bm25_topk's SQL), so "maintained
+        model == reindex" is itself the adjudicated claim — df, avgdl,
+        N, idf, and the top-20 scores must all come out bit-identical
+        through the incremental path; an unexcised phantom doc would
+        skew N/avgdl (and df for every term it shares) and shift the
+        scores (round-10: deletions added — continuous recrawls drop
+        documents as often as they add them). At 100 TB this is how a
+        retrieval index absorbs continuous recrawls: per-batch cost is
+        the delta's tokenization + two key-pruned merges, never a
+        corpus-wide df/avgdl recomputation."""
         from ..operators.search import (
             bm25_model,
             bm25_topk_from_model,
             bm25_update_model,
         )
 
+        from ..io import table_column_max
+
         docs = load_table(spark, sf_dir, "documents")
         did = F.col("doc_id")
-        stale = docs.filter(did % 5 != 0).withColumn(
-            "text",
-            F.when(did % 20 == 3, F.lit("stale placeholder text")).otherwise(
-                F.col("text")
-            ),
+        # id-offset scalar from parquet footer stats (no Spark job);
+        # loud Spark fallback for non-parquet/statless inputs
+        mx = table_column_max(sf_dir, "documents", "doc_id")
+        if mx is None:
+            mx = docs.agg(F.max("doc_id")).head()[0]
+        off = (mx if mx is not None else -1) + 1  # empty table -> no phantoms
+        phantoms = docs.filter(did % 20 == 7).withColumn(
+            "doc_id", did + F.lit(int(off))
+        )
+        stale = (
+            docs.filter(did % 5 != 0)
+            .withColumn(
+                "text",
+                F.when(
+                    did % 20 == 3, F.lit("stale placeholder text")
+                ).otherwise(F.col("text")),
+            )
+            .unionByName(phantoms)
         )
         delta = docs.filter((did % 5 == 0) | (did % 20 == 3))
-        postings, doclen = bm25_model(stale)
         # pin the stale model the way a serving deployment stores it —
         # the update must not silently re-read the true corpus through
-        # lineage (localCheckpoint cuts it)
-        postings = postings.localCheckpoint(eager=False)
-        doclen = doclen.localCheckpoint(eager=False)
-        postings, doclen = bm25_update_model(postings, doclen, delta)
+        # lineage (checkpoint=True cuts it at the tf plan, so the stale
+        # corpus also tokenizes exactly once)
+        postings, doclen = bm25_model(stale, checkpoint=True)
+        postings, doclen = bm25_update_model(
+            postings, doclen, delta, deleted_ids=phantoms.select("doc_id")
+        )
         return bm25_topk_from_model(
             postings, doclen, _BM25_TERMS, k=20, k1=_BM25_K1, b=_BM25_B
         )
@@ -2635,10 +2659,12 @@ def _register_stream_bm25_topk() -> None:
     def stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Streaming lexical-search SERVING, adjudicated against the
         batch oracle per query: three term-bag queries arrive as a
-        three-file parquet stream (maxFilesPerTrigger=1 — three
-        separate micro-batches) and each micro-batch runs the batched
-        BM25 kernel against the STATIC materialized model under
-        foreachBatch (streaming/serving.serve_bm25_topk_foreachbatch →
+        three-file parquet stream (maxFilesPerTrigger=2 — two separate
+        micro-batches, an uneven 2+1 split, so cross-batch invariance
+        is still exercised without paying a third micro-batch's fixed
+        setup; per-file slicing is pinned by the pytest twin) and each
+        micro-batch runs the batched BM25 kernel against the STATIC
+        materialized model under foreachBatch (streaming/serving.serve_bm25_topk_foreachbatch →
         operators/search.bm25_topk_many: one pass over the union of the
         batch's posting lists answers every query; df/idf/avgdl are
         query-independent so sharing them is exact). Lexical serving is
@@ -2662,10 +2688,10 @@ def _register_stream_bm25_topk() -> None:
         from ..streaming.serving import serve_bm25_topk_foreachbatch
 
         docs = load_table(spark, sf_dir, "documents")
-        postings, doclen = bm25_model(docs)
-        # one materialization of the model for all three micro-batches
-        # (each foreachBatch invocation re-consumes both tables)
-        postings = postings.localCheckpoint(eager=False)
+        # checkpoint=True: ONE tokenize pass serves every micro-batch
+        # (the tf plan is pinned before doclen derives from it; the old
+        # checkpoint-both-outputs form tokenized the corpus twice)
+        postings, doclen = bm25_model(docs, checkpoint=True)
         doclen = doclen.localCheckpoint(eager=False)
         pa_schema = pa.schema(
             [("query_id", pa.int64()), ("terms", pa.list_(pa.string()))]
@@ -2681,11 +2707,13 @@ def _register_stream_bm25_topk() -> None:
         qstream = (
             spark.readStream.schema("query_id long, terms array<string>")
             .format("parquet")
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", "2")
             .option("pathGlobFilter", "*.parquet")
             .load(qdir)
         )
-        out = serve_bm25_topk_foreachbatch(qstream, postings, doclen, k=20)
+        out = serve_bm25_topk_foreachbatch(
+            qstream, postings, doclen, k=20, memory_sink=True
+        )
         return out.orderBy("query_id", F.col("score_e6").desc(), "doc_id")
 
 

@@ -122,6 +122,7 @@ def serve_semantic_verdicts_foreachbatch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sink_path: str | None = None,
+    memory_sink: bool = False,
     timeout_s: int = 300,
 ) -> DataFrame:
     """The LARGE-K streaming SemDeDup route: serve a stream through ANY
@@ -142,12 +143,14 @@ def serve_semantic_verdicts_foreachbatch(
     are final rows and the union over any micro-batch slicing is the
     same table.
 
-    Sink: with ``sink_path`` each micro-batch APPENDS its verdicts as
-    parquet (the production shape — verdict rows are k-per-batch-doc
-    scalars, never vectors); without it the verdicts accumulate in a
-    driver-side list (the memory-sink test/audit shape, same role as
-    windows.run_to_memory_sink). Returns the accumulated verdicts as a
-    batch DataFrame.
+    Sink (exactly one must be chosen — serving._resolve_sink): with
+    ``sink_path`` each micro-batch APPENDS its verdicts as parquet
+    under a fresh ``run-<id>`` subdirectory (the production shape —
+    verdict rows are k-per-batch-doc scalars, never vectors; a reused
+    logical path returns only its own run's rows); with
+    ``memory_sink=True`` the verdicts accumulate in a driver-side list
+    (the opt-in audit shape, same role as windows.run_to_memory_sink).
+    Returns the run's verdicts as a batch DataFrame.
 
     Scale note: this trades the fused route's one-kernel latency for
     full batch-plan generality — each micro-batch pays the distributed
@@ -156,8 +159,10 @@ def serve_semantic_verdicts_foreachbatch(
     outgrown a broadcastable codebook anyway)."""
     from ..operators.dedup import assigned_batch_verdicts
     from ..operators.kmeans import assign_with_model
+    from .serving import _resolve_sink
 
     spark = batch_stream.sparkSession
+    run_dir = _resolve_sink(sink_path, memory_sink)
     rows: list = []
 
     def _serve(mb: DataFrame, _epoch: int) -> None:
@@ -168,8 +173,8 @@ def serve_semantic_verdicts_foreachbatch(
         out = assigned_batch_verdicts(
             ba, corpus_assign, allemb, eps_e6, id_col=id_col, vec_col=vec_col
         )
-        if sink_path is not None:
-            out.write.mode("append").parquet(sink_path)
+        if run_dir is not None:
+            out.write.mode("append").parquet(run_dir)
         else:
             rows.extend(out.collect())
 
@@ -189,15 +194,15 @@ def serve_semantic_verdicts_foreachbatch(
     schema = (
         "doc_id long, cluster bigint, n_dups long, max_cosine_e6 long, is_new int"
     )
-    if sink_path is not None:
+    if run_dir is not None:
         import os
 
-        if not os.path.exists(sink_path):
+        if not os.path.exists(run_dir):
             # an empty stream never fires foreachBatch, so the sink dir
             # is never created — return the same empty verdict table the
             # memory-sink branch produces. Any OTHER read failure
             # (corrupt footer, permission) propagates loudly instead of
             # masquerading as an empty verdict set.
             return spark.createDataFrame([], schema=schema)
-        return spark.read.parquet(sink_path)
+        return spark.read.parquet(run_dir)
     return spark.createDataFrame(rows, schema=schema)

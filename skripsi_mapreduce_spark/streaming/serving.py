@@ -15,8 +15,33 @@ adjudicated batch operator.
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _resolve_sink(sink_path: str | None, memory_sink: bool) -> str | None:
+    """Enforce the serving sink contract shared by every foreachBatch
+    serving route: exactly ONE of ``sink_path`` (production parquet
+    append) or ``memory_sink=True`` (driver-side accumulation — the
+    audit/test shape, opt-in because it collects every result row onto
+    the driver) must be chosen, and a given ``sink_path`` is
+    auto-namespaced with a fresh ``run-<id>`` subdirectory so a reused
+    logical path can never return earlier invocations' rows alongside
+    the new ones (round-9 verdict: the docstring warned, the API now
+    enforces). Returns the namespaced physical sink dir, or None for
+    the memory route."""
+    if (sink_path is None) == (not memory_sink):
+        raise ValueError(
+            "choose exactly one sink: sink_path=<dir> (production parquet "
+            "append, auto-namespaced per run) or memory_sink=True "
+            "(driver-side accumulation for audits/tests)"
+        )
+    if sink_path is None:
+        return None
+    return os.path.join(sink_path, f"run-{uuid.uuid4().hex}")
 
 
 def serve_topk_cosine_foreachbatch(
@@ -28,6 +53,7 @@ def serve_topk_cosine_foreachbatch(
     q_id_col: str = "query_id",
     q_vec_col: str = "query_vec",
     sink_path: str | None = None,
+    memory_sink: bool = False,
     timeout_s: int = 300,
 ) -> DataFrame:
     """Serve exact cosine top-k for a STREAM of query vectors against a
@@ -38,14 +64,15 @@ def serve_topk_cosine_foreachbatch(
     are bit-identical to the batch entry and invariant to micro-batch
     slicing (pinned by test).
 
-    Sink: with ``sink_path`` each micro-batch APPENDS its (query_id,
-    vec_id, score) rows as parquet — the production serving shape;
-    without it rows accumulate driver-side (the memory-sink test/audit
-    shape). Returns the accumulated results as a batch DataFrame.
-    ``sink_path`` must be FRESH per logical run: append mode means a
-    reused directory returns earlier invocations' rows alongside the
-    new ones (round-8 ADVICE) — namespace the path per run id, or clear
-    it before starting the stream.
+    Sink (exactly one must be chosen — :func:`_resolve_sink`): with
+    ``sink_path`` each micro-batch APPENDS its (query_id, vec_id,
+    score) rows as parquet under a fresh ``run-<id>`` subdirectory —
+    the production serving shape, safe to reuse the same logical path
+    across runs because each run reads back only its own namespace
+    (round-9 verdict: enforced, not just documented); with
+    ``memory_sink=True`` rows accumulate driver-side — the audit/test
+    shape, opt-in because it collects every result row onto the
+    driver. Returns the run's results as a batch DataFrame either way.
 
     Scale: the static corpus side is a plan, not data — swap it for the
     IVF-partitioned store (similarity.write_ivf_partitioned) and probe
@@ -54,6 +81,7 @@ def serve_topk_cosine_foreachbatch(
     MICRO-BATCH (not per query), which is the amortization retrieval
     serving needs."""
     spark = query_stream.sparkSession
+    run_dir = _resolve_sink(sink_path, memory_sink)
     rows: list = []
 
     def _serve(mb: DataFrame, _epoch: int) -> None:
@@ -68,8 +96,8 @@ def serve_topk_cosine_foreachbatch(
             q_id_col=q_id_col,
             q_vec_col=q_vec_col,
         )
-        if sink_path is not None:
-            out.write.mode("append").parquet(sink_path)
+        if run_dir is not None:
+            out.write.mode("append").parquet(run_dir)
         else:
             rows.extend(out.collect())
 
@@ -87,16 +115,14 @@ def serve_topk_cosine_foreachbatch(
             f"top-k serving replay did not finish within {timeout_s}s"
         )
     schema = "query_id long, vec_id long, score double"
-    if sink_path is not None:
-        import os
-
-        if not os.path.exists(sink_path):
+    if run_dir is not None:
+        if not os.path.exists(run_dir):
             # an empty stream never fires foreachBatch, so the sink dir
             # is never created — same empty contract as the memory-sink
             # branch. Any OTHER read failure (corrupt footer, permission)
             # propagates loudly instead of masquerading as zero matches.
             return spark.createDataFrame([], schema=schema)
-        return spark.read.parquet(sink_path)
+        return spark.read.parquet(run_dir)
     if not rows:
         return spark.createDataFrame([], schema=schema)
     return spark.createDataFrame(rows, schema=schema)
@@ -112,6 +138,7 @@ def serve_bm25_topk_foreachbatch(
     q_id_col: str = "query_id",
     q_terms_col: str = "terms",
     sink_path: str | None = None,
+    memory_sink: bool = False,
     timeout_s: int = 300,
 ) -> DataFrame:
     """Serve BM25 top-k for a STREAM of term-bag queries against a
@@ -128,16 +155,19 @@ def serve_bm25_topk_foreachbatch(
     adjudicated batch kernel, exactly like the ANN serving route
     (:func:`serve_topk_cosine_foreachbatch`).
 
-    Sink contract matches the ANN route: ``sink_path`` appends each
-    micro-batch's (query_id, doc_id, score_e6) as parquet (production
-    shape; the path must be FRESH per logical run — a reused directory
-    returns earlier runs' rows); without it rows accumulate driver-side
-    (audit shape). At 100 TB the model tables are the serving index —
+    Sink contract matches the ANN route (:func:`_resolve_sink` —
+    exactly one of the two must be chosen): ``sink_path`` appends each
+    micro-batch's (query_id, doc_id, score_e6) as parquet under a
+    fresh ``run-<id>`` subdirectory (production shape — a reused
+    logical path returns only its own run's rows); ``memory_sink=True``
+    accumulates rows driver-side (opt-in audit shape). At 100 TB the
+    model tables are the serving index —
     maintained incrementally under document deltas (bm25_update_model),
     scanned only on the arriving terms' posting lists per batch."""
     from ..operators.search import bm25_model_scalars
 
     spark = query_stream.sparkSession
+    run_dir = _resolve_sink(sink_path, memory_sink)
     rows: list = []
     # N/avgdl are properties of the STATIC model — one scalar job per
     # stream here, not one per micro-batch (round-9 review finding);
@@ -151,8 +181,8 @@ def serve_bm25_topk_foreachbatch(
             postings, doclen, mb, k=k, k1=k1, b=b,
             q_id_col=q_id_col, q_terms_col=q_terms_col, scalars=scalars,
         )
-        if sink_path is not None:
-            out.write.mode("append").parquet(sink_path)
+        if run_dir is not None:
+            out.write.mode("append").parquet(run_dir)
         else:
             rows.extend(out.collect())
 
@@ -170,12 +200,10 @@ def serve_bm25_topk_foreachbatch(
             f"bm25 serving replay did not finish within {timeout_s}s"
         )
     schema = "query_id long, doc_id long, score_e6 long"
-    if sink_path is not None:
-        import os
-
-        if not os.path.exists(sink_path):
+    if run_dir is not None:
+        if not os.path.exists(run_dir):
             return spark.createDataFrame([], schema=schema)
-        return spark.read.parquet(sink_path)
+        return spark.read.parquet(run_dir)
     if not rows:
         return spark.createDataFrame([], schema=schema)
     return spark.createDataFrame(rows, schema=schema)

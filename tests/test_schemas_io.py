@@ -102,3 +102,25 @@ def test_write_sharded_manifest_and_bounds(spark, tmp_path):
     import json, os
     disk = json.load(open(os.path.join(out, "_manifest.json")))
     assert disk["total_rows"] == 5000 and disk["shards"] == m["shards"]
+
+
+def test_table_column_max_footer_stats(spark, tmp_path):
+    """Round-10: table_column_max reads the exact column MAX from
+    parquet row-group statistics (no Spark job) for both single-file
+    and directory tables, matches the engine aggregate, and returns
+    None (the loud Spark-fallback signal) for missing columns or
+    non-parquet paths — it may be slow to say None, never wrong."""
+    from pyspark.sql import functions as F
+
+    from skripsi_mapreduce_spark.io import table_column_max
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    want = docs.agg(F.max("doc_id")).head()[0]
+    assert table_column_max(sf, "documents", "doc_id") == want
+    # directory-shaped table (multi-file) — max spans files
+    docs.repartition(4).write.parquet(str(tmp_path / "docs.parquet"))
+    assert table_column_max(str(tmp_path), "docs", "doc_id") == want
+    # absent column / absent table -> None, not a wrong scalar
+    assert table_column_max(sf, "documents", "no_such_col") is None
+    assert table_column_max(str(tmp_path), "nope", "doc_id") is None

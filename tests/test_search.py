@@ -179,17 +179,20 @@ def test_stream_bm25_serving_matches_batch_and_slicing_invariant(spark, tmp_path
         )
         return serve_bm25_topk_foreachbatch(qstream, postings, doclen, k=5, **kw)
 
-    assert sorted(map(tuple, replay(one).collect())) == want
-    assert sorted(map(tuple, replay(many).collect())) == want
+    assert sorted(map(tuple, replay(one, memory_sink=True).collect())) == want
+    assert sorted(map(tuple, replay(many, memory_sink=True).collect())) == want
     sink = str(tmp_path / "sink")
     assert sorted(map(tuple, replay(one, sink_path=sink).collect())) == want
+    # round-10 sink contract: a reused logical sink path returns only
+    # its own run's rows (auto run-namespacing under the path)
+    assert sorted(map(tuple, replay(many, sink_path=sink).collect())) == want
     # empty stream: foreachBatch never fires, schema'd empty table back
     empty = str(tmp_path / "empty")
     import os
 
     os.makedirs(empty)
     qdf.limit(0).coalesce(1).write.mode("overwrite").parquet(empty)
-    assert replay(empty).count() == 0
+    assert replay(empty, memory_sink=True).count() == 0
 
 
 def test_bm25_update_model_multi_version_delta(spark):
@@ -276,3 +279,88 @@ def test_bm25_results_partition_invariant(spark):
     )
     assert m1 == m2
     assert {(doc, s) for _q, doc, s in m1} == set(a)
+
+
+def test_bm25_update_model_deletions_equal_reindex(spark):
+    """Round-10: bm25_update_model's deleted_ids path must leave the
+    model ROW-IDENTICAL to a reindex over the post-delete corpus — a
+    phantom doc left behind would skew N/avgdl and every shared term's
+    df — and a doc id in both the delta and deleted_ids raises (an
+    upsert-vs-delete conflict is ambiguous, never silent)."""
+    import pytest
+
+    from skripsi_mapreduce_spark.operators.search import (
+        bm25_model,
+        bm25_topk_from_model,
+        bm25_update_model,
+    )
+
+    full = spark.createDataFrame(
+        [
+            (1, "hash join spark"),
+            (2, "sort scan merge"),
+            (3, "spark stream window"),
+            (4, "filter group hash"),
+        ],
+        "doc_id long, text string",
+    )
+    p0, l0 = bm25_model(full, checkpoint=True)
+    delta = spark.createDataFrame(
+        [(2, "sort scan merge rewrite"), (5, "spark table query")],
+        "doc_id long, text string",
+    )
+    dels = spark.createDataFrame([(3,), (4,)], "doc_id long")
+    p1, l1 = bm25_update_model(p0, l0, delta, deleted_ids=dels)
+    survivors = spark.createDataFrame(
+        [
+            (1, "hash join spark"),
+            (2, "sort scan merge rewrite"),
+            (5, "spark table query"),
+        ],
+        "doc_id long, text string",
+    )
+    pw, lw = bm25_model(survivors)
+    assert sorted(map(tuple, p1.collect())) == sorted(map(tuple, pw.collect()))
+    assert sorted(map(tuple, l1.collect())) == sorted(map(tuple, lw.collect()))
+    got = [
+        tuple(r)
+        for r in bm25_topk_from_model(p1, l1, ["spark", "hash"], k=10).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in bm25_topk_from_model(pw, lw, ["spark", "hash"], k=10).collect()
+    ]
+    assert got == want and len(got) > 0
+    # deleting a doc that was never in the model is a no-op, not an error
+    p2, l2 = bm25_update_model(
+        p0, l0, delta, deleted_ids=spark.createDataFrame([(99,)], "doc_id long")
+    )
+    pw2, lw2 = bm25_model(
+        full.filter("doc_id <> 2").unionByName(delta)
+    )
+    assert sorted(map(tuple, l2.collect())) == sorted(map(tuple, lw2.collect()))
+    assert sorted(map(tuple, p2.collect())) == sorted(map(tuple, pw2.collect()))
+    # upsert-vs-delete conflict raises
+    with pytest.raises(ValueError, match="both the delta and deleted_ids"):
+        bm25_update_model(
+            p0, l0, delta, deleted_ids=spark.createDataFrame([(5,)], "doc_id long")
+        )
+
+
+def test_bm25_model_checkpoint_single_tokenize(spark):
+    """bm25_model(checkpoint=True) must return tables value-identical
+    to the plain form AND tokenize the corpus exactly once: doclen's
+    plan derives from the pinned tf RDD, so materializing doclen then
+    postings schedules the regexp-extract scan a single time (the
+    round-10 fix — checkpointing the two returned plans separately
+    re-ran the tokenize chain through doclen's lineage)."""
+    from skripsi_mapreduce_spark.operators.search import bm25_model
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p0, l0 = bm25_model(docs)
+    p1, l1 = bm25_model(docs, checkpoint=True)
+    assert sorted(map(tuple, p1.collect())) == sorted(map(tuple, p0.collect()))
+    assert sorted(map(tuple, l1.collect())) == sorted(map(tuple, l0.collect()))
+    # the checkpointed tf plan is pinned: doclen's physical plan scans
+    # the checkpoint RDD, not the parquet + regexp chain
+    assert "Scan ExistingRDD" in l1._jdf.queryExecution().executedPlan().toString()

@@ -452,7 +452,7 @@ def test_stream_semantic_large_k_foreachbatch_route(spark, tmp_path):
         semantic_verdicts_stream(bstream, corpus_assign, model, allemb, 990_000)
 
     got_df = serve_semantic_verdicts_foreachbatch(
-        bstream, corpus_assign, model, allemb, 990_000
+        bstream, corpus_assign, model, allemb, 990_000, memory_sink=True
     )
     got = sorted(map(tuple, got_df.collect()))
     assert got == want
@@ -521,13 +521,22 @@ def test_stream_topk_serving_matches_batch_and_slicing_invariant(spark, tmp_path
         )
         return serve_topk_cosine_foreachbatch(qstream, emb, k=5, **kw)
 
-    got_one = sorted(map(tuple, replay(one).collect()))
-    got_many = sorted(map(tuple, replay(many).collect()))
+    got_one = sorted(map(tuple, replay(one, memory_sink=True).collect()))
+    got_many = sorted(map(tuple, replay(many, memory_sink=True).collect()))
     assert got_one == want
     assert got_many == want
     sink = str(tmp_path / "sink")
     got_sink = sorted(map(tuple, replay(one, sink_path=sink).collect()))
     assert got_sink == want
+    # round-10 sink contract: a SECOND run on the SAME logical sink path
+    # returns only its own rows (auto run-namespacing, not append-mixing)
+    got_again = sorted(map(tuple, replay(many, sink_path=sink).collect()))
+    assert got_again == want
+    # and the sink choice is explicit: neither or both raise
+    with pytest.raises(ValueError, match="exactly one sink"):
+        replay(one)
+    with pytest.raises(ValueError, match="exactly one sink"):
+        replay(one, sink_path=sink, memory_sink=True)
 
 
 def test_stream_topk_serving_empty_stream(spark, tmp_path):
@@ -551,6 +560,6 @@ def test_stream_topk_serving_empty_stream(spark, tmp_path):
         .option("pathGlobFilter", "*.parquet")
         .load(src)
     )
-    out = serve_topk_cosine_foreachbatch(qstream, emb, k=5)
+    out = serve_topk_cosine_foreachbatch(qstream, emb, k=5, memory_sink=True)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["query_id", "vec_id", "score"]
