@@ -287,10 +287,15 @@ def kmeans_fixedpoint(
     (pinned by test).
 
     ``persist_weights=True`` (the default) registers a
-    MEMORY_AND_DISK cache of the weights projection for the SESSION'S
-    lifetime — the returned DataFrame is lazy, so this function cannot
-    know when the last consumer has run and never unpersists. A
-    long-lived session cycling many corpora should
+    MEMORY_AND_DISK cache of the weights projection. For the
+    ``summary`` and ``assignments`` outputs the cache is RELEASED
+    before returning (both materialize their result eagerly — k rows /
+    an eager checkpoint — so the last cache consumer is known; no net
+    persisted blocks survive the call, pinned by test). Only
+    ``assignments_lazy`` keeps the cache for the session (its whole
+    point is deferring the Lloyd chain into the single consumer's first
+    action, so the last consumer is unknowable here): long-lived
+    sessions cycling many corpora through that mode should
     ``spark.catalog.clearCache()`` between runs, or pass
     ``persist_weights=False`` when the caller already caches the
     (doc_id, word, weight) projection itself."""
@@ -301,14 +306,10 @@ def kmeans_fixedpoint(
     # disappears from the chain; every later consumer reads the
     # in-memory columnar blocks. MEMORY_AND_DISK so a huge weights table
     # spills instead of recomputing the upstream TF-IDF per pass.
-    # Lifetime note: the cache is registered in CacheManager for the
-    # session (the returned DataFrame is lazy, so this function cannot
-    # unpersist); long-lived sessions cycling many corpora should
-    # unpersist via spark.catalog.clearCache() between runs, or pass
-    # ``persist_weights=False`` when the caller already cached the
-    # (doc_id, word, weight) projection itself (the pass chain then
-    # reads the caller's cache through a trivial projection instead of
-    # holding a second copy of the same rows).
+    # Lifetime: released before returning on the summary/assignments
+    # outputs (their results materialize eagerly, so the last cache
+    # consumer is known — round-9 verdict); session-lifetime only on
+    # assignments_lazy, see the docstring.
     from pyspark import StorageLevel
 
     w = weights.select(
@@ -447,14 +448,24 @@ def kmeans_fixedpoint(
         # checkpointed: consumers typically self-join the assignments
         # (pair generation), and a lazy checkpoint would run the whole
         # Lloyd chain once per branch inside their first job
-        return assign.localCheckpoint(eager=True)
+        out = assign.localCheckpoint(eager=True)
+        if persist_weights:
+            # the eager checkpoint was this cache's last consumer —
+            # release the blocks now instead of leaking them for the
+            # session (round-9 verdict)
+            w.unpersist()
+        return out
     if output == "assignments_lazy":
         # same table, lazily checkpointed — for SINGLE-consumer chains
         # (e.g. cluster labeling joins the assignments once): the
         # dedicated materialization job disappears and the consumer's
-        # first action runs the Lloyd chain inline exactly once
+        # first action runs the Lloyd chain inline exactly once.
+        # persist_weights=True in THIS mode is the one session-lifetime
+        # cache left (the lazy handle means the last consumer is
+        # unknowable here) — the docstring tells such callers to
+        # clearCache()/unpersist themselves.
         return assign.localCheckpoint(eager=False)
-    return (
+    summary = (
         assign.groupBy("cluster")
         .agg(
             F.count("*").cast("bigint").alias("n_members"),
@@ -462,6 +473,15 @@ def kmeans_fixedpoint(
         )
         .orderBy("cluster")
     )
+    if persist_weights:
+        # k rows — materialize them eagerly so the weights cache can be
+        # released before returning: the one extra "job" is the same
+        # Lloyd chain the caller's first action was about to run, now
+        # feeding a k-row checkpoint instead of leaking a corpus-sized
+        # cache for the session (round-9 verdict)
+        summary = summary.localCheckpoint(eager=True)
+        w.unpersist()
+    return summary
 
 
 _CENT_COLLECT_MAX = 65536  # centroid rows a driver collect may hold

@@ -2290,7 +2290,7 @@ def _register_cluster_keywords() -> None:
         rnk = F.row_number().over(
             W.partitionBy("cluster").orderBy(F.col("n_docs").desc(), "word")
         )
-        return (
+        out = (
             ct.withColumn("rnk", rnk)
             .filter(F.col("rnk") <= 5)
             .select(
@@ -2301,6 +2301,13 @@ def _register_cluster_keywords() -> None:
             )
             .orderBy("cluster", "rnk")
         )
+        # k x 5 label rows — materialize them eagerly so the weights
+        # cache releases HERE instead of living for the session (the
+        # round-9 verdict's leak; the eager job is the same chain the
+        # caller's first action was about to run)
+        out = out.localCheckpoint(eager=True)
+        w.unpersist()
+        return out
 
 
 _register_cluster_keywords()
