@@ -186,6 +186,7 @@ def _lsh_verified_pairs(
     rows_per_band: int,
     threshold: float,
     bitmap_max_vocab: int = BITMAP_MAX_VOCAB,
+    verify_max_tokens: int = 0,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs that share >= 1 LSH band bucket AND
     have exact Jaccard >= threshold — the verified-candidate step, with a
@@ -210,7 +211,11 @@ def _lsh_verified_pairs(
     Both branches return identical rows (band agreement and exact
     Jaccard are computed, not approximated, in each)."""
     wide = _band_hash_wide(sh, num_hashes, rows_per_band).localCheckpoint(eager=False)
-    bm_nw = _shingle_bitmaps(sh, bitmap_max_vocab)
+    # bitmap_max_vocab=0 skips the dense-dictionary probe ENTIRELY (it
+    # costs a distinct+rank counting job even when it answers None) —
+    # round-9 ADVICE: large-vocab corpora that route to LSH are exactly
+    # the ones where the probe is doomed
+    bm_nw = _shingle_bitmaps(sh, bitmap_max_vocab) if bitmap_max_vocab > 0 else None
     if bm_nw is not None:
         bm, n_words = bm_nw
         n_bands = -(-num_hashes // rows_per_band)
@@ -300,9 +305,13 @@ def _lsh_verified_pairs(
         .filter(first_agree == F.col("band") + 1)  # array_position is 1-indexed
         .select("id_a", "id_b")
     )
-    return jaccard_pairs(sh, cands, bitmap_max_vocab, min_jaccard=threshold).filter(
-        F.col("jaccard") >= threshold
-    )
+    return jaccard_pairs(
+        sh,
+        cands,
+        bitmap_max_vocab,
+        min_jaccard=threshold,
+        verify_max_tokens=verify_max_tokens,
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def minhash_candidates(bands: DataFrame) -> DataFrame:
@@ -702,9 +711,17 @@ def minhash_near_dups(
     text_col: str = "text",
     cascade: bool = True,
     sh: DataFrame | None = None,
+    bitmap_max_vocab: int = BITMAP_MAX_VOCAB,
+    verify_max_tokens: int = 0,
 ) -> DataFrame:
     """Full D2 pipeline: shingle -> minhash -> LSH bucket-join -> exact
     verify; returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    ``bitmap_max_vocab`` / ``verify_max_tokens`` thread into the exact
+    verify exactly as :func:`jaccard_pairs` documents them
+    (``bitmap_max_vocab=0`` also skips the verify's dense-dictionary
+    probe job — round-9 ADVICE: the knob previously reached only the
+    prefix arm, re-enabling the probe on precisely the saturated
+    corpora that route here).
 
     ``cascade=True`` (the 100 TB path) first collapses identical shingle
     SETS into fingerprint groups and runs LSH + verification on one
@@ -725,13 +742,21 @@ def minhash_near_dups(
     if sh is None:
         sh = shingles(df, id_col, text_col, shingle_size).localCheckpoint(eager=False)
     if not cascade:
-        return _lsh_verified_pairs(sh, num_hashes, rows_per_band, threshold)
+        return _lsh_verified_pairs(
+            sh, num_hashes, rows_per_band, threshold,
+            bitmap_max_vocab=bitmap_max_vocab,
+            verify_max_tokens=verify_max_tokens,
+        )
 
     groups = _fingerprint_groups(sh).localCheckpoint(eager=False)
     rep_sh = sh.join(
         groups.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
     ).localCheckpoint(eager=False)
-    rep_pairs = _lsh_verified_pairs(rep_sh, num_hashes, rows_per_band, threshold).select(
+    rep_pairs = _lsh_verified_pairs(
+        rep_sh, num_hashes, rows_per_band, threshold,
+        bitmap_max_vocab=bitmap_max_vocab,
+        verify_max_tokens=verify_max_tokens,
+    ).select(
         F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "jaccard"
     )
     return _cascade_output(groups, rep_pairs, threshold)
@@ -1583,10 +1608,11 @@ def jaccard_near_dups_auto(
     self-routing entry measures within noise of the unconditional
     prefix join (2.95s vs 2.90s) — the safety is free where the prefix
     arm wins. ``bitmap_max_vocab`` / ``verify_max_tokens`` pass
-    through to the prefix arm's :func:`jaccard_pairs` verify (callers
-    with large shingle vocabularies set ``bitmap_max_vocab=0`` to skip
-    the doomed dense-dictionary probe, exactly as they would calling
-    the kernel directly)."""
+    through to BOTH arms' exact verify (round-10: previously the
+    prefix arm only — the LSH arm re-enabled the dense-dictionary
+    probe on precisely the saturated/large-vocab corpora that route
+    there; callers with large shingle vocabularies set
+    ``bitmap_max_vocab=0`` to skip the doomed probe on either arm)."""
     sh = shingles(df, id_col, text_col, shingle_size).localCheckpoint(eager=False)
     prefix, freq = _prefix_table(sh, threshold)
     prof = _profile_counts(sh, prefix, freq, budget_factor)
@@ -1607,6 +1633,8 @@ def jaccard_near_dups_auto(
             df, threshold=threshold, num_hashes=num_hashes,
             rows_per_band=rows_per_band, shingle_size=shingle_size,
             id_col=id_col, text_col=text_col, sh=sh,
+            bitmap_max_vocab=bitmap_max_vocab,
+            verify_max_tokens=verify_max_tokens,
         )
     return pairs, prof
 
@@ -1621,11 +1649,11 @@ NEAR_DUP_MODALITIES = ("text", "image", "audio", "video")
 def near_dup_signatures(
     df: DataFrame,
     modality: str = "text",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_segments: int = 65,
-    every_n: int = 2,
-    max_frames: int = 4,
+    id_col: str | None = None,
+    text_col: str | None = None,
+    n_segments: int | None = None,
+    every_n: int | None = None,
+    max_frames: int | None = None,
 ) -> DataFrame:
     """The shared SIGNATURE-TABLE contract — ``(doc_id, sim_hi, sim_lo)``,
     a 64-bit fingerprint as two nonnegative 32-bit lanes — produced by
@@ -1638,20 +1666,58 @@ def near_dup_signatures(
     contract's ``doc_id``). Every lane's output feeds the SAME
     pigeonhole blocking (:func:`simhash_near_dups` /
     :func:`simhash_near_dups_against`); this facade is the one place
-    the lane signatures are allowed to differ."""
+    the lane signatures are allowed to differ.
+
+    Per-lane knobs (defaults in brackets): text takes ``id_col``
+    [doc_id] / ``text_col`` [text]; audio takes ``n_segments`` [65];
+    video takes ``every_n`` [2] / ``max_frames`` [4]; image takes
+    none. A knob passed to a lane it does not apply to RAISES instead
+    of being silently dropped (round-9 ADVICE — the same contract the
+    ``against`` route enforces for ``salt_buckets``): a caller setting
+    ``every_n`` on an audio table is holding the wrong lane, and a
+    no-op would hide that until the dup sets look wrong."""
+    passed = {
+        k: v
+        for k, v in {
+            "id_col": id_col,
+            "text_col": text_col,
+            "n_segments": n_segments,
+            "every_n": every_n,
+            "max_frames": max_frames,
+        }.items()
+        if v is not None
+    }
+    applies = {
+        "text": {"id_col", "text_col"},
+        "image": set(),
+        "audio": {"n_segments"},
+        "video": {"every_n", "max_frames"},
+    }
+    if modality not in applies:
+        raise ValueError(
+            f"modality must be one of {NEAR_DUP_MODALITIES}, got {modality!r}"
+        )
+    stray = sorted(set(passed) - applies[modality])
+    if stray:
+        raise ValueError(
+            f"{stray} do not apply to the {modality!r} lane (it takes "
+            f"{sorted(applies[modality]) or 'no knobs'}); a silently "
+            "dropped knob would leave the signatures unchanged with no "
+            "signal why"
+        )
     if modality == "text":
-        return simhash64(df, id_col, text_col)
+        return simhash64(df, passed.get("id_col", "doc_id"), passed.get("text_col", "text"))
     from .multimodal import audio_fingerprint, image_dhash, video_dhash
 
     if modality == "image":
         sig = image_dhash(df)
     elif modality == "audio":
-        sig = audio_fingerprint(df, n_segments=n_segments)
-    elif modality == "video":
-        sig = video_dhash(df, every_n=every_n, max_frames=max_frames)
+        sig = audio_fingerprint(df, n_segments=passed.get("n_segments", 65))
     else:
-        raise ValueError(
-            f"modality must be one of {NEAR_DUP_MODALITIES}, got {modality!r}"
+        sig = video_dhash(
+            df,
+            every_n=passed.get("every_n", 2),
+            max_frames=passed.get("max_frames", 4),
         )
     return sig.withColumnRenamed("media_id", "doc_id")
 

@@ -1416,3 +1416,70 @@ def test_near_dups_against_rejects_salt(spark):
         from skripsi_mapreduce_spark.operators.dedup import near_dups
 
         near_dups(docs, "text", against=docs, salt_buckets=8)
+
+
+def test_near_dup_signatures_rejects_stray_lane_kwargs(spark):
+    """Round-10 (round-9 ADVICE): a knob passed to a lane it does not
+    apply to raises — mirroring the salt_buckets guard — instead of
+    silently dropping (text rejects media knobs, media lanes reject
+    text-column knobs, image takes none). In-lane knobs still work."""
+    import pytest
+
+    from skripsi_mapreduce_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_segments.*text"):
+        dd.near_dup_signatures(docs, "text", n_segments=65)
+    with pytest.raises(ValueError, match="text_col.*image"):
+        dd.near_dup_signatures(docs, "image", text_col="text")
+    with pytest.raises(ValueError, match="every_n.*audio"):
+        dd.near_dup_signatures(docs, "audio", every_n=2)
+    with pytest.raises(ValueError, match="id_col.*video"):
+        dd.near_dup_signatures(docs, "video", id_col="doc_id")
+    # in-lane knobs resolve exactly as before
+    renamed = docs.selectExpr("doc_id AS k", "text AS body")
+    got = sorted(
+        map(
+            tuple,
+            dd.near_dup_signatures(renamed, "text", id_col="k", text_col="body").collect(),
+        )
+    )
+    want = sorted(map(tuple, dd.near_dup_signatures(docs, "text").collect()))
+    assert got == want
+
+
+def test_jaccard_auto_lsh_arm_threads_verify_knobs(spark):
+    """Round-10 (round-9 ADVICE): bitmap_max_vocab/verify_max_tokens now
+    reach the LSH arm's exact verify too — bitmap_max_vocab=0 must
+    change NOTHING about the rows (the knob only routes the verify
+    backend / skips the dictionary probe job) on a corpus that routes
+    to LSH, and the same holds for minhash_near_dups called directly."""
+    from skripsi_mapreduce_spark.operators import dedup as dd
+
+    # saturated tiny vocabulary -> quadratic prefix profile -> LSH arm
+    # (100 docs in two identical-content classes: prefix candidates
+    # C(80,2)+C(20,2)=3350 > 30*100, so the router picks lsh)
+    docs = spark.createDataFrame(
+        [
+            (i, "alpha beta gamma delta" if i < 80 else "alpha beta gamma")
+            for i in range(100)
+        ],
+        "doc_id long, text string",
+    )
+    base, prof = dd.jaccard_near_dups_auto(docs, threshold=0.9)
+    assert prof["generator"] == "lsh"
+    nobm, prof2 = dd.jaccard_near_dups_auto(docs, threshold=0.9, bitmap_max_vocab=0)
+    assert prof2["generator"] == "lsh"
+    rows_a = sorted(map(tuple, base.collect()))
+    rows_b = sorted(map(tuple, nobm.collect()))
+    assert rows_a == rows_b and len(rows_a) > 0
+    direct_a = sorted(map(tuple, dd.minhash_near_dups(docs, threshold=0.9).collect()))
+    direct_b = sorted(
+        map(
+            tuple,
+            dd.minhash_near_dups(
+                docs, threshold=0.9, bitmap_max_vocab=0, verify_max_tokens=64
+            ).collect(),
+        )
+    )
+    assert direct_a == direct_b == rows_a
