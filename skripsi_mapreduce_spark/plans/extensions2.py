@@ -370,40 +370,85 @@ _MM_W, _MM_H = 4, 3
 _WAV_RATE, _WAV_N, _WAV_AMPMOD = 8000, 160, 30000
 
 
+_JPG_W, _JPG_H = 16, 8  # JPEG fixture raster (two 8x8 MCUs)
+
+
 @query(
     "mm_image_decode",
     f"""
     SELECT doc_id,
-           CAST({_MM_W} AS INT) AS width, CAST({_MM_H} AS INT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN {_JPG_W} ELSE {_MM_W} END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN {_JPG_H} ELSE {_MM_H} END AS INT) AS height,
            CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) AS BIGINT) AS r,
-           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2) AS BIGINT) AS BIGINT) AS g,
-           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 2) AS BIGINT) AS BIGINT) AS b
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                    CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 3 END, 2) AS BIGINT) AS BIGINT) AS g,
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                    CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 5 END, 2) AS BIGINT) AS BIGINT) AS b
     FROM documents ORDER BY doc_id
     """,
 )
 def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-column round trip, externally adjudicated: every document
-    gets a {w}x{h} solid-color P6 PPM (color = first 3 md5(doc_id)
-    bytes) built with pure column expressions (concat of binary
-    literals + unhex), decoded by the REAL mapInPandas image path
+    """Image-column round trip across THREE real codecs, externally
+    adjudicated: each document's format follows doc_id % 3 — a {w}x{h}
+    solid-color P6 PPM (color = first 3 md5(doc_id) bytes), the SAME
+    solid color as an 8-bit PNG (from-spec zlib/filter encoder), or a
+    {jw}x{jh} solid-GREY baseline JPEG (grey = first md5 byte; two
+    8x8 MCUs, grayscale scan, quality=100's all-ones quantization
+    tables make the flat blocks integral and the round trip EXACT —
+    operators/jpeg.py, round 10). All three decode through the one
+    magic-byte dispatcher inside the REAL mapInPandas image path
     (operators/multimodal.extract_image_features, decode_stub=False),
     and the recovered dimensions + mean channel values are checked
-    against the oracle's closed form. Solid color makes the channel
-    means exact integers, so the Arrow decode stage itself is
-    hash-matched — no rows-only weakening."""
+    against the oracle's closed form (JPEG rows state r=g=b=grey, PPM/
+    PNG rows the three md5 bytes). Solid rasters make every channel
+    mean an exact integer, so the Arrow decode stage itself — Huffman,
+    IDCT, inflate, unfiltering and all — is hash-matched, no rows-only
+    weakening. Blob construction is engine-side mapInPandas over the
+    repartitioned id projection (the PNG/JPEG encoders need real
+    deflate/DCT; single-row-group scans would otherwise serialize the
+    build on 1-2 cores — the round-9 parallelism finding)."""
     from ..operators.multimodal import extract_image_features
 
     docs = load_table(spark, sf_dir, "documents")
-    header = F.lit(f"P6\n{_MM_W} {_MM_H}\n255\n".encode())
-    rgb3 = F.unhex(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6))
-    content = F.concat(header, *([rgb3] * (_MM_W * _MM_H)))
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        content.alias("content"),
-        F.lit(None).cast(
-            "struct<mime:string,width:int,height:int,duration_ms:int,sample_rate:int>"
-        ).alias("meta"),
+    npart = spark.sparkContext.defaultParallelism
+    ids = docs.select("doc_id").repartition(npart)
+
+    def build(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from ..operators.jpeg import make_jpeg
+        from ..operators.multimodal import make_png
+
+        header = f"P6\n{_MM_W} {_MM_H}\n255\n".encode()
+        for pdf in batches:
+            ids_, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = hashlib.md5(str(did).encode()).digest()
+                m = int(did) % 3
+                if m == 0:
+                    blob = header + d[:3] * (_MM_W * _MM_H)
+                elif m == 1:
+                    blob = make_png(_MM_W, _MM_H, d[:3] * (_MM_W * _MM_H))
+                else:
+                    blob = make_jpeg(
+                        _JPG_W,
+                        _JPG_H,
+                        d[:1] * (3 * _JPG_W * _JPG_H),
+                        quality=100,
+                        grayscale=True,
+                    )
+                ids_.append(int(did))
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"media_id": ids_, "kind": "image", "content": blobs, "meta": None}
+            )
+
+    media = ids.mapInPandas(
+        build,
+        "media_id long, kind string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int,sample_rate:int>",
     )
     feats = extract_image_features(media, decode_stub=False)
     # feature = [meanR, meanG, meanB, ...] in [0,1] float32; solid color
