@@ -173,7 +173,6 @@ class _BitReader:
     def __init__(self, buf: bytes, pos: int):
         self.buf = buf
         self.pos = pos
-        self.bit = 0
         self.cur = 0
         self.nbits = 0
 
@@ -192,8 +191,10 @@ class _BitReader:
                 raise OSError("JPEG: hit marker while reading bits")
         else:
             self.pos += 1
-        self.cur = (self.cur << 8) | byte
-        self.nbits += 8
+        # _fill only runs at nbits == 0, so cur holds exactly one byte —
+        # never an ever-growing bigint (the O(N^2) review finding)
+        self.cur = byte
+        self.nbits = 8
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -355,6 +356,12 @@ def _decode_scan(b, pos, frame, scan, qt, huff_dc, huff_ac, ri, np):
         pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
         planes[c["id"]] = np.zeros((ph, pw), dtype=np.float64)
     pred = {c["id"]: 0 for c in comps}
+    dqa_by_comp = {}
+    for c in comps:
+        dq = qt.get(c["tq"])
+        if dq is None:
+            raise OSError("JPEG: missing quantization table")
+        dqa_by_comp[c["id"]] = np.array(dq, dtype=np.float64).reshape(8, 8)
     r = _BitReader(b, pos)
     mcu_count = 0
     for my in range(mcuy):
@@ -371,10 +378,7 @@ def _decode_scan(b, pos, frame, scan, qt, huff_dc, huff_ac, ri, np):
                 for k in pred:
                     pred[k] = 0
             for comp, td, ta in scan:
-                dq = qt.get(comp["tq"])
-                if dq is None:
-                    raise OSError("JPEG: missing quantization table")
-                dqa = np.array(dq, dtype=np.float64).reshape(8, 8)
+                dqa = dqa_by_comp[comp["id"]]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
                         coef = np.zeros(64, dtype=np.float64)
@@ -436,6 +440,9 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # truncate drained high bits — acc must stay a machine word, not
+        # an ever-growing bigint (the reader's O(N^2) finding, writer side)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self):
         if self.nbits:
@@ -542,6 +549,7 @@ def make_jpeg(
         c["plane"] = out
 
     wtr = _BitWriter()
+    zz_idx = np.array(ZIGZAG, dtype=np.int64)
     pred = {c["id"]: 0 for c in comps}
     qts = {0: np.array(ql, dtype=np.float64).reshape(8, 8),
            1: np.array(qc, dtype=np.float64).reshape(8, 8)}
@@ -563,7 +571,7 @@ def make_jpeg(
                         x0 = (mx * c["h"] + bx) * 8
                         blk = c["plane"][y0 : y0 + 8, x0 : x0 + 8] - 128.0
                         coef = np.round((A @ blk @ A.T) / q).astype(np.int64)
-                        zz = [int(coef.reshape(-1)[ZIGZAG[k]]) for k in range(64)]
+                        zz = coef.reshape(-1)[zz_idx].tolist()
                         diff = zz[0] - pred[c["id"]]
                         pred[c["id"]] = zz[0]
                         s = _category(diff)

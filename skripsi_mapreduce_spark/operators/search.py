@@ -62,12 +62,17 @@ def bm25_model(
     avgdl, N — derives from these two tables at query time, touching
     only the query terms' posting lists.
 
-    ``checkpoint=True`` pins the postings plan with a lazy
-    localCheckpoint BEFORE doclen derives from it, so the corpus
-    tokenizes exactly ONCE no matter how many actions later touch
-    either table (checkpointing the two returned plans separately
-    tokenizes twice: doclen's lineage re-runs the tf chain — round-10
-    finding). Use it whenever the model is materialized for serving."""
+    ``checkpoint=True`` pins BOTH tables lazily: the postings plan is
+    checkpointed BEFORE doclen derives from it, so the corpus tokenizes
+    exactly ONCE no matter how many actions later touch either table
+    (checkpointing the two returned plans separately tokenizes twice:
+    doclen's lineage re-runs the tf chain — round-10 finding), and
+    doclen itself is checkpointed so its docs-scan + aggregate + join
+    runs once, not once per consumer (the scalar job and the dl join
+    both read it — round-10 review finding). Materializing doclen first
+    materializes the tf checkpoint as a side effect (it is upstream),
+    so no dedicated job is ever paid. Use it whenever the model is
+    materialized for serving."""
     tf = _tf(docs, id_col, text_col)
     if checkpoint:
         tf = tf.localCheckpoint(eager=False)
@@ -77,6 +82,8 @@ def bm25_model(
         .join(dl, "doc_id", "left")
         .select("doc_id", F.coalesce(F.col("dl"), F.lit(0).cast("bigint")).alias("dl"))
     )
+    if checkpoint:
+        doclen = doclen.localCheckpoint(eager=False)
     return tf, doclen
 
 

@@ -2162,8 +2162,11 @@ def _register_stream_sim_topk() -> None:
     def stream_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Streaming ANN/exact-retrieval SERVING, adjudicated against the
         batch oracle verbatim: the four query vectors arrive as a
-        four-file parquet stream (maxFilesPerTrigger=1 — four separate
-        micro-batches), and each micro-batch runs the adjudicated
+        four-file parquet stream (maxFilesPerTrigger=2 — two separate
+        micro-batches, so cross-batch invariance is exercised without
+        paying four rounds of fixed microbatch setup + corpus scan;
+        per-file slicing stays pinned by the pytest twin), and each
+        micro-batch runs the adjudicated
         batched kernel against the static corpus under foreachBatch
         (streaming/serving.serve_topk_cosine_foreachbatch). Top-k
         serving is stateless per query — a result row depends only on
@@ -2213,7 +2216,7 @@ def _register_stream_sim_topk() -> None:
         qstream = (
             spark.readStream.schema(qdf.schema)
             .format("parquet")
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", "2")
             .option("pathGlobFilter", "*.parquet")
             .load(qdir)
         )
@@ -2695,11 +2698,10 @@ def _register_stream_bm25_topk() -> None:
         from ..streaming.serving import serve_bm25_topk_foreachbatch
 
         docs = load_table(spark, sf_dir, "documents")
-        # checkpoint=True: ONE tokenize pass serves every micro-batch
-        # (the tf plan is pinned before doclen derives from it; the old
-        # checkpoint-both-outputs form tokenized the corpus twice)
+        # checkpoint=True: ONE tokenize pass and ONE doclen aggregation
+        # serve every micro-batch (tf is pinned before doclen derives
+        # from it, and doclen is pinned before its two consumers)
         postings, doclen = bm25_model(docs, checkpoint=True)
-        doclen = doclen.localCheckpoint(eager=False)
         pa_schema = pa.schema(
             [("query_id", pa.int64()), ("terms", pa.list_(pa.string()))]
         )

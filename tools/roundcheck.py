@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -61,8 +62,8 @@ def sweep(entries: list[str]) -> bool:
                 line.strip()
                 for line in out.splitlines()
                 if (": SPARK ERR" in line or ": ORACLE ERR" in line
-                    or ": FAIL" in line or "failures:" in line and "0 failures" not in line
-                    and "[]" not in line)
+                    or ": FAIL" in line
+                    or re.match(r"[1-9]\d* failures:", line))
             ]
             print(f"   PASS={passes}" + (f" PROBLEMS: {fails}" if fails else ""))
             if fails or res.returncode != 0:
