@@ -2644,8 +2644,14 @@ def _register_bm25_incremental() -> None:
         # lineage (checkpoint=True cuts it at the tf plan, so the stale
         # corpus also tokenizes exactly once)
         postings, doclen = bm25_model(stale, checkpoint=True)
+        # assume_unique is an honest claim here: delta is ONE filter
+        # over the unique-keyed documents table (and %5==0 / %20==3 are
+        # disjoint residues anyway), so the duplicate-guard counting
+        # job would always pass — skipping it is the documented hot
+        # path. The delete-vs-upsert conflict guard still runs.
         postings, doclen = bm25_update_model(
-            postings, doclen, delta, deleted_ids=phantoms.select("doc_id")
+            postings, doclen, delta,
+            deleted_ids=phantoms.select("doc_id"), assume_unique=True,
         )
         return bm25_topk_from_model(
             postings, doclen, _BM25_TERMS, k=20, k1=_BM25_K1, b=_BM25_B

@@ -227,3 +227,47 @@ def test_multimodal_dispatch_decodes_jpeg(spark):
     sig = {r["media_id"]: (r["sim_hi"], r["sim_lo"]) for r in image_dhash(media).collect()}
     for i in imgs:
         assert sig[i] == sig[100 + i]
+
+
+_REAL_BASELINE = (
+    "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/requests/ext/"
+    "flower-of-life.jpg"
+)
+_REAL_PROGRESSIVE = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_REAL_BASELINE),
+    reason="third-party sample JPEG not on this machine",
+)
+def test_decodes_real_third_party_baseline_jpeg():
+    """Cross-ENCODER validation (the direction the Avro family could
+    never test in-container): a baseline JPEG produced by a real
+    production encoder — a doc asset shipped inside a third-party
+    package on this image, not authored by this repo — must decode
+    through the whole marker/Huffman/IDCT path. Asserts structural
+    truths (dimensions from SOF0, full entropy-stream consumption
+    without error, the known white background) rather than self-pinned
+    pixels, so the test validates interop, not this codec against
+    itself."""
+    import numpy as np
+
+    with open(_REAL_BASELINE, "rb") as fh:
+        blob = fh.read()
+    w, h, px = decode_jpeg(blob)
+    assert (w, h) == (161, 161)
+    assert px.shape == (161, 161, 3) and px.dtype == np.uint8
+    # white background: corners saturate, global mean bright
+    assert (px[0, 0] > 245).all() and (px[-1, -1] > 245).all()
+    assert 180 < px.mean() < 255
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_REAL_PROGRESSIVE),
+    reason="third-party sample JPEG not on this machine",
+)
+def test_real_progressive_jpeg_gates_loudly():
+    with open(_REAL_PROGRESSIVE, "rb") as fh:
+        blob = fh.read()
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(blob)
