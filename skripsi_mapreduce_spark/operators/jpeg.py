@@ -147,23 +147,33 @@ def _dct_matrix(np):
 
 
 def _build_huffman(bits: list[int], vals: list[int]):
-    """(lookup dict {(length, code): value}, encode dict {value: (code,
-    length)}) from a DHT's BITS/HUFFVAL — canonical code assignment per
-    T.81 C.2."""
+    """(decode tables, encode dict {value: (code, length)}) from a
+    DHT's BITS/HUFFVAL — canonical code assignment per T.81 C.2. The
+    decode side is the classic (mincode, maxcode, valptr) triple
+    (T.81 F.2.2.3 DECODE): per code length L, the first/last canonical
+    code and the HUFFVAL offset — an O(1) list probe per length
+    instead of hashing a (length, code) tuple per bit, and no
+    per-image flat-table cost (tiny fixture decodes stay fast)."""
     if sum(bits) != len(vals):
         raise OSError("JPEG DHT: BITS total does not match HUFFVAL count")
-    decode, encode = {}, {}
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    encode = {}
     code, k = 0, 0
     for length in range(1, 17):
-        for _ in range(bits[length - 1]):
+        n = bits[length - 1]
+        valptr[length] = k
+        mincode[length] = code
+        for _ in range(n):
             if code >= (1 << length):
                 raise OSError("JPEG DHT: overfull canonical code")
-            decode[(length, code)] = vals[k]
             encode[vals[k]] = (code, length)
             code += 1
             k += 1
+        maxcode[length] = code - 1 if n else -1
         code <<= 1
-    return decode, encode
+    return (mincode, maxcode, valptr, list(vals)), encode
 
 
 class _BitReader:
@@ -191,21 +201,28 @@ class _BitReader:
                 raise OSError("JPEG: hit marker while reading bits")
         else:
             self.pos += 1
-        # _fill only runs at nbits == 0, so cur holds exactly one byte —
-        # never an ever-growing bigint (the O(N^2) review finding)
-        self.cur = byte
-        self.nbits = 8
+        # cur stays a bounded machine word: reads below mask off the
+        # consumed high bits, and fills happen only on demand (an eager
+        # fill could hit the trailing marker while bits remain buffered)
+        self.cur = (self.cur << 8) | byte
+        self.nbits += 8
 
     def read_bit(self) -> int:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.cur >> self.nbits) & 1
+        bit = (self.cur >> self.nbits) & 1
+        self.cur &= (1 << self.nbits) - 1
+        return bit
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.cur >> self.nbits) & ((1 << n) - 1)
+        self.cur &= (1 << self.nbits) - 1
         return v
 
     def align_to_marker(self):
@@ -223,15 +240,18 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _huff_decode(r: _BitReader, table: dict) -> int:
-    code, length = 0, 0
-    while length < 16:
+def _huff_decode(r: _BitReader, table) -> int:
+    """T.81 F.2.2.3 DECODE over the canonical (mincode, maxcode,
+    valptr, vals) triple — one list probe per code length."""
+    mincode, maxcode, valptr, vals = table
+    code = r.read_bit()
+    length = 1
+    while code > maxcode[length]:
+        if length == 16:
+            raise OSError("JPEG: invalid Huffman code (no match in 16 bits)")
         code = (code << 1) | r.read_bit()
         length += 1
-        hit = table.get((length, code))
-        if hit is not None:
-            return hit
-    raise OSError("JPEG: invalid Huffman code (no match in 16 bits)")
+    return vals[valptr[length] + code - mincode[length]]
 
 
 def decode_jpeg(b: bytes):
@@ -351,17 +371,17 @@ def _decode_scan(b, pos, frame, scan, qt, huff_dc, huff_ac, ri, np):
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     A = _dct_matrix(np)
-    planes = {}
-    for c in comps:
-        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
-        planes[c["id"]] = np.zeros((ph, pw), dtype=np.float64)
     pred = {c["id"]: 0 for c in comps}
-    dqa_by_comp = {}
     for c in comps:
-        dq = qt.get(c["tq"])
-        if dq is None:
+        if qt.get(c["tq"]) is None:
             raise OSError("JPEG: missing quantization table")
-        dqa_by_comp[c["id"]] = np.array(dq, dtype=np.float64).reshape(8, 8)
+    # entropy pass: collect each block's NATURAL-order coefficients and
+    # its plane position; the IDCT runs ONCE per component as a batched
+    # (n, 8, 8) matmul afterwards (per-block 8x8 matmuls spent more
+    # time in numpy dispatch than math)
+    coefs = {c["id"]: [] for c in comps}
+    positions = {c["id"]: [] for c in comps}
+    zz = ZIGZAG
     r = _BitReader(b, pos)
     mcu_count = 0
     for my in range(mcuy):
@@ -378,17 +398,19 @@ def _decode_scan(b, pos, frame, scan, qt, huff_dc, huff_ac, ri, np):
                 for k in pred:
                     pred[k] = 0
             for comp, td, ta in scan:
-                dqa = dqa_by_comp[comp["id"]]
+                cid = comp["id"]
+                dc_tab = huff_dc[td]
+                ac_tab = huff_ac[ta]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        coef = np.zeros(64, dtype=np.float64)
-                        s = _huff_decode(r, huff_dc[td])
+                        coef = [0.0] * 64
+                        s = _huff_decode(r, dc_tab)
                         diff = _extend(r.receive(s), s) if s else 0
-                        pred[comp["id"]] += diff
-                        coef[0] = pred[comp["id"]]
+                        pred[cid] += diff
+                        coef[0] = float(pred[cid])
                         k = 1
                         while k < 64:
-                            rs = _huff_decode(r, huff_ac[ta])
+                            rs = _huff_decode(r, ac_tab)
                             rrr, ssss = rs >> 4, rs & 0x0F
                             if ssss == 0:
                                 if rrr == 15:
@@ -398,22 +420,30 @@ def _decode_scan(b, pos, frame, scan, qt, huff_dc, huff_ac, ri, np):
                             k += rrr
                             if k > 63:
                                 raise OSError("JPEG: AC run past block end")
-                            coef[ZIGZAG[k]] = _extend(r.receive(ssss), ssss)
+                            coef[zz[k]] = float(_extend(r.receive(ssss), ssss))
                             k += 1
-                        block = coef.reshape(8, 8) * dqa
-                        px = A.T @ block @ A + 128.0
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+                        coefs[cid].append(coef)
+                        positions[cid].append(
+                            ((my * comp["v"] + by) * 8, (mx * comp["h"] + bx) * 8)
+                        )
             mcu_count += 1
     out = {}
     for c in comps:
-        p = np.clip(np.round(planes[c["id"]]), 0, 255)
+        cid = c["id"]
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        plane = np.zeros((ph, pw), dtype=np.float64)
+        if coefs[cid]:
+            dqa = np.array(qt[c["tq"]], dtype=np.float64).reshape(8, 8)
+            blocks = np.array(coefs[cid], dtype=np.float64).reshape(-1, 8, 8)
+            sp = A.T @ (blocks * dqa) @ A + 128.0  # batched IDCT
+            for i, (y0, x0) in enumerate(positions[cid]):
+                plane[y0 : y0 + 8, x0 : x0 + 8] = sp[i]
+        p = np.clip(np.round(plane), 0, 255)
         # nearest-neighbor upsample to full resolution, then crop
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        out[c["id"]] = p[:h, :w]
+        out[cid] = p[:h, :w]
     if len(comps) == 1:
         g = out[comps[0]["id"]].astype(np.uint8)
         return w, h, np.stack([g, g, g], axis=2)

@@ -181,7 +181,14 @@ def test_annex_k_huffman_tables_are_canonical():
     ):
         assert len(vals) == len(set(vals)) == n
         dec, enc = _build_huffman(bits, vals)
-        assert len(dec) == n
+        # decode side is the canonical (mincode, maxcode, valptr, vals)
+        # triple; its value table must carry every symbol, and the
+        # encode map must round-trip through it by code
+        mincode, maxcode, valptr, dvals = dec
+        assert len(dvals) == len(enc) == n
+        for sym, (code, length) in enc.items():
+            assert mincode[length] <= code <= maxcode[length]
+            assert dvals[valptr[length] + code - mincode[length]] == sym
     want_ac = {0x00, 0xF0} | {
         (run << 4) | size for run in range(16) for size in range(1, 11)
     }
