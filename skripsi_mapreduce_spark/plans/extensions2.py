@@ -166,10 +166,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (3 iterations, damping 0.85, int64 e8 fixed
     point) over the nation-level trade graph: customer's nation ->
     supplier's nation, weighted by lineitem count. The edge aggregation
-    is the corpus-scale join (dims broadcast); the power iteration runs
-    on the 25-node rank table (operators/components.pagerank_e8 — the
-    same loop shape scales to web-graph node counts: shuffle by src,
-    aggregate by dst, no driver collect)."""
+    is the corpus-scale join; customer/supplier carry NO forced
+    broadcast hint — they scale with SF (150k x SF rows), so AQE picks
+    broadcast-vs-sort-merge from measured sizes (relational.py:22
+    policy: explicit hints only for bounded smalls like nation/region).
+    The power iteration runs on the 25-node rank table
+    (operators/components.pagerank_e8 — the same loop shape scales to
+    web-graph node counts: shuffle by src, aggregate by dst, no driver
+    collect)."""
     from ..operators.components import pagerank_e8
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -179,8 +183,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     edges = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )

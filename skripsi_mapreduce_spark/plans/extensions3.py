@@ -1607,9 +1607,12 @@ def q51_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the events stream joins a static
-    customer dimension inside the micro-batch (Spark broadcasts the
-    static side per batch — stateless, unlike the stream-stream interval
-    join's watermark-bounded state) and aggregates per (segment, type).
+    customer dimension inside the micro-batch (stateless, unlike the
+    stream-stream interval join's watermark-bounded state) and
+    aggregates per (segment, type). Customer carries NO forced
+    broadcast hint — it scales with SF, so per-batch AQE decides from
+    measured size (relational.py:22 policy: hints only for bounded
+    smalls).
     Completes the streaming join family's evidence: stream-stream
     (stream_interval_join) and stream-static now both replay through the
     REAL streaming operators and hash-match the batch statement. The
@@ -1621,7 +1624,7 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    joined = ev.join(F.broadcast(dim), "user_id")
+    joined = ev.join(dim, "user_id")
     agg = joined.groupBy("c_mktsegment", "event_type").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.round(F.col("value") * 10000).cast("bigint"))

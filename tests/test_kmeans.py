@@ -312,3 +312,38 @@ def test_cluster_keywords_entry_releases_cache(spark):
     out = QUERIES["ta_cluster_keywords"](spark, "/root/testdata/sf0.001")
     assert cm.isEmpty(), "ta_cluster_keywords leaked its weights cache"
     assert out.count() > 0
+
+
+def test_kmeans_fixedpoint_releases_cache_on_failing_checkpoint(spark, monkeypatch):
+    """Round-11 (round-10 verdict #3): the unpersist must fire even when
+    the eager materializing checkpoint THROWS (executor loss, OOM) —
+    try/finally, not straight-line code. Injects the failure by patching
+    DataFrame.localCheckpoint to raise on eager=True (the lazy per-pass
+    lineage cuts keep working), then asserts the CacheManager is empty
+    after the exception propagates — for both eager outputs."""
+    from skripsi_mapreduce_spark.operators.kmeans import kmeans_fixedpoint
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    rows = [(d, w, (d * 7 + w * 13) % 997 + 1) for d in range(40) for w in range(6)]
+    wdf = spark.createDataFrame(rows, "doc_id long, word int, w_e4 long")
+
+    # patch the CONCRETE class (Spark 4: pyspark.sql.classic.dataframe
+    # overrides the base method, so patching pyspark.sql.DataFrame is a
+    # no-op on real instances)
+    cls = type(wdf)
+    orig = cls.localCheckpoint
+
+    def boom(self, eager=True):
+        if eager:
+            raise RuntimeError("injected materialization failure")
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(cls, "localCheckpoint", boom)
+    for output in ("summary", "assignments"):
+        with pytest.raises(RuntimeError, match="injected"):
+            kmeans_fixedpoint(
+                wdf, k=3, n_assign_passes=2, weight_col="w_e4", output=output
+            )
+        assert cm.isEmpty(), f"{output}: failing checkpoint leaked the weights cache"

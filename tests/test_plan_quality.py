@@ -180,9 +180,10 @@ def test_corpus_filter_is_narrow(spark):
 
 
 def test_pagerank_edge_dims_broadcast_no_cartesian(spark):
-    # the nation-graph edge build broadcasts customer/supplier; the whole
-    # plan (edge aggregation + 3 rank iterations) must contain no
-    # cartesian/nested-loop join at any stage
+    # customer/supplier carry no forced hint (they scale with SF) — at
+    # sf0.001 Catalyst still picks broadcast from measured file sizes;
+    # the whole plan (edge aggregation + 3 rank iterations) must contain
+    # no cartesian/nested-loop join at any stage
     p = formatted_plan(spark, "graph_pagerank")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p
@@ -384,3 +385,80 @@ def test_dedup_semantic_keep_no_nested_loop(spark):
     work bounded by cluster size at any corpus."""
     p = formatted_plan(spark, "dedup_semantic_keep")
     assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p, p
+
+
+def test_no_forced_broadcast_of_sf_scaling_tables():
+    """Repo-wide broadcast-hint policy (relational.py:22): an explicit
+    ``F.broadcast`` hint is only legal on tables whose size is bounded
+    regardless of SF (nation: 25 rows, region: 5 rows) or on derived
+    aggregates/shortlists the plan itself bounds. A forced hint on an
+    SF-scaling base table (customer = 150k x SF rows, ...) bypasses
+    Spark's size threshold and OOMs the driver at 100x — the exact
+    pattern the r9/r10 verdicts removed from bm25_update_model,
+    graph_pagerank and stream_enrich. This test walks the AST of every
+    module in the package: any name bound (directly or through a method
+    chain) to ``load_table(..., "<sf-scaling table>")`` must never
+    appear as the argument of ``F.broadcast(...)`` in the same function,
+    nor may a load_table call of such a table be broadcast inline."""
+    import ast
+    from pathlib import Path
+
+    import skripsi_mapreduce_spark as pkg
+
+    SF_SCALING = {
+        "customer", "supplier", "part", "orders", "lineitem",
+        "events", "documents", "embeddings",
+    }
+
+    def load_table_arg(node):
+        """Return the table-name literal if `node` contains a
+        load_table("...") call (possibly under a .select/.filter chain)."""
+        for sub in ast.walk(node):
+            if (
+                isinstance(sub, ast.Call)
+                and (
+                    (isinstance(sub.func, ast.Name) and sub.func.id == "load_table")
+                    or (
+                        isinstance(sub.func, ast.Attribute)
+                        and sub.func.attr == "load_table"
+                    )
+                )
+                and sub.args
+            ):
+                last = sub.args[-1]
+                if isinstance(last, ast.Constant) and isinstance(last.value, str):
+                    return last.value
+        return None
+
+    def is_broadcast_call(call):
+        f = call.func
+        return (isinstance(f, ast.Attribute) and f.attr == "broadcast") or (
+            isinstance(f, ast.Name) and f.id == "broadcast"
+        )
+
+    violations = []
+    for py in sorted(Path(pkg.__path__[0]).rglob("*.py")):
+        tree = ast.parse(py.read_text())
+        for fn in [n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)]:
+            tainted = {}  # name -> table it was loaded from
+            for node in ast.walk(fn):
+                if isinstance(node, ast.Assign):
+                    t = load_table_arg(node.value)
+                    if t in SF_SCALING:
+                        for tgt in node.targets:
+                            if isinstance(tgt, ast.Name):
+                                tainted[tgt.id] = t
+            for node in ast.walk(fn):
+                if isinstance(node, ast.Call) and is_broadcast_call(node) and node.args:
+                    arg = node.args[0]
+                    # inline: F.broadcast(load_table(..., "customer")...)
+                    t = load_table_arg(arg)
+                    if t in SF_SCALING:
+                        violations.append(f"{py.name}:{node.lineno} inline {t}")
+                    # via name: F.broadcast(cust) / F.broadcast(cust.select(...))
+                    for sub in ast.walk(arg):
+                        if isinstance(sub, ast.Name) and sub.id in tainted:
+                            violations.append(
+                                f"{py.name}:{node.lineno} {sub.id}<-{tainted[sub.id]}"
+                            )
+    assert not violations, f"forced broadcast of SF-scaling tables: {violations}"
