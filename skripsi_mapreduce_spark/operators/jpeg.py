@@ -275,16 +275,28 @@ def decode_jpeg(b: bytes):
     restart_interval = 0
     pos = 2
     while True:
-        if pos + 4 > len(b):
+        if pos + 2 > len(b):
             raise OSError("JPEG: truncated before SOS")
         if b[pos] != 0xFF:
             raise OSError(f"JPEG: expected marker at offset {pos}")
         while pos + 1 < len(b) and b[pos + 1] == 0xFF:
             pos += 1  # legal fill bytes between markers
         marker = b[pos + 1]
+        # length-less markers branch BEFORE the 2-byte length read: an
+        # EOI-terminated header tail must report the EOI, not a phantom
+        # truncation, and a stray RSTn/TEM must raise a named error
+        # instead of desyncing the parse on garbage "length" bytes
         if marker == 0xD8:  # stray SOI
             pos += 2
             continue
+        if marker == 0xD9:  # EOI without a scan
+            raise OSError("JPEG: EOI before any scan data")
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RSTn / TEM
+            raise OSError(
+                f"JPEG: stray length-less marker 0x{marker:02X} before SOS"
+            )
+        if pos + 4 > len(b):
+            raise OSError("JPEG: truncated before SOS")
         ln = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
         seg = b[pos + 4 : pos + 2 + ln]
         if len(seg) != max(ln - 2, 0):
@@ -348,13 +360,29 @@ def decode_jpeg(b: bytes):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
+            # this codec decodes exactly ONE fully-interleaved scan: a
+            # legal multi-scan baseline file (one component per scan,
+            # e.g. 4:4:4 three-scan) would otherwise decode the first
+            # scan and silently return empty chroma planes — loud gate
+            # per the module's "never silent wrong pixels" contract
+            if ns != len(frame["comps"]):
+                raise NotImplementedError(
+                    "JPEG multi-scan baseline (non-interleaved scans): "
+                    f"scan covers {ns} of {len(frame['comps'])} frame "
+                    "components — this codec decodes a single fully-"
+                    "interleaved scan only"
+                )
+            if ns == 1 and (scan[0][0]["h"], scan[0][0]["v"]) != (1, 1):
+                raise NotImplementedError(
+                    "JPEG single-component scan with subsampled geometry "
+                    "(spec non-interleaved block order differs from the "
+                    "interleaved loop) — h=v=1 single-component scans only"
+                )
             pos = pos + 2 + ln
             return _decode_scan(
                 b, pos, frame, scan, qt, huff_dc, huff_ac,
                 restart_interval, np,
             )
-        elif marker == 0xD9:  # EOI without a scan
-            raise OSError("JPEG: EOI before any scan data")
         # APPn / COM / others: skip
         pos = pos + 2 + ln
 
@@ -388,6 +416,16 @@ def _decode_scan(b, pos, frame, scan, qt, huff_dc, huff_ac, ri, np):
         for mx in range(mcux):
             if ri and mcu_count and mcu_count % ri == 0:
                 r.align_to_marker()
+                # skip 0xFF fill bytes before the marker (legal padding
+                # per T.81 B.1.1.2): the marker byte is the first
+                # non-0xFF after the fill run, so 0xFF 0xFF 0xD0 is a
+                # valid RST0
+                while (
+                    r.pos + 1 < len(b)
+                    and b[r.pos] == 0xFF
+                    and b[r.pos + 1] == 0xFF
+                ):
+                    r.pos += 1
                 if not (
                     r.pos + 1 < len(b)
                     and b[r.pos] == 0xFF

