@@ -380,37 +380,65 @@ _JPG_W, _JPG_H = 16, 8  # JPEG fixture raster (two 8x8 MCUs)
 @query(
     "mm_image_decode",
     f"""
+    WITH base AS (
+      SELECT doc_id, CAST(doc_id % 4 AS INT) AS m,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) AS h1,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2) AS BIGINT) AS h2,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 2) AS BIGINT) AS h3
+      FROM documents
+    ), pal AS (
+      SELECT *, CAST(h1 AS DOUBLE) AS r0,
+             CAST((3 * h1 + 7) % 256 AS DOUBLE) AS g0,
+             CAST((11 * h1 + 19) % 256 AS DOUBLE) AS b0
+      FROM base
+    ), ycc AS (
+      SELECT *,
+        LEAST(GREATEST(ROUND(0.299*r0 + 0.587*g0 + 0.114*b0), 0), 255) AS yy,
+        LEAST(GREATEST(ROUND(128 - 0.168736*r0 - 0.331264*g0 + 0.5*b0), 0), 255) AS cbv,
+        LEAST(GREATEST(ROUND(128 + 0.5*r0 - 0.418688*g0 - 0.081312*b0), 0), 255) AS crv
+      FROM pal
+    )
     SELECT doc_id,
-           CAST(CASE WHEN doc_id % 3 = 2 THEN {_JPG_W} ELSE {_MM_W} END AS INT) AS width,
-           CAST(CASE WHEN doc_id % 3 = 2 THEN {_JPG_H} ELSE {_MM_H} END AS INT) AS height,
-           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) AS BIGINT) AS r,
-           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                                    CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 3 END, 2) AS BIGINT) AS BIGINT) AS g,
-           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                                    CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 5 END, 2) AS BIGINT) AS BIGINT) AS b
-    FROM documents ORDER BY doc_id
+      CAST(CASE WHEN m >= 2 THEN {_JPG_W} ELSE {_MM_W} END AS INT) AS width,
+      CAST(CASE WHEN m >= 2 THEN {_JPG_H} ELSE {_MM_H} END AS INT) AS height,
+      CAST(CASE WHEN m <= 2 THEN h1
+           ELSE LEAST(GREATEST(ROUND(yy + 1.402*(crv-128)), 0), 255) END AS BIGINT) AS r,
+      CAST(CASE WHEN m <= 1 THEN h2 WHEN m = 2 THEN h1
+           ELSE LEAST(GREATEST(ROUND(yy - 0.344136*(cbv-128) - 0.714136*(crv-128)), 0), 255) END AS BIGINT) AS g,
+      CAST(CASE WHEN m <= 1 THEN h3 WHEN m = 2 THEN h1
+           ELSE LEAST(GREATEST(ROUND(yy + 1.772*(cbv-128)), 0), 255) END AS BIGINT) AS b
+    FROM ycc ORDER BY doc_id
     """,
 )
 def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-column round trip across THREE real codecs, externally
-    adjudicated: each document's format follows doc_id % 3 — a {w}x{h}
+    """Image-column round trip across FOUR real codec lanes, externally
+    adjudicated: each document's format follows doc_id % 4 — a {w}x{h}
     solid-color P6 PPM (color = first 3 md5(doc_id) bytes), the SAME
-    solid color as an 8-bit PNG (from-spec zlib/filter encoder), or a
-    {jw}x{jh} solid-GREY baseline JPEG (grey = first md5 byte; two
-    8x8 MCUs, grayscale scan, quality=100's all-ones quantization
-    tables make the flat blocks integral and the round trip EXACT —
-    operators/jpeg.py, round 10). All three decode through the one
+    solid color as an 8-bit PNG (from-spec zlib/filter encoder), a
+    {jw}x{jh} solid-GREY baseline JPEG (grey = first md5 byte;
+    grayscale scan), or a {jw}x{jh} solid-COLOR baseline JPEG in
+    4:2:0 — the round-11 lane that puts the YCbCr matrix and the
+    chroma upsample under driver adjudication, not just pytest. The
+    color lane draws from the closed-form palette (i, 3i+7, 11i+19)
+    mod 256 with i = the first md5 byte: every one of the 256 palette
+    triples is EXHAUSTIVELY verified tie-free (no expression in the
+    encode YCbCr round or the decode RGB reconstruction lands on an
+    exact-representable .5, where numpy's half-even and SQL's
+    half-away rounding would diverge — tests/test_jpeg.py pins codec =
+    numpy twin = DuckDB closed form for all 256), so the oracle states
+    r/g/b in closed form through ROUND/LEAST/GREATEST. quality=100's
+    all-ones quantization tables keep the flat blocks integral, and a
+    flat image is invariant under the 4:2:0 box subsample, so the
+    round trip is EXACT. All four lanes decode through the one
     magic-byte dispatcher inside the REAL mapInPandas image path
-    (operators/multimodal.extract_image_features, decode_stub=False),
-    and the recovered dimensions + mean channel values are checked
-    against the oracle's closed form (JPEG rows state r=g=b=grey, PPM/
-    PNG rows the three md5 bytes). Solid rasters make every channel
-    mean an exact integer, so the Arrow decode stage itself — Huffman,
-    IDCT, inflate, unfiltering and all — is hash-matched, no rows-only
-    weakening. Blob construction is engine-side mapInPandas over the
-    repartitioned id projection (the PNG/JPEG encoders need real
-    deflate/DCT; single-row-group scans would otherwise serialize the
-    build on 1-2 cores — the round-9 parallelism finding)."""
+    (operators/multimodal.extract_image_features, decode_stub=False);
+    solid rasters make every channel mean an exact integer, so the
+    Arrow decode stage itself — Huffman, IDCT, chroma upsample, color
+    matrix, inflate, unfiltering and all — is hash-matched, no
+    rows-only weakening. Blob construction is engine-side mapInPandas
+    over the repartitioned id projection (the PNG/JPEG encoders need
+    real deflate/DCT; single-row-group scans would otherwise serialize
+    the build on 1-2 cores — the round-9 parallelism finding)."""
     from ..operators.multimodal import extract_image_features
 
     docs = load_table(spark, sf_dir, "documents")
@@ -430,18 +458,28 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids_, blobs = [], []
             for did in pdf["doc_id"]:
                 d = hashlib.md5(str(did).encode()).digest()
-                m = int(did) % 3
+                m = int(did) % 4
                 if m == 0:
                     blob = header + d[:3] * (_MM_W * _MM_H)
                 elif m == 1:
                     blob = make_png(_MM_W, _MM_H, d[:3] * (_MM_W * _MM_H))
-                else:
+                elif m == 2:
                     blob = make_jpeg(
                         _JPG_W,
                         _JPG_H,
                         d[:1] * (3 * _JPG_W * _JPG_H),
                         quality=100,
                         grayscale=True,
+                    )
+                else:
+                    i = d[0]
+                    color = bytes([i, (3 * i + 7) % 256, (11 * i + 19) % 256])
+                    blob = make_jpeg(
+                        _JPG_W,
+                        _JPG_H,
+                        color * (_JPG_W * _JPG_H),
+                        quality=100,
+                        subsampling="420",
                     )
                 ids_.append(int(did))
                 blobs.append(blob)

@@ -375,3 +375,38 @@ def test_lengthless_markers_before_sos_raise_named_errors():
         decode_jpeg(b"\xff\xd8\xff\xd3\x12\x34\x56\x78")
     with pytest.raises(OSError, match="stray length-less marker 0x01"):
         decode_jpeg(b"\xff\xd8\xff\x01\x12\x34\x56\x78")
+
+
+def test_color_fixture_palette_is_tie_free_and_codec_exact():
+    """The mm_image_decode color-JPEG lane draws its solid color from
+    the palette (i, 3i+7, 11i+19) mod 256. For EVERY one of the 256
+    palette triples this pins, exhaustively:
+
+    1. no expression in the encode YCbCr round or the decode RGB
+       reconstruction lands on an exact-representable .5 — the only
+       place numpy's half-even and SQL ROUND's half-away-from-zero
+       could diverge, so the DuckDB closed form is a theorem for this
+       palette, not a sample;
+    2. the REAL codec (make_jpeg q=100 4:2:0 -> decode_jpeg: YCbCr
+       matrix, flat-block DCT, chroma box-subsample + upsample) decodes
+       to exactly the closed-form triple, every pixel."""
+    for i in range(256):
+        r0, g0, b0 = i, (3 * i + 7) % 256, (11 * i + 19) % 256
+        y = 0.299 * r0 + 0.587 * g0 + 0.114 * b0
+        cb = 128.0 - 0.168736 * r0 - 0.331264 * g0 + 0.5 * b0
+        cr = 128.0 + 0.5 * r0 - 0.418688 * g0 - 0.081312 * b0
+        assert all((v % 1.0) != 0.5 for v in (y, cb, cr)), i
+        yi, cbi, cri = (
+            min(max(int(np.round(v)), 0), 255) for v in (y, cb, cr)
+        )
+        rd = yi + 1.402 * (cri - 128)
+        gd = yi - 0.344136 * (cbi - 128) - 0.714136 * (cri - 128)
+        bd = yi + 1.772 * (cbi - 128)
+        assert all((v % 1.0) != 0.5 for v in (rd, gd, bd)), i
+        want = tuple(min(max(int(np.round(v)), 0), 255) for v in (rd, gd, bd))
+        blob = make_jpeg(
+            16, 8, bytes([r0, g0, b0]) * 128, quality=100, subsampling="420"
+        )
+        w, h, px = decode_jpeg(blob)
+        assert (w, h) == (16, 8) and tuple(px[0, 0]) == want, (i, want)
+        assert (px == px[0, 0]).all(), i
