@@ -866,3 +866,101 @@ def quality_logit_learned(
         z.alias("logit"),
         (z >= F.lit(float(threshold))).cast("bigint").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing: text -> embedding, engine-side (round-11). The one
+# LLM-pipeline stage the registry previously derived from pre-supplied
+# embedding columns rather than producing itself — the hashing trick
+# (Weinberger et al. 2009, "Feature Hashing for Large Scale Multitask
+# Learning") maps token/bigram grams into a fixed d-dim signed count
+# vector with NO vocabulary table at all, which is exactly what makes
+# it the 100 TB text-vectorizer: stateless, one explode + one
+# (doc, dim)-keyed partial-aggregated groupBy, nothing broadcast,
+# nothing collected, no fit pass over the corpus.
+# ---------------------------------------------------------------------------
+
+
+def feature_hash_embed(
+    df: DataFrame,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, dim, value_e6): L2-normalized hashed n-gram embedding.
+
+    Grams are the unigram tokens plus adjacent bigrams (``"a b"``) of
+    the lowered TOKEN_PATTERN tokens; each gram lands in bucket
+    ``md5(gram)[:8 hex] mod dim`` with an Achlioptas ±1 sign from the
+    parity of md5's last hex digit (the same engine-portable draws as
+    hashed_token_features and similarity.random_projection). Bucket
+    sums are exact int64, the L2 norm is an int64 sum of squares, and
+    the surfaced value is ``e6(v_j / sqrt(||v||^2))`` — division and
+    sqrt are correctly-rounded IEEE ops over identical integers, and
+    both engines round e6 half-away-from-zero, so the whole embedding
+    hash-matches a SQL oracle. Every doc emits all ``dim`` rows
+    (zero-fill discipline, schemas.py); an empty doc embeds as the
+    zero vector, not a divide-by-zero.
+
+    Plan shape: the token array projects as a COLUMN before the bigram
+    transform (inlined regexp in a HOF lambda re-runs per element —
+    the round-8 collocations finding), one explode, one (doc, dim)
+    groupBy with map-side partials; the norm is a doc-partitioned
+    WINDOW over the resulting ≤dim-rows-per-doc table, NOT a second
+    aggregate over the corpus — a groupBy-then-join formulation made
+    Catalyst scan and re-tokenize the whole corpus twice (measured on
+    the first cut of this operator; DataFrame lineage has no common-
+    subplan reuse), and at 100 TB the tokenize+explode IS the cost.
+    The dims-literal cross join supplies the zero rows. No vocabulary,
+    no broadcast of anything corpus-sized, no driver collect —
+    scan-shaped at any corpus size."""
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        _tokens(F.col(text_col)).alias("toks"),
+    )
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr("transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select(
+        "doc_id", F.explode(F.concat(F.col("toks"), bigrams)).alias("g")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint") % dim
+    ).cast("int")
+    sign = F.when(
+        F.conv(F.substring(F.md5("g"), 32, 1), 16, 10).cast("bigint") % 2 == 1,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    v = (
+        grams.select("doc_id", bucket.alias("dim"), sign.alias("s"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").cast("long").alias("vj"))
+    )
+    from pyspark.sql import Window as W
+
+    vn = v.withColumn(
+        "s2", F.sum(F.col("vj") * F.col("vj")).over(W.partitionBy("doc_id"))
+    )
+    dims = df.sparkSession.range(dim).select(F.col("id").cast("int").alias("dim"))
+    base = df.select(F.col(id_col).cast("long").alias("doc_id")).crossJoin(dims)
+    from ..functions.numeric import e_int
+
+    return (
+        base.join(vn, ["doc_id", "dim"], "left")
+        .select(
+            "doc_id",
+            "dim",
+            F.when(
+                F.coalesce(F.col("s2"), F.lit(0)) == 0, F.lit(0).cast("long")
+            )
+            .otherwise(
+                e_int(
+                    F.coalesce(F.col("vj"), F.lit(0)).cast("double")
+                    / F.sqrt(F.col("s2").cast("double")),
+                    6,
+                )
+            )
+            .alias("value_e6"),
+        )
+    )

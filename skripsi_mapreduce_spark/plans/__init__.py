@@ -10,106 +10,58 @@ from . import extensions3  # noqa: F401  (registers into QUERIES/ORACLE)
 # entries in dict order (every round so far cut at exactly position 50).
 # Rotate so every entry's freshest driver-green row stays recent.
 #
-# Round 10 head (executes the r9 verdict's rotation ledger verbatim):
+# Round 11 head (executes the r10 verdict's rotation ledger verbatim):
 #  (0) entries whose KERNEL or VALUES changed this round — must be
-#      adjudicated: ta_bm25_incremental (bm25_update_model grew a
-#      deleted_ids path; the entry now plants phantom docs and deletes
-#      them — an unexcised phantom would skew N/avgdl/df against the
-#      unchanged oracle) and mm_image_decode (fixtures are now a
-#      PPM/PNG/JPEG three-codec mix adjudicating the round-10 from-spec
-#      baseline JPEG decoder; widths/heights/colors changed for 2/3 of
-#      rows);
-#  (a) the 46 entries whose freshest driver-green row is r7 — the
-#      stalest evidence in the repo (sim_recall_many_ivfpq ...
-#      sketch_kmv_intersect, the whole r7 block of the r9 tail);
-#  (b) fill from the r8-green block in its ledger order to EXACTLY 50:
-#      mm_image_near_dups, ta_fit_classifier.
+#      adjudicated: mm_image_decode (the fixture mix goes doc_id % 3 ->
+#      % 4, adding the solid-COLOR 4:2:0 q=100 JPEG lane that puts the
+#      YCbCr matrix + chroma upsample under driver adjudication — the
+#      r10 verdict's task 2; values changed for most rows),
+#      emb_feature_hashing (NEW entry — engine-side text->embedding via
+#      the hashing trick, the r10 verdict's capability step 7b), and
+#      graph_pagerank (the r10 verdict's task 1: forced broadcasts of
+#      the SF-scaling customer/supplier dims dropped — AQE now decides;
+#      values identical but the edge-build plan changed, so it
+#      re-adjudicates rather than leaning on the r9 row);
+#  (a) the 47 entries whose freshest driver-green row is r8 — the
+#      stalest evidence in the repo (kmeans_documents ...
+#      q08_left_join, the whole r8 block of the r10 tail).
 #
-# Round-10 VALUE-IDENTICAL touches stay out of the head under the r8
-# precedent (row-identity pinned by test + four-config driver_sim
-# re-verification this round, all green):
-#  - stream_bm25_topk: 2 micro-batches instead of 3 + single-tokenize
-#    model (rows pinned by the slicing-invariance test; r9-green);
-#  - stream_sim_topk / stream_semantic_incremental + the serving
-#    routes: enforced sink contract (memory_sink explicit, run-
-#    namespaced sink_path) — same rows, different API discipline;
+# Round-11 VALUE-IDENTICAL touches staying out of the head under the r8
+# precedent (row-identity pinned by the sf0.001 oracle suite every
+# pytest run + four-config driver_sim re-verification this round, all
+# green):
+#  - stream_enrich: the same forced-broadcast drop as graph_pagerank
+#    (customer dim hint removed, per-batch AQE decides) — rows
+#    identical, plan-only change, r9-green + re-verified in all four
+#    mode x SF configs this round; head budget (3 slots after the
+#    47-entry r8 block) went to the two value-changed entries plus
+#    graph_pagerank as the representative adjudication of the
+#    broadcast-policy change;
 #  - kmeans_documents / emb_kmeans / ta_cluster_keywords /
-#    dedup_semantic(_keep): weights-cache release after the eager
-#    output materializes (CacheManager-pinned; rows identical);
-#  - dedup_minhash / dedup_jaccard_autoselect / dedup_prefix_jaccard:
-#    bitmap_max_vocab / verify_max_tokens threaded through the LSH arm
-#    (row-identity pinned by test on an LSH-routed corpus);
-#  - mm_image_resize / mm_*_near_dups / mm_image_dedup_incremental:
-#    decode dispatch unified behind _decode_image (same decoders for
-#    PPM/PNG rows) and id-offset scalars moved to parquet-footer stats
-#    (same scalar, no Spark job);
-#  - dedup_incremental / dedup_semantic_incremental / ta_bm25_topk:
-#    footer-stats max / checkpoint=True model (same rows).
+#    dedup_semantic(_keep): exception-safe try/finally around the
+#    weights-cache unpersist (r10 verdict #3) — pure control-flow
+#    hardening, rows identical, CacheManager-pinned by test (and
+#    kmeans_documents re-adjudicates in this head anyway via the r8
+#    block);
+#  - mm_image_near_dups / mm_image_resize / mm_image_dedup_incremental
+#    / mm_video_near_dups: jpeg.py marker-loop robustness (multi-scan
+#    gate, RST fill bytes, length-less markers) — decode of the
+#    well-formed fixture files is byte-identical; the gates only fire
+#    on malformed/unsupported inputs (pytest-pinned).
 #
-# Freshness ledger after r10 (for the round-11 rotation): head-50 carry
-# r10 evidence; _TAIL lists the 47 r8-green entries FIRST (oldest —
-# r11's fill pool, dedup_jaccard_autoselect ... q08_left_join, i.e. the
-# r8 block minus the two promoted fills) then the 48 r9-green entries
-# (the r9 head minus ta_bm25_incremental and mm_image_decode, which
-# re-adjudicate in the r10 head). r11 head = any r11-changed kernels +
-# the r8 block, then r9 fill to exactly 50.
+# Freshness ledger after r11 (for the round-12 rotation): head-50 carry
+# r11 evidence; _TAIL lists the 47 r9-green entries FIRST (oldest —
+# r12's fill pool, dedup_prefix_jaccard ... sim_topk_many, i.e. the r9
+# block minus graph_pagerank which re-adjudicated in this head, plus
+# stream_enrich) then the 49 r10-green entries (the r10 head minus
+# mm_image_decode, which re-adjudicates in the r11 head). r12 head =
+# any r12-changed kernels + the r9 block, then r10 fill to exactly 50.
 _PROMOTED = [
-    # (0) kernel/value-changed this round
-    "ta_bm25_incremental",
+    # (0) kernel/value-changed or new this round
     "mm_image_decode",
-    # (a) last driver-green r7 — the r9 tail's oldest block
-    "sim_recall_many_ivfpq",
-    "stream_semantic_incremental",
-    "emb_kmeans",
-    "dedup_semantic",
-    "dedup_semantic_keep",
-    "tfidf_longform",
-    "sketch_bloom",
-    "mix_temperature",
-    "stream_interval_join",
-    "stream_sliding",
-    "stream_dedup",
-    "graph_components",
-    "cdc_scd2",
-    "skew_salted_join",
-    "cdc_incremental_agg",
-    "q46_lateral_topk",
-    "q47_pipe_syntax",
-    "q48_variant_props",
-    "sketch_kmv_merge",
-    "graph_triangles",
-    "pipe_prepare_corpus",
-    "stream_tumbling",
-    "stream_sessionization",
-    "stream_stateful_anomalies",
-    "sim_topk_ivf",
-    "ta_trigram_lp",
-    "sketch_hist_quantiles",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "sim_topk_cosine",
-    "sim_topk_lsh",
-    "q09_semi_join",
-    "q10_anti_join",
-    "q11_range_self_join",
-    "q12_cross_join",
-    "q13_scalar_subquery",
-    "q14_correlated_subquery",
-    "dedup_embedding_cosine",
-    "emb_random_projection",
-    "dedup_incremental",
-    "sim_topk_pq_rerank",
-    "sim_recall_ivf",
-    "q49_recursive_cte",
-    "q53_zorder_layout",
-    "sketch_kmv_intersect",
-    # (b) r8-green fill to exactly 50
-    "mm_image_near_dups",
-    "ta_fit_classifier",
-]
-_TAIL = [
-    # green r8 — the oldest evidence outside the head (r11's fill pool)
+    "emb_feature_hashing",
+    "graph_pagerank",
+    # (a) the 47-entry r8-green block — the stalest driver evidence
     "kmeans_documents",
     "dedup_jaccard_autoselect",
     "dedup_semantic_incremental",
@@ -157,7 +109,9 @@ _TAIL = [
     "q06_inner_join",
     "q07_tpch_q5",
     "q08_left_join",
-    # green r9 — the r9 head minus the two entries re-adjudicated above
+]
+_TAIL = [
+    # green r9 — the oldest evidence outside the head (r12's fill pool)
     "dedup_prefix_jaccard",
     "sim_index_incremental_pq",
     "stream_bm25_topk",
@@ -187,7 +141,6 @@ _TAIL = [
     "q34_ntile",
     "sketch_kmv_distinct",
     "sketch_cms_topk",
-    "graph_pagerank",
     "bpe_encode",
     "ta_quality_classifier",
     "mm_audio_decode",
@@ -206,6 +159,56 @@ _TAIL = [
     "stream_enrich",
     "q52_cube",
     "sim_topk_many",
+    # green r10 — the r10 head minus mm_image_decode (re-adjudicated above)
+    "ta_bm25_incremental",
+    "sim_recall_many_ivfpq",
+    "stream_semantic_incremental",
+    "emb_kmeans",
+    "dedup_semantic",
+    "dedup_semantic_keep",
+    "tfidf_longform",
+    "sketch_bloom",
+    "mix_temperature",
+    "stream_interval_join",
+    "stream_sliding",
+    "stream_dedup",
+    "graph_components",
+    "cdc_scd2",
+    "skew_salted_join",
+    "cdc_incremental_agg",
+    "q46_lateral_topk",
+    "q47_pipe_syntax",
+    "q48_variant_props",
+    "sketch_kmv_merge",
+    "graph_triangles",
+    "pipe_prepare_corpus",
+    "stream_tumbling",
+    "stream_sessionization",
+    "stream_stateful_anomalies",
+    "sim_topk_ivf",
+    "ta_trigram_lp",
+    "sketch_hist_quantiles",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "sim_topk_cosine",
+    "sim_topk_lsh",
+    "q09_semi_join",
+    "q10_anti_join",
+    "q11_range_self_join",
+    "q12_cross_join",
+    "q13_scalar_subquery",
+    "q14_correlated_subquery",
+    "dedup_embedding_cosine",
+    "emb_random_projection",
+    "dedup_incremental",
+    "sim_topk_pq_rerank",
+    "sim_recall_ivf",
+    "q49_recursive_cte",
+    "q53_zorder_layout",
+    "sketch_kmv_intersect",
+    "mm_image_near_dups",
+    "ta_fit_classifier",
 ]
 
 

@@ -2736,3 +2736,70 @@ def _register_stream_bm25_topk() -> None:
 
 
 _register_stream_bm25_topk()
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing: engine-side text -> embedding (round-11)
+# ---------------------------------------------------------------------------
+_FH_DIM = 16
+
+
+def _feature_hash_oracle_sql() -> str:
+    from .extensions import ASCII_TOKEN
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{ASCII_TOKEN}') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(toks) AS g FROM toks
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS g
+      FROM toks
+    ), hv AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {_FH_DIM} AS INT) AS dim,
+             CASE WHEN CAST('0x' || substr(md5(g), 32, 1) AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END AS s
+      FROM grams
+    ), v AS (
+      SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS vj FROM hv GROUP BY 1, 2
+    ), nrm AS (
+      SELECT doc_id, CAST(SUM(vj * vj) AS BIGINT) AS s2 FROM v GROUP BY 1
+    ), base AS (
+      SELECT d.doc_id, CAST(t.i AS INT) AS dim
+      FROM documents d CROSS JOIN range({_FH_DIM}) t(i)
+    )
+    SELECT b.doc_id, b.dim,
+           CAST(CASE WHEN COALESCE(n.s2, 0) = 0 THEN 0
+                ELSE ROUND(CAST((CAST(COALESCE(v.vj, 0) AS DOUBLE)
+                                 / sqrt(CAST(n.s2 AS DOUBLE))) AS DOUBLE)
+                           * 1000000) END AS BIGINT) AS value_e6
+    FROM base b
+    LEFT JOIN v ON v.doc_id = b.doc_id AND v.dim = b.dim
+    LEFT JOIN nrm n ON n.doc_id = b.doc_id
+    ORDER BY b.doc_id, b.dim
+    """
+
+
+@query("emb_feature_hashing", _feature_hash_oracle_sql())
+def emb_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-side text -> embedding via the hashing trick (Weinberger
+    et al. 2009): unigram + adjacent-bigram grams hash into a fixed
+    {dim}-dim signed count vector (md5 bucket, Achlioptas ±1 parity
+    sign), L2-normalized and surfaced long-form as e6 fixed point —
+    the one LLM-pipeline stage the registry previously consumed from
+    the pre-supplied embeddings table rather than producing itself
+    (operators/text_analysis.feature_hash_embed). Stateless by
+    construction — no vocabulary table, no fit pass, no broadcast —
+    so at 100 TB it is pure scan + one (doc, dim)-keyed partial
+    aggregate: the reason the hashing trick IS the web-scale text
+    vectorizer. Integer bucket sums and an integer norm make the
+    normalized values identical IEEE doubles in both engines, so the
+    embedding itself is hash-adjudicated, not just its row count."""
+    from ..operators.text_analysis import feature_hash_embed
+
+    docs = load_table(spark, sf_dir, "documents")
+    return feature_hash_embed(docs, dim=_FH_DIM).orderBy("doc_id", "dim")

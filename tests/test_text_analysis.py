@@ -236,3 +236,70 @@ def test_pii_scrub_idempotent_and_typed(spark):
     twice = scrub_pii(scrub_pii(df)).head()["text"]
     assert once == twice
     assert once == "mail [email] call [phone] ip [ipv4] ssn [ssn] end"
+
+
+def test_feature_hash_embed_matches_python_twin(spark):
+    """feature_hash_embed vs an independent Python twin (hashlib md5,
+    same gram/bucket/sign/normalize semantics): every (doc, dim) value
+    must agree exactly, including zero-fill rows, sign cancellation,
+    and the empty-doc zero vector."""
+    import hashlib
+    import math
+    import re
+
+    from skripsi_mapreduce_spark.operators.text_analysis import feature_hash_embed
+
+    docs = [
+        (1, "Hello world hello spark"),
+        (2, ""),           # empty -> zero vector, not divide-by-zero
+        (3, "one"),        # single gram -> unit vector
+        (4, "aa bb aa bb aa bb cc dd"),  # repeated grams, cancellations
+        (5, None if False else "Mixed CASE Tokens mixed case tokens"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    dim = 8
+    got = {
+        (r["doc_id"], r["dim"]): r["value_e6"]
+        for r in feature_hash_embed(df, dim=dim).collect()
+    }
+    assert len(got) == len(docs) * dim  # zero-fill: all dims for all docs
+
+    for doc_id, text in docs:
+        toks = re.findall(r"\w\w+", text.lower())
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        v = [0] * dim
+        for g in grams:
+            hx = hashlib.md5(g.encode()).hexdigest()
+            j = int(hx[:8], 16) % dim
+            s = 1 if int(hx[31], 16) % 2 == 1 else -1
+            v[j] += s
+        s2 = sum(x * x for x in v)
+        for j in range(dim):
+            if s2 == 0:
+                want = 0
+            else:
+                x = (float(v[j]) / math.sqrt(float(s2))) * 1e6
+                # e6 half-away-from-zero (Spark round / DuckDB ROUND)
+                want = int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+            assert got[(doc_id, j)] == want, (doc_id, j, got[(doc_id, j)], want)
+
+
+def test_feature_hash_embed_single_corpus_scan(spark):
+    """The norm must come from a WINDOW over the aggregated (doc, dim)
+    table, not a second aggregate lineage over the corpus: exactly one
+    scan of the documents text column (the zero-fill base may scan the
+    narrow doc_id column), and no nested-loop joins beyond the bounded
+    16-row dims cross join."""
+    from skripsi_mapreduce_spark.plans import QUERIES
+
+    from .conftest import SF_DIR
+
+    df = QUERIES["emb_feature_hashing"](spark, SF_DIR)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    reads = [l for l in p.splitlines() if "ReadSchema" in l]
+    text_scans = [l for l in reads if "text" in l]
+    assert len(text_scans) == 1, f"corpus text scanned {len(text_scans)}x"
+    assert "Window" in p
+    assert "CartesianProduct" not in p
