@@ -226,11 +226,22 @@ class _BitReader:
         return v
 
     def align_to_marker(self):
-        """Drop partial bits and any fill 0xFFs; position on a marker."""
+        """Drop partial bits and any fill 0xFFs; position on a marker —
+        after this, ``buf[pos]`` is the last 0xFF of the run and
+        ``buf[pos+1]`` the marker byte (T.81 B.1.1.2: a marker may be
+        preceded by any number of 0xFF fill bytes, so 0xFF 0xFF 0xD0 is
+        a single RST0)."""
         self.nbits = 0
         b = self.buf
         while self.pos + 1 < len(b) and not (
             b[self.pos] == 0xFF and b[self.pos + 1] != 0x00
+        ):
+            self.pos += 1
+        # skip through the fill run so the byte after pos is the marker
+        while (
+            self.pos + 1 < len(b)
+            and b[self.pos] == 0xFF
+            and b[self.pos + 1] == 0xFF
         ):
             self.pos += 1
 
@@ -281,6 +292,9 @@ def decode_jpeg(b: bytes):
             raise OSError(f"JPEG: expected marker at offset {pos}")
         while pos + 1 < len(b) and b[pos + 1] == 0xFF:
             pos += 1  # legal fill bytes between markers
+        if pos + 1 >= len(b):
+            # a trailing 0xFF fill run with no marker byte after it
+            raise OSError("JPEG: truncated before SOS")
         marker = b[pos + 1]
         # length-less markers branch BEFORE the 2-byte length read: an
         # EOI-terminated header tail must report the EOI, not a phantom
@@ -358,7 +372,12 @@ def decode_jpeg(b: bytes):
             scan = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                comp = next((x for x in frame["comps"] if x["id"] == cs), None)
+                if comp is None:
+                    raise OSError(
+                        f"JPEG: SOS references component id {cs} absent "
+                        "from SOF0"
+                    )
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
             # this codec decodes exactly ONE fully-interleaved scan: a
             # legal multi-scan baseline file (one component per scan,
@@ -415,17 +434,9 @@ def _decode_scan(b, pos, frame, scan, qt, huff_dc, huff_ac, ri, np):
     for my in range(mcuy):
         for mx in range(mcux):
             if ri and mcu_count and mcu_count % ri == 0:
+                # align_to_marker also skips 0xFF fill runs (T.81
+                # B.1.1.2), so buf[pos+1] here is the true marker byte
                 r.align_to_marker()
-                # skip 0xFF fill bytes before the marker (legal padding
-                # per T.81 B.1.1.2): the marker byte is the first
-                # non-0xFF after the fill run, so 0xFF 0xFF 0xD0 is a
-                # valid RST0
-                while (
-                    r.pos + 1 < len(b)
-                    and b[r.pos] == 0xFF
-                    and b[r.pos + 1] == 0xFF
-                ):
-                    r.pos += 1
                 if not (
                     r.pos + 1 < len(b)
                     and b[r.pos] == 0xFF

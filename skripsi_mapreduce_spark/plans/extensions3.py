@@ -1582,9 +1582,14 @@ def q51_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = parts.select(
         F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"), "p_brand"
     )
+    # no forced broadcast on np_pairs: distinct-name pairs are tiny in
+    # THIS generator's data (64 names at sf1.0) but derive from the
+    # SF-scaling part table, so they are not bounded by plan
+    # construction — a forced hint would broadcast them at ANY size
+    # (the round-11 lint catch). AQE converts the join to broadcast at
+    # runtime whenever the measured pair table is actually small.
     return (
-        F.broadcast(np_pairs)
-        .join(a, "name_a")
+        np_pairs.join(a, "name_a")
         .join(x, ["name_b", "p_brand"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "dist")
@@ -1610,9 +1615,14 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer dimension inside the micro-batch (stateless, unlike the
     stream-stream interval join's watermark-bounded state) and
     aggregates per (segment, type). Customer carries NO forced
-    broadcast hint — it scales with SF, so per-batch AQE decides from
-    measured size (relational.py:22 policy: hints only for bounded
-    smalls).
+    broadcast hint — it scales with SF, and a forced hint would
+    broadcast it at ANY size (the OOM-at-100x pattern). Note the
+    replanning story differs from batch: Spark does NOT run AQE inside
+    streaming micro-batch plans, so the strategy comes from STATIC
+    size estimation against autoBroadcastJoinThreshold — small dims
+    still broadcast; past the threshold the join degrades safely to
+    shuffle instead of force-broadcasting an oversized table
+    (relational.py:22 policy: hints only for bounded smalls).
     Completes the streaming join family's evidence: stream-stream
     (stream_interval_join) and stream-static now both replay through the
     REAL streaming operators and hash-match the batch statement. The

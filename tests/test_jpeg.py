@@ -375,6 +375,18 @@ def test_lengthless_markers_before_sos_raise_named_errors():
         decode_jpeg(b"\xff\xd8\xff\xd3\x12\x34\x56\x78")
     with pytest.raises(OSError, match="stray length-less marker 0x01"):
         decode_jpeg(b"\xff\xd8\xff\x01\x12\x34\x56\x78")
+    # a trailing 0xFF fill run with no marker byte must be a NAMED
+    # truncation error, not an IndexError (round-11 review catch)
+    with pytest.raises(OSError, match="truncated"):
+        decode_jpeg(b"\xff\xd8\xff\xff")
+    # SOS referencing a component id absent from SOF0: named OSError,
+    # not a bare StopIteration (round-11 review catch)
+    img = _flat_tile_grey(2, 2)
+    blob = bytearray(make_jpeg(16, 16, img.tobytes(), grayscale=True))
+    sos = blob.find(b"\xff\xda")
+    blob[sos + 5] += 7  # component selector -> unknown id
+    with pytest.raises(OSError, match="absent from SOF0"):
+        decode_jpeg(bytes(blob))
 
 
 def test_color_fixture_palette_is_tie_free_and_codec_exact():

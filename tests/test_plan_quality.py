@@ -281,14 +281,18 @@ def test_cdc_scd2_single_shuffle_by_key(spark):
     assert "Window" in p
 
 
-def test_q51_fuzzy_match_broadcasts_name_pairs(spark):
-    """The distinct-name verify table is tiny and must broadcast into
-    the expansion joins — a lost join key here silently degrades to a
-    nested-loop over all id pairs."""
+def test_q51_fuzzy_match_expansion_joins_are_equi(spark):
+    """The expansion must stay a pair of EQUI joins on (name, brand)
+    keys — a lost join key here silently degrades to a nested loop
+    over all id pairs. np_pairs carries no forced broadcast hint since
+    round 11 (it derives from the SF-scaling part table, bounded only
+    by this generator's name vocabulary — AQE broadcasts it at runtime
+    when the measured size is small), so the static plan may show
+    sort-merge; the invariant is the join TYPE, not the strategy."""
     p = formatted_plan(spark, "q51_fuzzy_match")
-    assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
 
 
 def test_mix_negatives_no_single_partition_exchange(spark):
@@ -396,10 +400,17 @@ def test_no_forced_broadcast_of_sf_scaling_tables():
     Spark's size threshold and OOMs the driver at 100x — the exact
     pattern the r9/r10 verdicts removed from bm25_update_model,
     graph_pagerank and stream_enrich. This test walks the AST of every
-    module in the package: any name bound (directly or through a method
-    chain) to ``load_table(..., "<sf-scaling table>")`` must never
-    appear as the argument of ``F.broadcast(...)`` in the same function,
-    nor may a load_table call of such a table be broadcast inline."""
+    module in the package: any name bound (directly or through narrow
+    method chains, taint-propagated to a fixpoint across intermediate
+    assignments) to ``load_table(..., "<sf-scaling table>")`` must
+    never appear as the argument of ``F.broadcast(...)`` in the same
+    function, nor may a load_table call of such a table be broadcast
+    inline. Chains through groupBy/agg/count/limit clear the taint —
+    the policy's "derived aggregates the plan itself bounds" exception;
+    this is deliberately permissive (a corpus-keyed groupBy is NOT
+    bounded, but distinguishing key cardinality statically is not
+    possible), so aggregate broadcasts stay a review concern while the
+    raw-dimension pattern is mechanically banned."""
     import ast
     from pathlib import Path
 
@@ -436,21 +447,56 @@ def test_no_forced_broadcast_of_sf_scaling_tables():
             isinstance(f, ast.Name) and f.id == "broadcast"
         )
 
+    # a chain through any of these produces a bounded DERIVED table
+    # (aggregate/limit), which the policy explicitly allows to broadcast
+    BOUNDING = {"groupBy", "agg", "count", "limit", "summary"}
+
+    def is_bounded(node):
+        return any(
+            isinstance(sub, ast.Call)
+            and isinstance(sub.func, ast.Attribute)
+            and sub.func.attr in BOUNDING
+            for sub in ast.walk(node)
+        )
+
     violations = []
     for py in sorted(Path(pkg.__path__[0]).rglob("*.py")):
         tree = ast.parse(py.read_text())
         for fn in [n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)]:
-            tainted = {}  # name -> table it was loaded from
-            for node in ast.walk(fn):
-                if isinstance(node, ast.Assign):
+            # taint pass: a name is tainted if its assigned expression
+            # contains load_table of an SF-scaling table OR another
+            # tainted name (narrow ops like select/filter/withColumn
+            # keep the taint; an aggregating chain clears it). Iterate
+            # to a fixpoint so multi-hop `c2 = c.select(...)` chains
+            # are caught, in whatever statement order they appear.
+            assigns = [n for n in ast.walk(fn) if isinstance(n, ast.Assign)]
+            tainted = {}  # name -> origin table
+            changed = True
+            while changed:
+                changed = False
+                for node in assigns:
+                    if is_bounded(node.value):
+                        continue
                     t = load_table_arg(node.value)
-                    if t in SF_SCALING:
+                    if t not in SF_SCALING:
+                        t = next(
+                            (
+                                tainted[sub.id]
+                                for sub in ast.walk(node.value)
+                                if isinstance(sub, ast.Name) and sub.id in tainted
+                            ),
+                            None,
+                        )
+                    if t is not None:
                         for tgt in node.targets:
-                            if isinstance(tgt, ast.Name):
+                            if isinstance(tgt, ast.Name) and tgt.id not in tainted:
                                 tainted[tgt.id] = t
+                                changed = True
             for node in ast.walk(fn):
                 if isinstance(node, ast.Call) and is_broadcast_call(node) and node.args:
                     arg = node.args[0]
+                    if is_bounded(arg):
+                        continue  # bounded derived aggregate — allowed
                     # inline: F.broadcast(load_table(..., "customer")...)
                     t = load_table_arg(arg)
                     if t in SF_SCALING:

@@ -254,7 +254,9 @@ def test_feature_hash_embed_matches_python_twin(spark):
         (2, ""),           # empty -> zero vector, not divide-by-zero
         (3, "one"),        # single gram -> unit vector
         (4, "aa bb aa bb aa bb cc dd"),  # repeated grams, cancellations
-        (5, None if False else "Mixed CASE Tokens mixed case tokens"),
+        (5, "Mixed CASE Tokens mixed case tokens"),
+        (6, None),         # NULL text -> zero vector (tokens NULL,
+                           # explode drops the row, zero-fill restores)
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     dim = 8
@@ -265,7 +267,7 @@ def test_feature_hash_embed_matches_python_twin(spark):
     assert len(got) == len(docs) * dim  # zero-fill: all dims for all docs
 
     for doc_id, text in docs:
-        toks = re.findall(r"\w\w+", text.lower())
+        toks = re.findall(r"\w\w+", (text or "").lower())
         grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
         v = [0] * dim
         for g in grams:
