@@ -28,9 +28,16 @@ optional restart intervals.
 Spark never sees this module directly: the multimodal operators
 (operators/multimodal.py) dispatch on the ``\\xff\\xd8`` magic inside
 their Arrow-batched mapInPandas kernels, so JPEG blobs ride the same
-schema/partitioning/batch shape as every other codec. Pure numpy per
-block; per-image Python cost is the same order as the PNG row-filter
-loop — fine for thumbnails/features, swap PIL in for bulk photo decode.
+schema/partitioning/batch shape as every other codec. Entropy decode is
+the LUT fast path (round 11): pre-unstuffed restart segments + a fused
+16-bit-window lookahead probe (see _decode_scan), with the tables
+cached per process (_LUT_CACHE) — quiet-window single-core measures:
+~1.2s per 2 MP smooth-content photo, ~4.0s worst-case dense-AC noise
+at q75, ~0.6s per VGA, sub-ms per thumbnail; throughput scales with
+executor cores since decode is embarrassingly parallel across images.
+PIL remains the drop-in at the same mapInPandas seam when a corpus
+needs libjpeg-turbo rates or the gated exotic tiers
+(progressive/arithmetic/12-bit).
 """
 
 from __future__ import annotations
@@ -176,93 +183,95 @@ def _build_huffman(bits: list[int], vals: list[int]):
     return (mincode, maxcode, valptr, list(vals)), encode
 
 
-class _BitReader:
-    """Entropy-coded-segment bit reader: unstuffs 0xFF00, stops at any
-    real marker (leaving it for the caller), raises on truncation."""
-
-    def __init__(self, buf: bytes, pos: int):
-        self.buf = buf
-        self.pos = pos
-        self.cur = 0
-        self.nbits = 0
-
-    def _fill(self):
-        b = self.buf
-        if self.pos >= len(b):
+def _split_ecs_segments(b: bytes, pos: int) -> list[bytes]:
+    """Pre-pass over the entropy-coded data starting at ``pos``:
+    unstuffs 0xFF00 -> 0xFF, drops 0xFF fill runs (T.81 B.1.1.2 — a
+    marker may be preceded by any number of fill 0xFFs, so
+    0xFF 0xFF 0xD0 is one RST0), and splits at RSTn markers. Returns
+    one bytes segment per restart interval; the first non-RST marker
+    ends the scan. Replaces the round-10 byte-at-a-time _BitReader:
+    separating unstuffing from bit reading lets the decode loop peek
+    fixed 16-bit windows straight off a contiguous buffer (the LUT
+    fast path below)."""
+    segs: list[bytes] = []
+    parts: list[bytes] = []
+    n = len(b)
+    start = i = pos
+    while True:
+        j = b.find(0xFF, i)
+        if j < 0 or j + 1 >= n:
             raise OSError("JPEG: truncated entropy-coded segment")
-        byte = b[self.pos]
-        if byte == 0xFF:
-            nxt = b[self.pos + 1] if self.pos + 1 < len(b) else None
-            if nxt == 0x00:
-                self.pos += 2  # stuffed 0xFF data byte
-            else:
-                # a real marker inside the ECS — T.81 pads the last
-                # byte with 1-bits; treat as padding and report
-                raise OSError("JPEG: hit marker while reading bits")
-        else:
-            self.pos += 1
-        # cur stays a bounded machine word: reads below mask off the
-        # consumed high bits, and fills happen only on demand (an eager
-        # fill could hit the trailing marker while bits remain buffered)
-        self.cur = (self.cur << 8) | byte
-        self.nbits += 8
+        nxt = b[j + 1]
+        if nxt == 0x00:  # stuffed data byte
+            parts.append(b[start : j + 1])
+            start = i = j + 2
+        elif nxt == 0xFF:  # fill byte of a run before a marker
+            parts.append(b[start:j])
+            start = i = j + 1
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker
+            parts.append(b[start:j])
+            segs.append(b"".join(parts))
+            parts = []
+            start = i = j + 2
+        else:  # any real marker ends the scan
+            parts.append(b[start:j])
+            segs.append(b"".join(parts))
+            return segs
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        bit = (self.cur >> self.nbits) & 1
-        self.cur &= (1 << self.nbits) - 1
-        return bit
 
-    def receive(self, n: int) -> int:
-        if n == 0:
-            return 0
-        while self.nbits < n:
-            self._fill()
-        self.nbits -= n
-        v = (self.cur >> self.nbits) & ((1 << n) - 1)
-        self.cur &= (1 << self.nbits) - 1
-        return v
+_LUT_CACHE: dict = {}  # frozen encode map -> LUT triple (images in a
+# corpus overwhelmingly share Huffman tables — every file this repo's
+# encoder emits carries the Annex K set — so the ~2-15 ms build is paid
+# once per distinct table per process, not per image)
+_LUT_CACHE_MAX = 64
 
-    def align_to_marker(self):
-        """Drop partial bits and any fill 0xFFs; position on a marker —
-        after this, ``buf[pos]`` is the last 0xFF of the run and
-        ``buf[pos+1]`` the marker byte (T.81 B.1.1.2: a marker may be
-        preceded by any number of 0xFF fill bytes, so 0xFF 0xFF 0xD0 is
-        a single RST0)."""
-        self.nbits = 0
-        b = self.buf
-        while self.pos + 1 < len(b) and not (
-            b[self.pos] == 0xFF and b[self.pos + 1] != 0x00
-        ):
-            self.pos += 1
-        # skip through the fill run so the byte after pos is the marker
-        while (
-            self.pos + 1 < len(b)
-            and b[self.pos] == 0xFF
-            and b[self.pos + 1] == 0xFF
-        ):
-            self.pos += 1
+
+def _huff_lut(encode: dict):
+    """(sym, length, fused) 16-bit-window lookup tables from a
+    canonical encode map. ``sym``/``length``: every window whose top
+    ``length`` bits equal a code maps to that code's symbol — ONE list
+    probe decodes a symbol, replacing the per-bit F.2.2.3 walk (up to
+    16 Python loop iterations each); length 0 marks an invalid prefix.
+    ``fused`` is the libjpeg-style lookahead taken to 16 bits: when
+    code + SSSS value bits fit the window together, the entry packs
+    ``consumed<<24 | symbol<<16 | (EXTENDed value + 0x8000)`` so the
+    common case decodes symbol AND coefficient in one probe; 0 means
+    fall back to the two-step path."""
+    key = frozenset(encode.items())
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = [0] * 65536
+    ln = [0] * 65536
+    fused = [0] * 65536
+    for s, (code, length) in encode.items():
+        lo = code << (16 - length)
+        cnt = 1 << (16 - length)
+        sym[lo : lo + cnt] = [s] * cnt
+        ln[lo : lo + cnt] = [length] * cnt
+        ssss = s & 0x0F
+        if ssss == 0:
+            # EOB/ZRL (AC) or zero-diff (DC): no value bits follow
+            e = (length << 24) | (s << 16) | 0x8000
+            fused[lo : lo + cnt] = [e] * cnt
+        elif length + ssss <= 16:
+            consumed = length + ssss
+            tail = 16 - consumed
+            for v in range(1 << ssss):
+                ext = v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+                e = (consumed << 24) | (s << 16) | (ext + 0x8000)
+                flo = ((code << ssss) | v) << tail
+                fused[flo : flo + (1 << tail)] = [e] * (1 << tail)
+    out = (sym, ln, fused)
+    if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = out
+    return out
 
 
 def _extend(v: int, s: int) -> int:
     """T.81 F.2.2.1 EXTEND: map the s received bits to the signed value."""
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-
-
-def _huff_decode(r: _BitReader, table) -> int:
-    """T.81 F.2.2.3 DECODE over the canonical (mincode, maxcode,
-    valptr, vals) triple — one list probe per code length."""
-    mincode, maxcode, valptr, vals = table
-    code = r.read_bit()
-    length = 1
-    while code > maxcode[length]:
-        if length == 16:
-            raise OSError("JPEG: invalid Huffman code (no match in 16 bits)")
-        code = (code << 1) | r.read_bit()
-        length += 1
-    return vals[valptr[length] + code - mincode[length]]
 
 
 def decode_jpeg(b: bytes):
@@ -337,8 +346,10 @@ def decode_jpeg(b: bytes):
                 bits = list(seg[i + 1 : i + 17])
                 n = sum(bits)
                 vals = list(seg[i + 17 : i + 17 + n])
-                dec, _enc = _build_huffman(bits, vals)
-                (huff_dc if tc == 0 else huff_ac)[th] = dec
+                _dec, enc = _build_huffman(bits, vals)
+                # the scan decodes through 16-bit-window LUTs built
+                # from the canonical encode map (see _huff_lut)
+                (huff_dc if tc == 0 else huff_ac)[th] = enc
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
@@ -429,50 +440,136 @@ def _decode_scan(b, pos, frame, scan, qt, huff_dc, huff_ac, ri, np):
     coefs = {c["id"]: [] for c in comps}
     positions = {c["id"]: [] for c in comps}
     zz = ZIGZAG
-    r = _BitReader(b, pos)
+    # LUT fast path (round 11): the ECS is pre-unstuffed into restart
+    # segments, then each coefficient decodes off ONE 5-byte window —
+    # a fused 16-bit probe yields symbol + EXTENDed value together when
+    # code + value bits fit 16 (the libjpeg lookahead trick at window
+    # width; two-step sym/len probe + value extract otherwise; the
+    # 40-bit window always covers code <= 16 + value <= 15 + offset
+    # <= 7 = 38 bits). Replaces the per-bit F.2.2.3 walk (up to 16
+    # Python iterations per SYMBOL): measured quiet-window 10.1s ->
+    # 4.0s for a 2 MP dense-AC q75 image, and with the _LUT_CACHE the
+    # per-image fixed cost drops 5.0ms -> 0.36ms on the adjudicated
+    # 16x8 fixtures (SCALING.md round-11 scalars).
+    try:
+        dc_luts = {td: _huff_lut(huff_dc[td]) for _, td, _ in scan}
+        ac_luts = {ta: _huff_lut(huff_ac[ta]) for _, _, ta in scan}
+    except KeyError as e:
+        raise OSError(f"JPEG: missing Huffman table {e}") from None
+    segs = _split_ecs_segments(b, pos)
+    seg_idx = 0
+    data = segs[0] + b"\xff" * 8
+    nbits = (len(data) - 8) * 8
+    p = 0
+    fb = int.from_bytes
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if ri and mcu_count and mcu_count % ri == 0:
-                # align_to_marker also skips 0xFF fill runs (T.81
-                # B.1.1.2), so buf[pos+1] here is the true marker byte
-                r.align_to_marker()
-                if not (
-                    r.pos + 1 < len(b)
-                    and b[r.pos] == 0xFF
-                    and 0xD0 <= b[r.pos + 1] <= 0xD7
-                ):
+                seg_idx += 1
+                if seg_idx >= len(segs):
                     raise OSError("JPEG: expected RST marker at restart")
-                r.pos += 2
+                data = segs[seg_idx] + b"\xff" * 8
+                nbits = (len(data) - 8) * 8
+                p = 0
                 for k in pred:
                     pred[k] = 0
             for comp, td, ta in scan:
                 cid = comp["id"]
-                dc_tab = huff_dc[td]
-                ac_tab = huff_ac[ta]
+                dc_sym, dc_ln, dc_fast = dc_luts[td]
+                ac_sym, ac_ln, ac_fast = ac_luts[ta]
+                cf = coefs[cid]
+                pos_l = positions[cid]
+                dc = pred[cid]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
                         coef = [0.0] * 64
-                        s = _huff_decode(r, dc_tab)
-                        diff = _extend(r.receive(s), s) if s else 0
-                        pred[cid] += diff
-                        coef[0] = float(pred[cid])
+                        # ---- DC: fused probe, two-step fallback ----
+                        sh = p & 7
+                        word = fb(data[p >> 3 : (p >> 3) + 5], "big")
+                        v16 = (word >> (24 - sh)) & 0xFFFF
+                        e = dc_fast[v16]
+                        if e:
+                            if (e >> 16) & 0xFF > 15:
+                                raise OSError("JPEG: invalid DC category")
+                            p += e >> 24
+                            dc += (e & 0xFFFF) - 0x8000
+                        else:
+                            length = dc_ln[v16]
+                            if length == 0:
+                                raise OSError(
+                                    "JPEG: invalid Huffman code "
+                                    "(no match in 16 bits)"
+                                )
+                            s = dc_sym[v16]
+                            if s > 15:
+                                raise OSError("JPEG: invalid DC category")
+                            val = (word >> (40 - sh - length - s)) & (
+                                (1 << s) - 1
+                            )
+                            p += length + s
+                            dc += (
+                                val
+                                if val >= (1 << (s - 1))
+                                else val - (1 << s) + 1
+                            )
+                        if p > nbits:
+                            raise OSError("JPEG: hit marker while reading bits")
+                        coef[0] = float(dc)
+                        # ---- AC: run/size loop, fused common case ----
                         k = 1
                         while k < 64:
-                            rs = _huff_decode(r, ac_tab)
-                            rrr, ssss = rs >> 4, rs & 0x0F
-                            if ssss == 0:
-                                if rrr == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += rrr
+                            sh = p & 7
+                            word = fb(data[p >> 3 : (p >> 3) + 5], "big")
+                            v16 = (word >> (24 - sh)) & 0xFFFF
+                            e = ac_fast[v16]
+                            if e:
+                                rs = (e >> 16) & 0xFF
+                                ssss = rs & 0x0F
+                                p += e >> 24
+                                if p > nbits:
+                                    raise OSError(
+                                        "JPEG: hit marker while reading bits"
+                                    )
+                                if ssss == 0:
+                                    if rs == 0xF0:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += rs >> 4
+                                if k > 63:
+                                    raise OSError("JPEG: AC run past block end")
+                                coef[zz[k]] = float((e & 0xFFFF) - 0x8000)
+                                k += 1
+                                continue
+                            length = ac_ln[v16]
+                            if length == 0:
+                                raise OSError(
+                                    "JPEG: invalid Huffman code "
+                                    "(no match in 16 bits)"
+                                )
+                            rs = ac_sym[v16]
+                            ssss = rs & 0x0F  # > 0: ssss==0 is always fused
+                            k += rs >> 4
                             if k > 63:
                                 raise OSError("JPEG: AC run past block end")
-                            coef[zz[k]] = float(_extend(r.receive(ssss), ssss))
+                            val = (word >> (40 - sh - length - ssss)) & (
+                                (1 << ssss) - 1
+                            )
+                            p += length + ssss
+                            if p > nbits:
+                                raise OSError(
+                                    "JPEG: hit marker while reading bits"
+                                )
+                            coef[zz[k]] = float(
+                                val
+                                if val >= (1 << (ssss - 1))
+                                else val - (1 << ssss) + 1
+                            )
                             k += 1
-                        coefs[cid].append(coef)
-                        positions[cid].append(
+                        pred[cid] = dc
+                        cf.append(coef)
+                        pos_l.append(
                             ((my * comp["v"] + by) * 8, (mx * comp["h"] + bx) * 8)
                         )
             mcu_count += 1
