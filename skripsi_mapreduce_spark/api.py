@@ -99,6 +99,16 @@ class _Text:
 
         return bm25_topk_from_model(postings, doclen, query_terms, k=k, **kw)
 
+    def feature_hash_embed(self, df: DataFrame, dim: int = 16, **kw) -> DataFrame:
+        """Text -> embedding via the hashing trick (Weinberger 2009):
+        unigram+bigram grams into a fixed d-dim signed count vector,
+        L2-normalized, long form (doc_id, dim, value_e6). No
+        vocabulary, no fit pass — the stateless web-scale vectorizer
+        (adjudicated: emb_feature_hashing)."""
+        from .operators.text_analysis import feature_hash_embed
+
+        return feature_hash_embed(df, dim=dim, **kw)
+
 
 class _Cluster:
     def __init__(self, eng: "Engine"):

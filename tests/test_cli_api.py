@@ -206,3 +206,19 @@ def test_engine_facade_round9_surfaces(spark):
     postings, doclen = eng.text.bm25_update(postings, doclen, delta)
     top = eng.text.bm25_query(postings, doclen, ["spark", "stream"], k=2).collect()
     assert [r["doc_id"] for r in top] == [4]
+
+
+def test_engine_facade_feature_hash_embed(spark):
+    """Round-11 surface: eng.text.feature_hash_embed emits the full
+    zero-filled long form and unit-normalizes a single-gram doc."""
+    eng = Engine(spark)
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "")], "doc_id long, text string"
+    )
+    rows = eng.text.feature_hash_embed(docs, dim=4).collect()
+    assert len(rows) == 8  # 2 docs x 4 dims, zero-filled
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["value_e6"])
+    assert sorted(abs(v) for v in by_doc[1]) == [0, 0, 0, 10**6]
+    assert by_doc[2] == [0, 0, 0, 0]
