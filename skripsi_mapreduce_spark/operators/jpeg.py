@@ -333,6 +333,8 @@ def decode_jpeg(b: bytes):
                         "JPEG 16-bit quantization tables (Pq=1) are an "
                         "extended-process tier"
                     )
+                if i + 65 > len(seg):
+                    raise OSError("JPEG: truncated DQT segment")
                 zz = list(seg[i + 1 : i + 65])
                 nat = [0] * 64
                 for k in range(64):
@@ -343,8 +345,12 @@ def decode_jpeg(b: bytes):
             i = 0
             while i < len(seg):
                 tc, th = seg[i] >> 4, seg[i] & 0x0F
+                if i + 17 > len(seg):
+                    raise OSError("JPEG: truncated DHT segment")
                 bits = list(seg[i + 1 : i + 17])
                 n = sum(bits)
+                if i + 17 + n > len(seg):
+                    raise OSError("JPEG: truncated DHT segment")
                 vals = list(seg[i + 17 : i + 17 + n])
                 _dec, enc = _build_huffman(bits, vals)
                 # the scan decodes through 16-bit-window LUTs built
@@ -352,11 +358,15 @@ def decode_jpeg(b: bytes):
                 (huff_dc if tc == 0 else huff_ac)[th] = enc
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 6:
+                raise OSError("JPEG: truncated SOF0 segment")
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError(
                     f"JPEG {prec}-bit precision (baseline is 8-bit)"
                 )
+            if 6 + 3 * ncomp > len(seg):
+                raise OSError("JPEG: truncated SOF0 segment")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -375,10 +385,14 @@ def decode_jpeg(b: bytes):
                 "baseline sequential (SOF0) only"
             )
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise OSError("JPEG: truncated DRI segment")
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise OSError("JPEG: SOS before SOF0")
+            if not seg or 1 + 2 * seg[0] + 3 > len(seg):
+                raise OSError("JPEG: truncated SOS segment")
             ns = seg[0]
             scan = []
             for c in range(ns):

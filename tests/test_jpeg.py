@@ -422,3 +422,52 @@ def test_color_fixture_palette_is_tie_free_and_codec_exact():
         w, h, px = decode_jpeg(blob)
         assert (w, h) == (16, 8) and tuple(px[0, 0]) == want, (i, want)
         assert (px == px[0, 0]).all(), i
+
+
+def test_fuzzed_blobs_raise_only_named_errors():
+    """Deterministic fuzz over mutated/truncated/spliced variants of
+    four real encoder outputs (color q75, flat 4:2:0, restart-interval,
+    grayscale): decode either succeeds or raises one of the module's
+    SANCTIONED types — OSError / NotImplementedError / the 'not a JPEG'
+    ValueError. Anything else (IndexError, StopIteration, struct.error,
+    bare ValueError) is an anonymous task failure when it escapes the
+    mapInPandas kernel; the round-11 fuzz pass found and fixed five
+    such holes (fill-run tail, unknown SOS component, short DQT/DHT/
+    SOF0/DRI/SOS segments)."""
+    import random
+
+    rng_np = np.random.RandomState(1)
+    base_blobs = [
+        make_jpeg(16, 16, bytes(rng_np.randint(0, 256, 16 * 16 * 3, dtype=np.uint8)), quality=75),
+        make_jpeg(16, 8, bytes([10, 200, 30]) * 128, quality=100, subsampling="420"),
+        make_jpeg(
+            48, 32,
+            bytes(rng_np.randint(0, 256, 48 * 32 * 3, dtype=np.uint8)),
+            quality=75, restart_interval=2,
+        ),
+        make_jpeg(16, 16, bytes([99]) * (16 * 16 * 3), grayscale=True),
+    ]
+    rng = random.Random(42)
+    for _ in range(1500):
+        blob = bytearray(rng.choice(base_blobs))
+        op = rng.randrange(4)
+        if op == 0:
+            blob[rng.randrange(len(blob))] = rng.randrange(256)
+        elif op == 1:
+            blob = blob[: rng.randrange(2, len(blob))]
+        elif op == 2:
+            for _ in range(rng.randrange(1, 6)):
+                blob[rng.randrange(len(blob))] = rng.randrange(256)
+        else:
+            i = rng.randrange(len(blob))
+            blob = (
+                blob[:i]
+                + bytes(rng.randrange(256) for _ in range(rng.randrange(1, 4)))
+                + blob[i:]
+            )
+        try:
+            decode_jpeg(bytes(blob))
+        except (OSError, NotImplementedError):
+            pass
+        except ValueError as e:
+            assert "not a JPEG" in str(e), f"unsanctioned ValueError: {e}"
