@@ -97,6 +97,10 @@ def _decode_wav(b: bytes):
         cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
         body = b[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            # a truncated/corrupt fmt chunk must raise the module's
+            # named error, not struct.error (round-11 fuzz catch)
+            if len(body) < 16:
+                raise ValueError("WAV fmt chunk truncated")
             fmt, channels, rate = struct.unpack("<HHI", body[0:8])
             bits = struct.unpack("<H", body[14:16])[0]
             if fmt != 1 or bits != 16:

@@ -735,3 +735,49 @@ def test_engine_side_fixture_blobs_match_python_builders(spark):
     for r in rows:
         assert bytes(r["wav"]) == wav_for(r["doc_id"]), r["doc_id"]
         assert bytes(r["vid"]) == video_for(r["doc_id"]), r["doc_id"]
+
+
+def test_fuzzed_codec_blobs_raise_only_named_errors():
+    """Deterministic fuzz over mutated/truncated/spliced encoder
+    outputs for all three codec-free lanes: decode either succeeds or
+    raises the module's named types (OSError / NotImplementedError /
+    ValueError) — never an anonymous struct.error / IndexError that
+    would surface as an opaque task failure from the mapInPandas
+    kernels. The round-11 pass caught _decode_wav leaking struct.error
+    on a truncated fmt chunk (now a named 'fmt chunk truncated')."""
+    import random
+
+    import numpy as np
+
+    from skripsi_mapreduce_spark.operators.multimodal import _decode_png, make_png
+
+    rng_np = np.random.RandomState(3)
+    rgb = bytes(rng_np.randint(0, 256, 16 * 12 * 3, dtype=np.uint8))
+    cases = [
+        (_decode_png, make_png(16, 12, rgb)),
+        (_decode_ppm, make_ppm(16, 12, rgb)),
+        (_decode_wav, make_wav([int(x) for x in rng_np.randint(-30000, 30000, 200)])),
+    ]
+    rng = random.Random(7)
+    for fn, base in cases:
+        for _ in range(800):
+            blob = bytearray(base)
+            op = rng.randrange(4)
+            if op == 0:
+                blob[rng.randrange(len(blob))] = rng.randrange(256)
+            elif op == 1:
+                blob = blob[: rng.randrange(1, len(blob))]
+            elif op == 2:
+                for _ in range(rng.randrange(1, 6)):
+                    blob[rng.randrange(len(blob))] = rng.randrange(256)
+            else:
+                i = rng.randrange(len(blob))
+                blob = (
+                    blob[:i]
+                    + bytes(rng.randrange(256) for _ in range(rng.randrange(1, 4)))
+                    + blob[i:]
+                )
+            try:
+                fn(bytes(blob))
+            except (OSError, NotImplementedError, ValueError):
+                pass
