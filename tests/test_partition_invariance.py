@@ -27,6 +27,10 @@ ENTRIES = [
     "q49_recursive_cte",
     "dedup_group_keep",
     "dedup_incremental",
+    # round 11: the hashed-embedding norm is a doc-partitioned window
+    # over an int64 aggregate — invariance pins that no float sum or
+    # window-order dependence leaked into the normalized values
+    "emb_feature_hashing",
 ]
 
 
