@@ -305,3 +305,42 @@ def test_feature_hash_embed_single_corpus_scan(spark):
     assert len(text_scans) == 1, f"corpus text scanned {len(text_scans)}x"
     assert "Window" in p
     assert "CartesianProduct" not in p
+
+
+def test_feature_hash_embed_properties(spark):
+    """Property block over generated corpora (deterministic seed grid —
+    the repo's hypothesis-equivalent for Spark-backed ops, where each
+    case costs a job): for every doc, (1) the emitted vector is either
+    the zero vector (no grams, or total sign cancellation) or has
+    L2 norm 1e6 within integer-rounding slack (dim/2 e6 units);
+    (2) shuffling the input row order changes nothing (canonical
+    determinism). (Text-doubling does NOT preserve direction — bigram
+    counts scale as 2n-1 while unigrams scale as 2n — so no such
+    property is asserted.)"""
+    import random
+
+    from skripsi_mapreduce_spark.operators.text_analysis import feature_hash_embed
+
+    rng = random.Random(99)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(0, 12))))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = feature_hash_embed(df, dim=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["dim"]] = r["value_e6"]
+    for doc_id, vec in by_doc.items():
+        assert sorted(vec) == list(range(8))  # all dims, zero-filled
+        s2 = sum(v * v for v in vec.values())
+        if s2:
+            # ||v||=1e6 up to per-coordinate rounding (<=0.5 each)
+            assert abs(s2 - 10**12) <= 8 * 10**6, (doc_id, s2)
+
+    shuffled = list(docs)
+    rng.shuffle(shuffled)
+    df2 = spark.createDataFrame(shuffled, "doc_id long, text string")
+    out2 = feature_hash_embed(df2, dim=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
