@@ -37,6 +37,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..io import local_df
+
 from ..functions.text import TOKEN_PATTERN
 
 
@@ -225,7 +227,8 @@ def learn_bpe(
 def merges_df(spark, merges: list[BpeMerge]) -> DataFrame:
     """The learned merge table as a DataFrame (step, sym_a, sym_b,
     merged, pair_count) — the persistable tokenizer artifact."""
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(m.step, m.left, m.right, m.merged, m.count) for m in merges],
         "step int, sym_a string, sym_b string, merged string, pair_count long",
     )

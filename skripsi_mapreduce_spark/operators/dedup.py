@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import TOKEN_PATTERN, tokenize_col
-from ..io import spread_scan
+from ..io import local_df, spread_scan
 
 # Jaccard verification switches to the bitmap kernel when the distinct
 # shingle vocabulary fits in this many bits (64 int64 words = 4096 bits);
@@ -209,22 +209,34 @@ def _lsh_verified_pairs(
       pairs vs 7.5M all pairs), where it halves the stage.
 
     Both branches return identical rows (band agreement and exact
-    Jaccard are computed, not approximated, in each)."""
-    wide = _band_hash_wide(sh, num_hashes, rows_per_band).localCheckpoint(eager=False)
+    Jaccard are computed, not approximated, in each).
+
+    Physical fusion (optimization round 11): when the dense dictionary
+    fits, band hashes AND bitmaps AND set sizes come out of ONE
+    groupBy(doc_id) aggregation (:func:`_fused_sig_table`) instead of
+    two separate aggregations joined back on doc_id — one exchange
+    where there were three plus a join, and the bucket arm's verify
+    reuses the same table instead of re-probing the dictionary
+    (previously a second dictionary job inside jaccard_pairs). Rows
+    are bit-identical: the fused aggregation evaluates exactly the
+    expressions the two tables held."""
     # bitmap_max_vocab=0 skips the dense-dictionary probe ENTIRELY (it
-    # costs a distinct+rank counting job even when it answers None) —
+    # costs a distinct counting job even when it answers None) —
     # round-9 ADVICE: large-vocab corpora that route to LSH are exactly
     # the ones where the probe is doomed
-    bm_nw = _shingle_bitmaps(sh, bitmap_max_vocab) if bitmap_max_vocab > 0 else None
-    if bm_nw is not None:
-        bm, n_words = bm_nw
+    d_v = _bitmap_dictionary(sh, bitmap_max_vocab) if bitmap_max_vocab > 0 else None
+    if d_v is not None:
+        d, vocab = d_v
+        n_words = (vocab + 63) // 64
+        fused = _fused_sig_table(sh, d, n_words, num_hashes, rows_per_band)
+        fused = fused.localCheckpoint(eager=False)
         n_bands = -(-num_hashes // rows_per_band)
         # ONE stats job for the cost model: bucket-pair volume and doc
         # count together (each doc contributes exactly n_bands band rows,
         # so n_docs falls out of the same aggregate — the earlier separate
         # wide.count() charged an extra job on every run)
         stats = (
-            wide.select(F.explode("bands").alias("h"))
+            fused.select(F.explode("bands").alias("h"))
             .groupBy("h")
             .agg(F.count("*").alias("c"))
             .agg(
@@ -238,7 +250,7 @@ def _lsh_verified_pairs(
         if n_docs * (n_docs - 1) / 2 <= 4 * bucket_pairs:
             # same lossless size bound as _jaccard_pairs_bitmap, applied
             # as a join-condition prune before the per-pair work
-            both = bm.join(wide, "doc_id")
+            both = fused
             a = both.select(
                 F.col("doc_id").alias("id_a"),
                 F.col("bm").alias("ba"),
@@ -286,6 +298,12 @@ def _lsh_verified_pairs(
     # full band array carried on both sides, a canonical-witness filter
     # (emit a pair only from its FIRST agreeing band) replaces the
     # distinct shuffle over the candidate set
+    if d_v is not None:
+        wide = fused  # (doc_id, bands, ...) — extra cols pruned below
+    else:
+        wide = _band_hash_wide(sh, num_hashes, rows_per_band).localCheckpoint(
+            eager=False
+        )
     a = wide.select(
         F.col("doc_id").alias("id_a"),
         F.col("bands").alias("bands_a"),
@@ -305,10 +323,19 @@ def _lsh_verified_pairs(
         .filter(first_agree == F.col("band") + 1)  # array_position is 1-indexed
         .select("id_a", "id_b")
     )
+    if d_v is not None:
+        # the fused table already holds every rep's bitmap + set size —
+        # verify directly instead of re-probing the dictionary (the old
+        # jaccard_pairs call rebuilt it: one more collect job + agg)
+        return _jaccard_pairs_bitmap(
+            fused.select("doc_id", "bm", "n"), n_words, cands, min_jaccard=threshold
+        ).filter(F.col("jaccard") >= threshold)
+    # dictionary over cap (or probe skipped): pass 0 so jaccard_pairs
+    # does not repeat the doomed probe — row-identical either way
     return jaccard_pairs(
         sh,
         cands,
-        bitmap_max_vocab,
+        0,
         min_jaccard=threshold,
         verify_max_tokens=verify_max_tokens,
     ).filter(F.col("jaccard") >= threshold)
@@ -407,41 +434,111 @@ def _shingle_bitmaps(sh: DataFrame, max_vocab: int) -> tuple[DataFrame, int] | N
     allocates an intermediate array per candidate pair.
 
     Exact by construction: the dictionary assigns one bit per DISTINCT
-    shingle via the two-phase distributed rank (etl.assign_sequential_ids
-    — no single-partition window even while the cap holds; the vocab
-    total falls out of the same pass), so
-    |A ∩ B| = popcount(bm_a AND bm_b) with no hash-collision caveat."""
-    from .etl import assign_sequential_ids
+    shingle (0-based, shingle sort order), so |A ∩ B| =
+    popcount(bm_a AND bm_b) with no hash-collision caveat.
 
-    d, vocab = assign_sequential_ids(
-        sh.select("shingle").distinct(), ["shingle"], id_col="sid", with_total=True
-    )
+    The dictionary is built with ONE cap-bounded driver collect
+    (``limit(max_vocab + 1)`` — ≤ 4097 short strings under the default
+    cap, the same bounded-collect contract as kmeans'
+    ``_CENT_COLLECT_MAX``): the previous two-phase distributed rank
+    (etl.assign_sequential_ids) cost a range-sample job, a checkpoint
+    job and a per-partition-counts collect per call — 3 extra
+    driver-blocking jobs to rank a table the cap already proves tiny.
+    Over-cap vocabularies exit on the same one job (the limit row count
+    answers the probe). Bit assignment is unchanged (rank-in-sort-order
+    == sorted-enumerate), so bitmaps — and every downstream jaccard —
+    are bit-identical."""
+    d_v = _bitmap_dictionary(sh, max_vocab)
+    if d_v is None:
+        return None
+    d, vocab = d_v
+    n_words = (vocab + 63) // 64
+    ent = sh.join(F.broadcast(d), "shingle")
+    df = ent.groupBy("doc_id").agg(
+        *_word_or_aggs(n_words), F.count("*").alias("n")
+    ).select("doc_id", _word_array(n_words).alias("bm"), "n")
+    return df, n_words
+
+
+def _bitmap_dictionary(
+    sh: DataFrame, max_vocab: int
+) -> tuple[DataFrame, int] | None:
+    """((shingle, sid) dense dictionary, vocab) or None when the distinct
+    vocabulary exceeds ``max_vocab`` (or is empty). ONE cap-bounded
+    driver collect — see :func:`_shingle_bitmaps`."""
+    rows = sh.select("shingle").distinct().limit(max_vocab + 1).collect()
+    vocab = len(rows)
     if vocab == 0 or vocab > max_vocab:
         return None
-    d = d.withColumn("sid", F.col("sid") - 1)
-    n_words = (vocab + 63) // 64
-    ent = sh.join(F.broadcast(d), "shingle").select(
-        "doc_id",
-        (F.col("sid") / 64).cast("int").alias("w"),
-        F.expr("shiftleft(1L, CAST(sid % 64 AS INT))").alias("bit"),
+    d = local_df(
+        sh.sparkSession,
+        [(s, i) for i, s in enumerate(sorted(r["shingle"] for r in rows))],
+        "shingle string, sid int",
     )
-    per_word = ent.groupBy("doc_id", "w").agg(F.bit_or("bit").alias("v"))
-    df = (
-        per_word.groupBy("doc_id")
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("w", "v"))).alias("m"),
-            F.sum(F.bit_count("v")).alias("n"),
-        )
-        .select(
-            "doc_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_words - 1)),
-                lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0).cast("long")),
-            ).alias("bm"),
-            "n",
-        )
+    return d, vocab
+
+
+def _word_or_aggs(n_words: int) -> list:
+    """Flat per-word bitmap aggregates: word w = bit_or of
+    ``shiftleft(1, sid % 64)`` over this doc's sids with sid div 64 = w
+    (NULL when the doc touches no bit in the word — coalesced to 0 by
+    :func:`_word_array`). One groupBy(doc_id) replaces the previous
+    groupBy(doc_id, w) + groupBy(doc_id) two-exchange chain."""
+    return [
+        F.bit_or(
+            F.expr(
+                f"CASE WHEN sid div 64 = {w} "
+                "THEN shiftleft(1L, CAST(sid % 64 AS INT)) END"
+            )
+        ).alias(f"_w{w}")
+        for w in range(n_words)
+    ]
+
+
+def _word_array(n_words: int) -> F.Column:
+    return F.array(
+        *[F.coalesce(F.col(f"_w{w}"), F.lit(0).cast("long")) for w in range(n_words)]
     )
-    return df, n_words
+
+
+def _fused_sig_table(
+    sh: DataFrame, d: DataFrame, n_words: int, num_hashes: int, rows_per_band: int
+) -> DataFrame:
+    """(doc_id, bands: array<string>, bm: array<bigint>, n) in ONE
+    groupBy(doc_id) over the dictionary-joined shingle rows — the row
+    union of :func:`_band_hash_wide` and :func:`_shingle_bitmaps`
+    (bit-identical columns, same expressions) without the second
+    aggregation exchange and the doc_id join the two separate tables
+    cost. ``n`` = count(*) equals the popcount total because the
+    shingle rows are distinct per doc and the dictionary join is 1:1."""
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"_s{i}")
+        for i in range(num_hashes)
+    ]
+    ent = sh.join(F.broadcast(d), "shingle")
+    wide = ent.groupBy("doc_id").agg(
+        *mins, *_word_or_aggs(n_words), F.count("*").alias("n")
+    )
+    n_bands = -(-num_hashes // rows_per_band)
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"_s{i}")
+                        for i in range(
+                            b * rows_per_band, min((b + 1) * rows_per_band, num_hashes)
+                        )
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return wide.select(
+        "doc_id", bands.alias("bands"), _word_array(n_words).alias("bm"), "n"
+    )
 
 
 def _bitmap_overlap_flat(n_words: int) -> F.Column:
@@ -844,9 +941,25 @@ def minhash_near_dups_against(
     # emitted only from its FIRST agreeing band, so no distinct shuffle
     # ever runs over the candidate multiset — at sf1.0 the distinct over
     # 73M banded candidates measured 126s of the entry's 114s total
-    # while the bitmap verification itself took 3.3s
-    wide_b = _band_hash_wide(rep_sh_b, num_hashes, rows_per_band)
-    wide_c = _band_hash_wide(rep_sh_c, num_hashes, rows_per_band)
+    # while the bitmap verification itself took 3.3s.
+    # When the shared dictionary fits, each side's band hashes, bitmap
+    # and set size come out of ONE fused aggregation (_fused_sig_table)
+    # instead of a band aggregation per side plus a separate bitmap
+    # build over the union — same rows, three fewer exchanges and one
+    # fewer dictionary job (optimization round 11).
+    d_v = _bitmap_dictionary(rep_sh_b.unionByName(rep_sh_c), BITMAP_MAX_VOCAB)
+    if d_v is not None:
+        d, vocab = d_v
+        n_words = (vocab + 63) // 64
+        # two consumers each (band explode + bitmap union) but NO
+        # checkpoint: both consumers live in the one final plan, where
+        # AQE serves the agg's input from a ReusedExchange — measured
+        # 3 fewer jobs than lazily checkpointing the pair
+        wide_b = _fused_sig_table(rep_sh_b, d, n_words, num_hashes, rows_per_band)
+        wide_c = _fused_sig_table(rep_sh_c, d, n_words, num_hashes, rows_per_band)
+    else:
+        wide_b = _band_hash_wide(rep_sh_b, num_hashes, rows_per_band)
+        wide_c = _band_hash_wide(rep_sh_c, num_hashes, rows_per_band)
     a_side = wide_b.select(
         F.col("doc_id").alias("id_a"),
         F.col("bands").alias("bands_a"),
@@ -865,15 +978,21 @@ def minhash_near_dups_against(
         .filter(first_agree == F.col("band") + 1)  # array_position is 1-indexed
         .select("id_a", "id_b")
     )
+    # NOT spread: an explicit repartition of the candidate list here
+    # (tried in optimization round 11) forces full materialization of
+    # the witness-filtered pairs and breaks the band-join→verify
+    # pipeline fusion — profiled 8x MORE verify CPU (22s vs 2.7s at
+    # sf0.1) despite re-widening the stage. The fused single pass wins.
     # verify with the capped-vocab bitmap kernel over the UNION of both
-    # rep shingle tables (batch/corpus ids must be disjoint, as document
+    # sides' fused tables (batch/corpus ids must be disjoint, as document
     # keys are): two hash joins against the small bitmap table + a flat
     # popcount per candidate. The shingle co-occurrence join measured
     # 2.3x slower here (small shared vocab makes co-occurrence near
     # all-pairs), and expanding cand x shingles OOM'd at sf1.0.
-    bm = _shingle_bitmaps(rep_sh_b.unionByName(rep_sh_c), BITMAP_MAX_VOCAB)
-    if bm is not None:
-        bmdf, n_words = bm
+    if d_v is not None:
+        bmdf = wide_b.select("doc_id", "bm", "n").unionByName(
+            wide_c.select("doc_id", "bm", "n")
+        )
         verified = _jaccard_pairs_bitmap(bmdf, n_words, cand, min_jaccard=threshold)
     else:  # vocabulary over the cap: co-occurrence join fallback
         nb = rep_sh_b.groupBy("doc_id").agg(F.count("*").alias("nb"))

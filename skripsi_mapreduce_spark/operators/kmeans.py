@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..io import local_df
+
 
 # The literal-centroid assign path embeds every centroid weight in the
 # plan as a map literal; past this many total (cluster, word) entries the
@@ -153,8 +155,8 @@ def kmeans(
             r["doc_id"]: pos2cluster[r["_pos"]]
             for r in ranked.filter(F.col("_pos").isin(list(pos2cluster))).collect()
         }
-    seed_ids = spark.createDataFrame(
-        [(d, c) for d, c in id2cluster.items()], "doc_id long, cluster int"
+    seed_ids = local_df(
+        spark, [(d, c) for d, c in id2cluster.items()], "doc_id long, cluster int"
     )
     centroids_df = feats.join(F.broadcast(seed_ids), "doc_id").select(
         "cluster", "word", F.col("weight").alias("cweight")
@@ -364,7 +366,8 @@ def kmeans_fixedpoint(
             ]
     if collected is None:
         seed_rows = seed_pick.collect()
-        seed_df = spark.createDataFrame(
+        seed_df = local_df(
+            spark,
             [(r["doc_id"], i) for i, r in enumerate(seed_rows)],
             "doc_id long, cluster int",
         )
@@ -404,7 +407,7 @@ def kmeans_fixedpoint(
                         (int(r["cluster"]), r["word"], int(r["cw"])) for r in rows
                     ]
             if collected is not None:
-                cent = spark.createDataFrame(collected, cent_schema)
+                cent = local_df(spark, collected, cent_schema)
                 c2: dict[int, int] = {}
                 for c, _word, cw in collected:
                     c2[c] = c2.get(c, 0) + cw * cw
@@ -1132,8 +1135,8 @@ def kmeans_fixedpoint_ivf(
         ids.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id").limit(k).collect()
     )
     spark = weights.sparkSession
-    seed_df = spark.createDataFrame(
-        [(r["doc_id"], i) for i, r in enumerate(seed_rows)], "doc_id long, cluster int"
+    seed_df = local_df(
+        spark, [(r["doc_id"], i) for i, r in enumerate(seed_rows)], "doc_id long, cluster int"
     )
     # Fused fast path (decided from the dense dim BEFORE building the
     # distributed coarse chain): when the k×d fine codebook fits the
@@ -1177,8 +1180,8 @@ def kmeans_fixedpoint_ivf(
         .limit(n_list)
         .collect()
     )
-    cseed_df = spark.createDataFrame(
-        [(r["doc_id"], i) for i, r in enumerate(cseed_rows)], "doc_id long, cluster int"
+    cseed_df = local_df(
+        spark, [(r["doc_id"], i) for i, r in enumerate(cseed_rows)], "doc_id long, cluster int"
     )
     g0 = sw.join(F.broadcast(cseed_df), "doc_id").select(
         "cluster", "word", F.col("w").alias("cw")
@@ -1370,8 +1373,9 @@ def _assign(
     c_rows = [
         (c, w, wt) for c, vec in centroids.items() for w, wt in vec.items()
     ]
-    c_df = spark.createDataFrame(c_rows, "cluster int, word string, cweight double")
-    c_norms = spark.createDataFrame(
+    c_df = local_df(spark, c_rows, "cluster int, word string, cweight double")
+    c_norms = local_df(
+        spark,
         [(c, sum(v * v for v in vec.values())) for c, vec in centroids.items()],
         "cluster int, c2 double",
     )

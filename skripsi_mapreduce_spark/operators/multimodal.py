@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..io import local_df
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -547,7 +549,7 @@ def synthetic_codec_media(spark, n: int = 8, seed: int = 7) -> DataFrame:
             meta = {"mime": mime, "width": w, "height": h,
                     "duration_ms": None, "sample_rate": None}
             rows.append((i, "image", blob, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return local_df(spark, rows, MEDIA_SCHEMA)
 
 
 def synthetic_media(spark, n: int = 32, seed: int = 42) -> DataFrame:
@@ -575,7 +577,7 @@ def synthetic_media(spark, n: int = 32, seed: int = 42) -> DataFrame:
                 },
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return local_df(spark, rows, MEDIA_SCHEMA)
 
 
 RESIZED_SCHEMA = (

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..io import spread_scan
+from ..io import local_df, spread_scan
 
 SCALE = 1e8  # fixed-point scale for exact cross-engine dot products
 
@@ -656,8 +656,8 @@ def ivf_topk_cosine_many(
         )[:n_probe]
         pairs += [(int(r[q_id_col]), float(qn), qv, int(lid)) for lid in keys]
     spark = emb.sparkSession
-    probe_df = spark.createDataFrame(
-        pairs, f"{q_id_col} long, _qn double, _qv array<double>, list_id int"
+    probe_df = local_df(
+        spark, pairs, f"{q_id_col} long, _qn double, _qv array<double>, list_id int"
     )
     cands = indexed.join(F.broadcast(probe_df), "list_id")
     scored = cands.select(
@@ -1127,7 +1127,8 @@ def ivfpq_rerank_topk_many(
             (int(r[q_id_col]), float(qn), qv, flat, int(lid)) for lid in probe_ids
         ]
     spark = emb.sparkSession
-    probe_df = spark.createDataFrame(
+    probe_df = local_df(
+        spark,
         pairs,
         f"{q_id_col} long, _qn double, _qv array<double>, _adc array<long>, list_id int",
     )

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..io import local_df
+
 from ..functions.numeric import e_int
 
 _SIXTY = float(1 << 60)  # 1152921504606846976
@@ -234,8 +236,8 @@ def histogram_quantiles(
             if r >= float(cum_before) and r < float(cum_before + cnt):
                 rows.append((float(q), r, bin_, cnt, cum_before))
                 break
-    lit = spark.createDataFrame(
-        rows, "q double, r double, bin int, cnt bigint, cum_before bigint"
+    lit = local_df(
+        spark, rows, "q double, r double, bin int, cnt bigint, cum_before bigint"
     )
     est = F.lit(float(lo)) + (
         F.col("bin").cast("double")
