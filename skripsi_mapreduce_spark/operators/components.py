@@ -108,9 +108,14 @@ def connected_components(
         # so contracting before the _sym/distinct shuffle (which would
         # scatter edges by (u,v) hash) is what collapses whole chains.
         raw = _contract_local(raw)
+    # lazy checkpoint: the fixpoint-test job below is always the first
+    # consumer and materializes it — an eager checkpoint here would be
+    # one extra driver-blocking job per call for the same work
+    # (optimization round 11; the happy-path return reuses the
+    # checkpointed RDD in the caller's final action)
     g = _sym(
         raw.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     for _ in range(max_rounds):
         # large-star: for each u, attach neighbors v > u's min to m(u)
@@ -157,8 +162,10 @@ def connected_components(
             .unionByName(m2.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
         )
+        # lazy for the same reason as the initial checkpoint: the next
+        # round's fixpoint-test job materializes it
         g = _sym(small.select(F.col("u").alias("src"), F.col("v").alias("dst"))).localCheckpoint(
-            eager=True
+            eager=False
         )
 
     # max_rounds exhausted without hitting the star-forest fixpoint:

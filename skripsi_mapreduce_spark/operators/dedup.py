@@ -1063,7 +1063,10 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     64x-exploded token table (the naive explode(tokens) x explode(bits)
     shape shuffles |tokens| * 64 rows; at 100 TB that is the difference
     between a broadcastable signature table and a multi-TB shuffle)."""
-    toks = df.select(
+    # spread_scan (identity on cluster masters): the local single-file
+    # scan is 1-4 partitions and the regexp tokenize below would pin as
+    # many cores — same reason shingles()/tokens_long() spread first
+    toks = spread_scan(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), F.lit(0))
@@ -1247,6 +1250,15 @@ def simhash_near_dups(
         # (extra slices only widen the candidate set, verify filters it);
         # the minimum of 2 covers max_hamming=0 (exact-signature join)
         vals, witness = _simhash_join_exprs(min(max(max_hamming + 1, 2), 64))
+        # the self-join consumes the signature table on BOTH sides; an
+        # un-pinned `sim` re-runs the whole tokenize+simhash chain per
+        # side (profiled: two identical signature map stages at sf0.1).
+        # Lazy checkpoint = one signature pass; spread_scan (identity on
+        # cluster masters) re-widens the checkpointed table — the
+        # signature aggregate coalesces to 1 post-shuffle partition on
+        # small-byte corpora, serializing the slice-join + XOR-popcount
+        # verify onto one core (profiled 1.4s single-task CPU).
+        sim = spread_scan(sim.localCheckpoint(eager=False))
         sl = sim.select(
             "doc_id", "sim_hi", "sim_lo", F.posexplode(vals).alias("slice_idx", "slice_val")
         )
