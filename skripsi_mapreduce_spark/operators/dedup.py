@@ -1199,6 +1199,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     block: bool = True,
     salt_buckets: int = 1,
+    pin_signatures: bool = True,
 ) -> DataFrame:
     """Pairs with Hamming distance <= max_hamming over the 64-bit signature.
 
@@ -1258,7 +1259,11 @@ def simhash_near_dups(
         # signature aggregate coalesces to 1 post-shuffle partition on
         # small-byte corpora, serializing the slice-join + XOR-popcount
         # verify onto one core (profiled 1.4s single-task CPU).
-        sim = spread_scan(sim.localCheckpoint(eager=False))
+        # ``pin_signatures=False`` for callers that already checkpointed
+        # `sim` themselves (the mm_* entries pin their blob-derived
+        # signature tables) — a second conversion is pure driver cost.
+        if pin_signatures:
+            sim = spread_scan(sim.localCheckpoint(eager=False))
         sl = sim.select(
             "doc_id", "sim_hi", "sim_lo", F.posexplode(vals).alias("slice_idx", "slice_val")
         )

@@ -330,9 +330,10 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash pairs within Hamming distance 8."""
     docs = load_table(spark, sf_dir, "documents")
-    # no checkpoint on the signatures: both sides of the blocking
-    # self-join share the signature aggregation's shuffle via
-    # ReusedExchange, which beats materializing the table (measured)
+    # the operator pins the signature table itself (pin_signatures=True
+    # default): the round-11 stage profile showed the old
+    # ReusedExchange assumption did NOT hold — the tokenize+simhash
+    # chain ran once per join side
     sig = dd.simhash64(docs)
     return dd.simhash_near_dups(sig, max_hamming=8).orderBy("id_a", "id_b")
 

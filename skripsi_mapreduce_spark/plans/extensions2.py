@@ -721,7 +721,9 @@ def mm_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("media_id", "doc_id")
         .localCheckpoint(eager=False)
     )
-    return dd.simhash_near_dups(sig, max_hamming=_DH_MAXHAM).orderBy("id_a", "id_b")
+    return dd.simhash_near_dups(
+        sig, max_hamming=_DH_MAXHAM, pin_signatures=False
+    ).orderBy("id_a", "id_b")
 
 
 mm_image_near_dups.__doc__ = mm_image_near_dups.__doc__.format(
@@ -989,7 +991,9 @@ def mm_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("media_id", "doc_id")
         .localCheckpoint(eager=False)
     )
-    return dd.simhash_near_dups(sig, max_hamming=_AF_MAXHAM).orderBy("id_a", "id_b")
+    return dd.simhash_near_dups(
+        sig, max_hamming=_AF_MAXHAM, pin_signatures=False
+    ).orderBy("id_a", "id_b")
 
 
 mm_audio_near_dups.__doc__ = mm_audio_near_dups.__doc__.format(
@@ -1140,7 +1144,9 @@ def mm_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("media_id", "doc_id")
         .localCheckpoint(eager=False)
     )
-    return dd.simhash_near_dups(sig, max_hamming=_DH_MAXHAM).orderBy("id_a", "id_b")
+    return dd.simhash_near_dups(
+        sig, max_hamming=_DH_MAXHAM, pin_signatures=False
+    ).orderBy("id_a", "id_b")
 
 
 mm_video_near_dups.__doc__ = mm_video_near_dups.__doc__.format(
