@@ -10,58 +10,140 @@ from . import extensions3  # noqa: F401  (registers into QUERIES/ORACLE)
 # entries in dict order (every round so far cut at exactly position 50).
 # Rotate so every entry's freshest driver-green row stays recent.
 #
-# Round 11 head (executes the r10 verdict's rotation ledger verbatim):
-#  (0) entries whose KERNEL or VALUES changed this round — must be
-#      adjudicated: mm_image_decode (the fixture mix goes doc_id % 3 ->
-#      % 4, adding the solid-COLOR 4:2:0 q=100 JPEG lane that puts the
-#      YCbCr matrix + chroma upsample under driver adjudication — the
-#      r10 verdict's task 2; values changed for most rows),
-#      emb_feature_hashing (NEW entry — engine-side text->embedding via
-#      the hashing trick, the r10 verdict's capability step 7b), and
-#      graph_pagerank (the r10 verdict's task 1: forced broadcasts of
-#      the SF-scaling customer/supplier dims dropped — AQE now decides;
-#      values identical but the edge-build plan changed, so it
-#      re-adjudicates rather than leaning on the r9 row);
-#  (a) the 47 entries whose freshest driver-green row is r8 — the
-#      stalest evidence in the repo (kmeans_documents ...
-#      q08_left_join, the whole r8 block of the r10 tail).
+# Round 12 head (executes the r11 verdict's rotation ledger + its "Next
+# round" item 1 verbatim):
+#  (0) the four r11-REWRITTEN dedup kernels that shipped without an r11
+#      driver-green row (the fused signature aggregation, the
+#      cap-bounded bitmap dictionary, the single-pin SimHash self-join
+#      — r11 verdict "what's wrong" item 1): dedup_minhash,
+#      dedup_ngram_jaccard, dedup_incremental, dedup_simhash;
+#  (a) 46 of the 47 entries whose freshest driver-green row is r9 —
+#      the stalest evidence outside the head (dedup_prefix_jaccard ...
+#      q52_cube; this block also contains dedup_group_keep,
+#      dedup_cross_corpus and stream_enrich, the other entries the r11
+#      verdict named). sim_topk_many (the last of the r9 block) defers
+#      to the top of the r13 fill pool — the head budget is a hard 50.
 #
-# Round-11 VALUE-IDENTICAL touches staying out of the head under the r8
-# precedent (row-identity pinned by the sf0.001 oracle suite every
-# pytest run + four-config driver_sim re-verification this round, all
-# green):
-#  - stream_enrich: the same forced-broadcast drop as graph_pagerank
-#    (customer dim hint removed, per-batch AQE decides) — rows
-#    identical, plan-only change, r9-green + re-verified in all four
-#    mode x SF configs this round; head budget (3 slots after the
-#    47-entry r8 block) went to the two value-changed entries plus
-#    graph_pagerank as the representative adjudication of the
-#    broadcast-policy change;
-#  - kmeans_documents / emb_kmeans / ta_cluster_keywords /
-#    dedup_semantic(_keep): exception-safe try/finally around the
-#    weights-cache unpersist (r10 verdict #3) — pure control-flow
-#    hardening, rows identical, CacheManager-pinned by test (and
-#    kmeans_documents re-adjudicates in this head anyway via the r8
-#    block);
-#  - mm_image_near_dups / mm_image_resize / mm_image_dedup_incremental
-#    / mm_video_near_dups: jpeg.py marker-loop robustness (multi-scan
-#    gate, RST fill bytes, length-less markers) — decode of the
-#    well-formed fixture files is byte-identical; the gates only fire
-#    on malformed/unsupported inputs (pytest-pinned).
+# Round-12 VALUE-IDENTICAL optimization touches stay in the tail under
+# the r8/r11 precedent (row-identity pinned by the sf0.001 oracle suite
+# every pytest run + four-config driver_sim sweeps per commit); any
+# entry whose KERNEL is rewritten this round and is not already in this
+# head gets swapped in before round end.
 #
-# Freshness ledger after r11 (for the round-12 rotation): head-50 carry
-# r11 evidence; _TAIL lists the 47 r9-green entries FIRST (oldest —
-# r12's fill pool, dedup_prefix_jaccard ... sim_topk_many, i.e. the r9
-# block minus graph_pagerank which re-adjudicated in this head, plus
-# stream_enrich) then the 49 r10-green entries (the r10 head minus
-# mm_image_decode, which re-adjudicates in the r11 head). r12 head =
-# any r12-changed kernels + the r9 block, then r10 fill to exactly 50.
+# Freshness ledger after r12 (for the round-13 rotation): head-50 carry
+# r12 evidence; _TAIL lists sim_topk_many (r9-green, deferred — r13's
+# FIRST fill) then the 45 r10-green entries (the r10 block minus the
+# four dedup kernels promoted above) then the 50 r11-green entries
+# (the r11 head). r13 head = any r13-changed kernels + sim_topk_many +
+# the r10 block, then r11 fill to exactly 50.
 _PROMOTED = [
-    # (0) kernel/value-changed or new this round
+    # (0) r11-rewritten dedup kernels — adjudicate the fused-signature
+    # and single-pin-simhash rewrites (r11 verdict item 1)
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_incremental",
+    "dedup_simhash",
+    # (a) the 46-entry r9-green block — the stalest driver evidence
+    "dedup_prefix_jaccard",
+    "sim_index_incremental_pq",
+    "stream_bm25_topk",
+    "sim_topk_many_ivfpq_rerank",
+    "mm_image_resize",
+    "sim_topk_ivfpq_rerank",
+    "sim_topk_ivfpq",
+    "q15_window_rank",
+    "sim_topk_pq",
+    "q16_window_lag",
+    "q17_window_frame",
+    "q18_topk",
+    "q21_grouping_sets",
+    "q24_math_fns",
+    "q25_conditional_agg",
+    "q27_tumbling_window",
+    "q28_sessionization",
+    "q29_exact_dedup",
+    "q30_array_tokens",
+    "dedup_cross_corpus",
+    "etl_sequential_ids",
+    "bpe_merges",
+    "pack_blocks",
+    "q31_pivot",
+    "q32_quantiles",
+    "q33_listagg",
+    "q34_ntile",
+    "sketch_kmv_distinct",
+    "sketch_cms_topk",
+    "bpe_encode",
+    "ta_quality_classifier",
+    "mm_audio_decode",
+    "mm_video_frames",
+    "profile_lineitem",
+    "skew_salted_agg",
+    "range_join_pairs",
+    "rollup_events",
+    "pipe_contamination",
+    "q45_apply_changes",
+    "ta_bigram_lp",
+    "q50_udtf_bigrams",
+    "mix_negatives",
+    "dedup_group_keep",
+    "q51_fuzzy_match",
+    "stream_enrich",
+    "q52_cube",
+]
+_TAIL = [
+    # green r9 — deferred from the head (hard 50 budget); r13's first fill
+    "sim_topk_many",
+    # green r10 — the r10 block minus the four dedup kernels promoted above
+    "ta_bm25_incremental",
+    "sim_recall_many_ivfpq",
+    "stream_semantic_incremental",
+    "emb_kmeans",
+    "dedup_semantic",
+    "dedup_semantic_keep",
+    "tfidf_longform",
+    "sketch_bloom",
+    "mix_temperature",
+    "stream_interval_join",
+    "stream_sliding",
+    "stream_dedup",
+    "graph_components",
+    "cdc_scd2",
+    "skew_salted_join",
+    "cdc_incremental_agg",
+    "q46_lateral_topk",
+    "q47_pipe_syntax",
+    "q48_variant_props",
+    "sketch_kmv_merge",
+    "graph_triangles",
+    "pipe_prepare_corpus",
+    "stream_tumbling",
+    "stream_sessionization",
+    "stream_stateful_anomalies",
+    "sim_topk_ivf",
+    "ta_trigram_lp",
+    "sketch_hist_quantiles",
+    "sim_topk_cosine",
+    "sim_topk_lsh",
+    "q09_semi_join",
+    "q10_anti_join",
+    "q11_range_self_join",
+    "q12_cross_join",
+    "q13_scalar_subquery",
+    "q14_correlated_subquery",
+    "dedup_embedding_cosine",
+    "emb_random_projection",
+    "sim_topk_pq_rerank",
+    "sim_recall_ivf",
+    "q49_recursive_cte",
+    "q53_zorder_layout",
+    "sketch_kmv_intersect",
+    "mm_image_near_dups",
+    "ta_fit_classifier",
+    # green r11 — the r11 head
     "mm_image_decode",
     "emb_feature_hashing",
     "graph_pagerank",
-    # (a) the 47-entry r8-green block — the stalest driver evidence
     "kmeans_documents",
     "dedup_jaccard_autoselect",
     "dedup_semantic_incremental",
@@ -109,106 +191,6 @@ _PROMOTED = [
     "q06_inner_join",
     "q07_tpch_q5",
     "q08_left_join",
-]
-_TAIL = [
-    # green r9 — the oldest evidence outside the head (r12's fill pool)
-    "dedup_prefix_jaccard",
-    "sim_index_incremental_pq",
-    "stream_bm25_topk",
-    "sim_topk_many_ivfpq_rerank",
-    "mm_image_resize",
-    "sim_topk_ivfpq_rerank",
-    "sim_topk_ivfpq",
-    "q15_window_rank",
-    "sim_topk_pq",
-    "q16_window_lag",
-    "q17_window_frame",
-    "q18_topk",
-    "q21_grouping_sets",
-    "q24_math_fns",
-    "q25_conditional_agg",
-    "q27_tumbling_window",
-    "q28_sessionization",
-    "q29_exact_dedup",
-    "q30_array_tokens",
-    "dedup_cross_corpus",
-    "etl_sequential_ids",
-    "bpe_merges",
-    "pack_blocks",
-    "q31_pivot",
-    "q32_quantiles",
-    "q33_listagg",
-    "q34_ntile",
-    "sketch_kmv_distinct",
-    "sketch_cms_topk",
-    "bpe_encode",
-    "ta_quality_classifier",
-    "mm_audio_decode",
-    "mm_video_frames",
-    "profile_lineitem",
-    "skew_salted_agg",
-    "range_join_pairs",
-    "rollup_events",
-    "pipe_contamination",
-    "q45_apply_changes",
-    "ta_bigram_lp",
-    "q50_udtf_bigrams",
-    "mix_negatives",
-    "dedup_group_keep",
-    "q51_fuzzy_match",
-    "stream_enrich",
-    "q52_cube",
-    "sim_topk_many",
-    # green r10 — the r10 head minus mm_image_decode (re-adjudicated above)
-    "ta_bm25_incremental",
-    "sim_recall_many_ivfpq",
-    "stream_semantic_incremental",
-    "emb_kmeans",
-    "dedup_semantic",
-    "dedup_semantic_keep",
-    "tfidf_longform",
-    "sketch_bloom",
-    "mix_temperature",
-    "stream_interval_join",
-    "stream_sliding",
-    "stream_dedup",
-    "graph_components",
-    "cdc_scd2",
-    "skew_salted_join",
-    "cdc_incremental_agg",
-    "q46_lateral_topk",
-    "q47_pipe_syntax",
-    "q48_variant_props",
-    "sketch_kmv_merge",
-    "graph_triangles",
-    "pipe_prepare_corpus",
-    "stream_tumbling",
-    "stream_sessionization",
-    "stream_stateful_anomalies",
-    "sim_topk_ivf",
-    "ta_trigram_lp",
-    "sketch_hist_quantiles",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "sim_topk_cosine",
-    "sim_topk_lsh",
-    "q09_semi_join",
-    "q10_anti_join",
-    "q11_range_self_join",
-    "q12_cross_join",
-    "q13_scalar_subquery",
-    "q14_correlated_subquery",
-    "dedup_embedding_cosine",
-    "emb_random_projection",
-    "dedup_incremental",
-    "sim_topk_pq_rerank",
-    "sim_recall_ivf",
-    "q49_recursive_cte",
-    "q53_zorder_layout",
-    "sketch_kmv_intersect",
-    "mm_image_near_dups",
-    "ta_fit_classifier",
 ]
 
 
