@@ -28,11 +28,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sym(edges: DataFrame) -> DataFrame:
-    """Symmetrize + strip loops: both directions of every edge."""
+def _sym(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """Symmetrize + strip loops: both directions of every edge.
+
+    ``dedup=False`` skips the distinct exchange — valid ONLY when the
+    caller proves the symmetrized union is already duplicate-free (a
+    consistently ORDERED unique pair list: src < dst for every row, so
+    fwd and rev cannot collide). The per-round syms inside the star loop
+    always dedup: the distinct there is the CONTRACTION that collapses
+    ``(v, min)×degree`` duplicate rows after a star round — dropping it
+    would carry |E| rows per round instead of shrinking toward |V|,
+    a scale-killer on duplicate-heavy graphs."""
     fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     rev = edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
-    return fwd.unionByName(rev).filter(F.col("u") != F.col("v")).distinct()
+    out = fwd.unionByName(rev).filter(F.col("u") != F.col("v"))
+    return out.distinct() if dedup else out
 
 
 def _contract_local(g: DataFrame) -> DataFrame:
@@ -87,6 +97,7 @@ def connected_components(
     dst_col: str = "id_b",
     max_rounds: int = 20,
     local_contract: bool = True,
+    assume_distinct_edges: bool = False,
 ) -> DataFrame:
     """(node, component) for every node in ``edges`` — component = the
     smallest node id reachable from it. Isolated nodes don't appear
@@ -97,6 +108,19 @@ def connected_components(
     typically cuts the global round count from ~log(diameter) to 2-3,
     which matters because every round is several shuffles. Off switches
     to the pure-join paper form (audits / zero-Python deployments).
+
+    ``assume_distinct_edges=True`` skips the INPUT symmetrization's
+    distinct exchange — a caller contract that the edge list is unique
+    and consistently ordered (src < dst per row, as every in-repo
+    generator emits), so fwd ∪ rev cannot collide. With
+    ``local_contract`` the symmetrized input is the CONTRACTED star
+    list, which can still carry rare duplicates (the same node→root
+    star emitted from two partitions holding the same pair) — labels
+    are identical either way because every consumer of the graph is a
+    min/max aggregation, so the knob trades at most those few duplicate
+    rows for deleting a full-edge-list shuffle. The per-round distincts
+    are NOT affected (see :func:`_sym` — they are the contraction at
+    scale).
     """
     raw = edges.select(
         F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")
@@ -114,13 +138,11 @@ def connected_components(
     # (optimization round 11; the happy-path return reuses the
     # checkpointed RDD in the caller's final action)
     g = _sym(
-        raw.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        raw.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+        dedup=not assume_distinct_edges,
     ).localCheckpoint(eager=False)
 
     for _ in range(max_rounds):
-        # large-star: for each u, attach neighbors v > u's min to m(u)
-        m = g.groupBy("u").agg(F.min("v").alias("m"))
-        m = m.select("u", F.least("u", "m").alias("m"))
         # Fixpoint test BEFORE building the round: g is a disjoint
         # min-rooted star forest iff every edge's smaller endpoint is
         # its own min AND the larger endpoint's min. (Checking only
@@ -130,21 +152,41 @@ def connected_components(
         # large+small+checkpoint round once the input is already
         # star-shaped — which the local-contraction pre-pass makes the
         # common case.
-        e = g.filter(F.col("u") < F.col("v"))
-        mu = m.select("u", F.col("m").alias("mu"))
-        mv = m.select(F.col("u").alias("v"), F.col("m").alias("mv"))
+        #
+        # ONE-aggregation form (optimization round 12; replaces the
+        # m-join test, whose plan carried an aggregation plus two joins
+        # = three exchanges per round): per node, (min v, max v, min and
+        # max of SMALLER neighbors). Edge-consistency equivalent —
+        # a node is bad iff it has both a smaller and a larger neighbor
+        # (some edge needs its min to be itself while another forces it
+        # lower), or two DISTINCT smaller neighbors (the larger
+        # endpoint's min cannot equal both). Same rows either way;
+        # measured −6 jobs on dedup_group_keep at sf0.1.
+        smaller = F.when(F.col("v") < F.col("u"), F.col("v"))
+        stars = g.groupBy("u").agg(
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.min(smaller).alias("mns"),
+            F.max(smaller).alias("mxs"),
+        )
         bad = (
-            e.join(mu, "u")
-            .join(mv, "v")
-            .filter((F.col("mu") != F.col("u")) | (F.col("mv") != F.col("u")))
+            stars.filter(
+                (F.col("mns").isNotNull() & (F.col("mx") > F.col("u")))
+                | (F.col("mns") != F.col("mxs"))
+            )
             .limit(1)
             .count()
         )
         if bad == 0:
-            # star forest: m IS the label table (root -> itself)
-            return m.select(
-                F.col("u").alias("node"), F.col("m").alias("component")
+            # star forest: per-node min IS the label table (roots keep
+            # themselves via least) — identical rows to the old m table
+            return g.groupBy("u").agg(F.min("v").alias("m")).select(
+                F.col("u").alias("node"),
+                F.least("u", "m").alias("component"),
             )
+        # large-star: for each u, attach neighbors v > u's min to m(u)
+        m = g.groupBy("u").agg(F.min("v").alias("m"))
+        m = m.select("u", F.least("u", "m").alias("m"))
         large = (
             g.join(m, "u")
             .filter(F.col("v") > F.col("u"))

@@ -224,6 +224,12 @@ def _lsh_verified_pairs(
     # costs a distinct counting job even when it answers None) —
     # round-9 ADVICE: large-vocab corpora that route to LSH are exactly
     # the ones where the probe is doomed
+    # NOT spread: re-widening the checkpointed shingle table here (tried
+    # in optimization round 12) added a round-robin exchange to every
+    # consumer plan — +15 AQE jobs and +1.3s wall on dedup_group_keep at
+    # sf0.1 — for ~0.5s of md5 parallelism; and dropping this fused
+    # checkpoint (also tried) re-ran the wide aggregation under each of
+    # its three consumers: 39 → 54 jobs. Both reverted.
     d_v = _bitmap_dictionary(sh, bitmap_max_vocab) if bitmap_max_vocab > 0 else None
     if d_v is not None:
         d, vocab = d_v
@@ -887,6 +893,9 @@ def minhash_dup_edges(
     product."""
     sh = shingles(df, id_col, text_col, shingle_size).localCheckpoint(eager=False)
     groups = _fingerprint_groups(sh).localCheckpoint(eager=False)
+    # rep_sh's checkpoint earns its conversion: dropping it (tried in
+    # optimization round 12) re-ran the sh⋈reps join under both the
+    # dictionary probe and the fused aggregation — +1 job and slower.
     rep_sh = sh.join(
         groups.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
     ).localCheckpoint(eager=False)

@@ -578,7 +578,9 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev").isNotNull())
         .select("prev", "event_id")
     )
-    comp = connected_components(edges, "prev", "event_id")
+    # lag-chain edges are unique with prev < event_id by construction —
+    # the input-sym distinct shuffle is provably redundant (round 12)
+    comp = connected_components(edges, "prev", "event_id", assume_distinct_edges=True)
     return comp.select(
         F.col("node").cast("bigint").alias("node"),
         F.col("component").cast("bigint").alias("component"),
@@ -1438,7 +1440,10 @@ def _register_group_keep() -> None:
         edges = dd.minhash_dup_edges(
             docs, threshold=0.8, num_hashes=16, rows_per_band=4
         )
-        comp = connected_components(edges, "id_a", "id_b")
+        # star edges (rep < member) and verified rep pairs (id_a < id_b)
+        # are disjoint unique ordered sets — the input-sym distinct
+        # shuffle is provably redundant (round 12)
+        comp = connected_components(edges, "id_a", "id_b", assume_distinct_edges=True)
         return comp.select(
             F.col("node").cast("bigint").alias("doc_id"),
             F.col("component").cast("bigint").alias("keep_id"),

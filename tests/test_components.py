@@ -168,3 +168,37 @@ def test_bounded_closure_random_graphs_vs_native(spark):
         ).collect()
         got = bounded_closure(e, r, cap).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, native)), trial
+
+
+def test_components_assume_distinct_edges_identical_labels(spark):
+    """assume_distinct_edges skips only the input-sym distinct exchange;
+    labels must be identical to the default on ordered unique edge
+    lists (the caller contract) — across single-round star graphs,
+    multi-round chains, and both local_contract settings."""
+    rng = random.Random(23)
+    nodes = list(range(1, 90))
+    rand = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(110)}
+    )
+    cases = [
+        [(1, 2), (2, 3), (3, 4)],                 # chain (needs rounds)
+        [(1, 2), (1, 3), (1, 4)],                 # star from min
+        [(i, i + 1) for i in range(1, 60)],       # long chain
+        rand,                                      # random unique ordered
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        for lc in (True, False):
+            base = {
+                (r["node"], r["component"])
+                for r in connected_components(df, local_contract=lc).collect()
+            }
+            fast = {
+                (r["node"], r["component"])
+                for r in connected_components(
+                    df, local_contract=lc, assume_distinct_edges=True
+                ).collect()
+            }
+            assert fast == base
+            got = dict(fast)
+            assert got == _py_components(edges)
