@@ -957,53 +957,87 @@ def minhash_near_dups_against(
     # build over the union — same rows, three fewer exchanges and one
     # fewer dictionary job (optimization round 11).
     d_v = _bitmap_dictionary(rep_sh_b.unionByName(rep_sh_c), BITMAP_MAX_VOCAB)
-    if d_v is not None:
-        d, vocab = d_v
-        n_words = (vocab + 63) // 64
-        # two consumers each (band explode + bitmap union) but NO
-        # checkpoint: both consumers live in the one final plan, where
-        # AQE serves the agg's input from a ReusedExchange — measured
-        # 3 fewer jobs than lazily checkpointing the pair
-        wide_b = _fused_sig_table(rep_sh_b, d, n_words, num_hashes, rows_per_band)
-        wide_c = _fused_sig_table(rep_sh_c, d, n_words, num_hashes, rows_per_band)
-    else:
-        wide_b = _band_hash_wide(rep_sh_b, num_hashes, rows_per_band)
-        wide_c = _band_hash_wide(rep_sh_c, num_hashes, rows_per_band)
-    a_side = wide_b.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("bands").alias("bands_a"),
-        F.posexplode("bands").alias("band", "band_hash"),
-    )
-    b_side = wide_c.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("bands").alias("bands_b"),
-        F.posexplode("bands").alias("band", "band_hash"),
-    )
     first_agree = F.array_position(
         F.zip_with("bands_a", "bands_b", lambda x, y: x == y), True
     )
-    cand = (
-        a_side.join(b_side, ["band", "band_hash"])
-        .filter(first_agree == F.col("band") + 1)  # array_position is 1-indexed
-        .select("id_a", "id_b")
-    )
-    # NOT spread: an explicit repartition of the candidate list here
-    # (tried in optimization round 11) forces full materialization of
-    # the witness-filtered pairs and breaks the band-join→verify
-    # pipeline fusion — profiled 8x MORE verify CPU (22s vs 2.7s at
-    # sf0.1) despite re-widening the stage. The fused single pass wins.
-    # verify with the capped-vocab bitmap kernel over the UNION of both
-    # sides' fused tables (batch/corpus ids must be disjoint, as document
-    # keys are): two hash joins against the small bitmap table + a flat
-    # popcount per candidate. The shingle co-occurrence join measured
-    # 2.3x slower here (small shared vocab makes co-occurrence near
-    # all-pairs), and expanding cand x shingles OOM'd at sf1.0.
     if d_v is not None:
-        bmdf = wide_b.select("doc_id", "bm", "n").unionByName(
-            wide_c.select("doc_id", "bm", "n")
+        d, vocab = d_v
+        n_words = (vocab + 63) // 64
+        wide_b = _fused_sig_table(rep_sh_b, d, n_words, num_hashes, rows_per_band)
+        wide_c = _fused_sig_table(rep_sh_c, d, n_words, num_hashes, rows_per_band)
+        # The bitmap and set size ride the band explode (optimization
+        # round 12): previously the witness-filtered candidates joined
+        # back to a union of the two fused tables, giving each side's
+        # aggregation TWO differently-pruned consumers — and because
+        # column pruning pushes through the aggregate, Catalyst compiled
+        # each consumer as its own aggregation over the checkpointed
+        # shingle RDD (the captured before-plan carries all four
+        # HashAggregate pairs and no ReusedExchange — the round-11
+        # ADVICE flagged exactly this). Carrying (bm, n) through the
+        # explode keeps ONE consumer per side, deletes the two verify
+        # hash joins, and is bounded at scale: this path only fires
+        # under the dense-dictionary cap, so bm is ≤ 64 longs per row
+        # replicated n_bands (4) ways. Same rows: identical candidate
+        # set (same witness), identical size/overlap/jaccard
+        # expressions evaluated pairwise either way.
+        a_side = wide_b.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("bands").alias("bands_a"),
+            F.col("bm").alias("ba"),
+            F.col("n").alias("na"),
+            F.posexplode("bands").alias("band", "band_hash"),
         )
-        verified = _jaccard_pairs_bitmap(bmdf, n_words, cand, min_jaccard=threshold)
+        b_side = wide_c.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("bands").alias("bands_b"),
+            F.col("bm").alias("bb"),
+            F.col("n").alias("nb"),
+            F.posexplode("bands").alias("band", "band_hash"),
+        )
+        size_ok = F.least(F.col("na"), F.col("nb")) >= F.lit(threshold) * F.greatest(
+            F.col("na"), F.col("nb")
+        )
+        # NOT spread: an explicit repartition of the candidate list here
+        # (tried in optimization round 11) forces full materialization
+        # of the witness-filtered pairs and breaks the band-join→verify
+        # pipeline fusion — profiled 8x MORE verify CPU (22s vs 2.7s at
+        # sf0.1) despite re-widening the stage. The fused single pass
+        # wins. The shingle co-occurrence join measured 2.3x slower here
+        # (small shared vocab makes co-occurrence near all-pairs), and
+        # expanding cand x shingles OOM'd at sf1.0.
+        cand = (
+            a_side.join(b_side, ["band", "band_hash"])
+            .filter(first_agree == F.col("band") + 1)  # array_position is 1-indexed
+            .filter(size_ok)
+            .select("id_a", "id_b", "na", "nb", _bitmap_overlap_flat(n_words).alias("o"))
+        )
+        verified = (
+            _overlap_fence(cand, n_words)
+            .filter(F.col("o") > 0)
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("o") / (F.col("na") + F.col("nb") - F.col("o"))).alias("jaccard"),
+            )
+        )
     else:  # vocabulary over the cap: co-occurrence join fallback
+        wide_b = _band_hash_wide(rep_sh_b, num_hashes, rows_per_band)
+        wide_c = _band_hash_wide(rep_sh_c, num_hashes, rows_per_band)
+        a_side = wide_b.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("bands").alias("bands_a"),
+            F.posexplode("bands").alias("band", "band_hash"),
+        )
+        b_side = wide_c.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("bands").alias("bands_b"),
+            F.posexplode("bands").alias("band", "band_hash"),
+        )
+        cand = (
+            a_side.join(b_side, ["band", "band_hash"])
+            .filter(first_agree == F.col("band") + 1)  # array_position is 1-indexed
+            .select("id_a", "id_b")
+        )
         nb = rep_sh_b.groupBy("doc_id").agg(F.count("*").alias("nb"))
         nc = rep_sh_c.groupBy("doc_id").agg(F.count("*").alias("nc"))
         verified = (
