@@ -463,15 +463,19 @@ def kmeans_fixedpoint(
                 w.unpersist()
         return out
     if output == "assignments_lazy":
-        # same table, lazily checkpointed — for SINGLE-consumer chains
-        # (e.g. cluster labeling joins the assignments once): the
-        # dedicated materialization job disappears and the consumer's
-        # first action runs the Lloyd chain inline exactly once.
+        # same table, returned as the RAW lazy plan — for SINGLE-consumer
+        # chains (e.g. cluster labeling joins the assignments once): the
+        # consumer's first action runs the Lloyd chain inline exactly
+        # once, so a checkpoint handle here bought nothing and cost a
+        # full plan->RDD conversion (~0.7s of driver time at sf0.1,
+        # cProfile-verified — dropped in optimization round 12). The
+        # single-consumer contract is the caller's: a caller that fans
+        # the result into several actions should checkpoint it itself.
         # persist_weights=True in THIS mode is the one session-lifetime
-        # cache left (the lazy handle means the last consumer is
-        # unknowable here) — the docstring tells such callers to
-        # clearCache()/unpersist themselves.
-        return assign.localCheckpoint(eager=False)
+        # cache left (the last consumer is unknowable here) — the
+        # docstring tells such callers to clearCache()/unpersist
+        # themselves.
+        return assign
     summary = (
         assign.groupBy("cluster")
         .agg(
@@ -956,9 +960,12 @@ def _fused_chain(
     re-clustering (the incremental-dedup shape). Assignments are
     eagerly checkpointed."""
     g_rows, cmap1_rows, G, g2v, nonempty = _coarse_model_numpy(f0_rows, n_list)
-    a1 = _assign_fused_numpy(
-        dense, g_rows, f0_rows, cmap1_rows, n_probe
-    ).localCheckpoint(eager=True)
+    # a1 has exactly ONE consumer — the centroid-update collect right
+    # below — so its former eager checkpoint was a dedicated
+    # materialization job plus a plan->RDD conversion for nothing
+    # (optimization round 12); pass 2 reads only the COLLECTED c1 rows,
+    # never a1 itself
+    a1 = _assign_fused_numpy(dense, g_rows, f0_rows, cmap1_rows, n_probe)
     c1_rows = _centroid_update(w, a1).collect()
     cmap2_rows = _quantize_rows_numpy(c1_rows, G, g2v, nonempty)
     a2 = _assign_fused_numpy(dense, g_rows, c1_rows, cmap2_rows, n_probe)
@@ -969,7 +976,11 @@ def _fused_chain(
         "cmap_rows": cmap2_rows,
         "n_probe": n_probe,
     }
-    return a2.localCheckpoint(eager=True), model
+    # lazy: consumers self-join the assignments, but the caller's first
+    # action materializes the checkpoint once for both branches — the
+    # dedicated eager job was pure overhead (round 12, same reasoning
+    # as the round-11 connected-components change)
+    return a2.localCheckpoint(eager=False), model
 
 
 def kmeans_fixedpoint_ivf_model(
@@ -1116,11 +1127,15 @@ def kmeans_fixedpoint_ivf(
 
     if n_list is None:
         n_list = max(2, math.ceil(math.sqrt(2 * k)))
+    # lazy: the first driver action over w (the fused path's seed-vector
+    # collect, or the exact path's seed pick when dense is absent)
+    # materializes the checkpoint — the former eager form paid a
+    # dedicated job up front (optimization round 12)
     w = weights.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(word_col).alias("word"),
         F.col(weight_col).cast("long").alias("w"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     d2 = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("x2"))
 
     # seed pick: dense ids are unique by contract, so the n·d-row
